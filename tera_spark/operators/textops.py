@@ -1,0 +1,103 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language ID, document fingerprinting. All JVM-side expressions
+(deliberately SQL-expressible so the DuckDB oracle can replay them);
+the winnowing fingerprint is the one composition that uses array ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "une"],
+    "es": ["el", "la", "los", "que", "de", "es", "una", "por"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: F.length(x) > 0)
+
+
+def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (regex segmentation:
+    word pieces / digits / punctuation — a deterministic proxy for a BPE
+    vocabulary)."""
+    ws = F.size(_tokens(F.col(text_col)))
+    bpe_ish = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"(?=[A-Z])|(?<=[a-z])(?=[0-9])|[\s]+|(?=[^\w\s])"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    return docs.withColumn("ws_tokens", ws).withColumn("subword_tokens", bpe_ish)
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality heuristics →
+    [0,1] score. All ratios rounded for engine-portable comparison."""
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    toks = _tokens(txt)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
+    en_stop = F.size(F.filter(toks, lambda x: x.isin(LANG_PROFILES["en"])))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, en_stop / n_tokens).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = (
+        0.4 * len_score + 0.3 * alpha_ratio + 0.2 * (1 - punct_ratio) + 0.1 * stop_ratio
+    )
+    return (
+        docs.withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("alpha_ratio", F.round(alpha_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: argmax of per-language stopword hits
+    (deterministic tie-break by language code)."""
+    toks = _tokens(F.col(text_col))
+    scores = [
+        (lang, F.size(F.filter(toks, lambda x, ws=words: x.isin(ws))))
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, n in scores:  # strictly-greater keeps the earliest (sorted) lang on ties
+        cond = n > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, n).otherwise(best_n)
+    return docs.withColumn("lang_pred", best)
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints:
+    - ``fp_md5``: md5 of whitespace-normalized lowercase text (exact-dup key);
+    - ``fp_winnow``: winnowing fingerprint — k-gram (k=5 tokens) rolling
+      hashes, min per sliding window (w=4) — robust to local edits.
+    """
+    toks = _tokens(F.col(text_col))
+    k, w = 5, 4
+    kgrams = F.when(F.size(toks) >= k, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+    docs = docs.withColumn("_kg", kgrams)
+    windows = F.when(F.size("_kg") >= w, F.transform(
+        F.sequence(F.lit(0), F.size("_kg") - w),
+        lambda i: F.array_min(F.slice(F.col("_kg"), i + 1, w)),
+    )).otherwise(F.array(F.array_min("_kg")))
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return (
+        docs.withColumn("fp_md5", F.md5(norm))
+        .withColumn("fp_winnow", F.array_distinct(windows))
+        .drop("_kg")
+    )

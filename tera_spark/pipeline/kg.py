@@ -1,0 +1,128 @@
+"""Stage 2b — (subj, pred, obj) triple extraction from linked mentions.
+
+The emission rules are TERA-shaped (SURVEY.md §2.3 graft note): turn/
+conversation provenance triples mirror T9's test-id threading; quantity
+reification ((bnode, rdf:value, v), (bnode, unit:units, U)) mirrors
+T9/T10's value bnodes, reusing the F1 unit parser; entity typing/labels
+mirror T11/T14. Everything is explode-select over the linked-mention
+table — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tera_spark.constants import NS_KG, NS_UNIT, RDF_TYPE, RDF_VALUE, RDFS_LABEL
+from tera_spark.functions.units import with_parsed_unit
+from tera_spark.operators.extract._emit import emit, t
+from tera_spark.operators.triples import bnode, dedup
+
+
+def _turn_uri():
+    return F.concat(
+        F.lit(NS_KG + "turn/"), F.col("conv_id"), F.lit("/"), F.col("turn_idx").cast("string")
+    )
+
+
+def _conv_uri():
+    return F.concat(F.lit(NS_KG + "conv/"), F.col("conv_id"))
+
+
+def transcript_structure_triples(transcripts: DataFrame) -> DataFrame:
+    """Conversation/turn skeleton: one pass over the raw transcripts."""
+    turn = _turn_uri()
+    conv = _conv_uri()
+    return emit(
+        transcripts,
+        t(conv, RDF_TYPE, F.lit(NS_KG + "Conversation")),
+        t(turn, RDF_TYPE, F.lit(NS_KG + "Turn")),
+        t(turn, NS_KG + "partOf", conv),
+        t(turn, NS_KG + "role", F.col("role"), lit=True),
+        t(turn, NS_KG + "tool", F.col("tool"), lit=True, when=F.col("tool").isNotNull()),
+    )
+
+
+_KIND_CLASS = {
+    "chemical": NS_KG + "Chemical",
+    "species": NS_KG + "Species",
+    "endpoint": NS_KG + "Endpoint",
+    "unknown": NS_KG + "Entity",
+}
+
+
+def mention_triples(linked: DataFrame) -> DataFrame:
+    """Entity mentions: (turn kg:mentions entity), entity typing + label."""
+    df = linked.filter(F.col("entity").isNotNull() & (F.col("kind") != "quantity"))
+    turn = _turn_uri()
+    kind_class = F.coalesce(
+        *[
+            F.when(F.col("entity_kind") == k, F.lit(v))
+            for k, v in _KIND_CLASS.items()
+        ],
+        F.lit(NS_KG + "Entity"),
+    )
+    # Label triples only from exact/rule links (the mention text IS the
+    # lexicon label) and provisionals (their only name) — fuzzy mentions
+    # would attach misspellings as entity labels.
+    label_ok = F.col("link_method").isin("exact", "rule", "provisional")
+    return emit(
+        df,
+        t(turn, NS_KG + "mentions", F.col("entity")),
+        t(F.col("entity"), RDF_TYPE, kind_class),
+        t(F.col("entity"), RDFS_LABEL, F.col("mention"), lit=True, when=label_ok),
+    )
+
+
+def quantity_triples(linked: DataFrame) -> DataFrame:
+    """T10-shaped reified quantities from 'quantity' mentions: digit-
+    filtered value + parsed unit, hung off the turn."""
+    df = linked.filter(F.col("kind") == "quantity")
+    df = with_parsed_unit(df, "unit", "_pu")
+    df = df.withColumn("_digits", F.regexp_replace(F.col("value"), "[^0-9.]", ""))
+    b = bnode(F.col("conv_id"), F.col("turn_idx"), F.col("pos"), F.col("mention"), tag="kg-q")
+    turn = _turn_uri()
+    has_v = F.length("_digits") > 0
+    return emit(
+        df,
+        t(b, RDF_VALUE, F.col("_digits"), lit=True, when=has_v),
+        t(b, NS_UNIT + "units", F.concat(F.lit(NS_UNIT), F.col("_pu")), when=has_v & (F.col("_pu") != "")),
+        t(turn, NS_KG + "quantity", b, when=has_v),
+    )
+
+
+def cooccurrence_triples(linked: DataFrame) -> DataFrame:
+    """Per-turn chemical×species co-occurrence edges — the KG's payload
+    (the analogue of TERA's test→chemical/species star, J8). Self-join on
+    (conv_id, turn_idx); both sides pre-filtered to the two kinds so the
+    join is small and skew-free."""
+    ent = linked.filter(F.col("entity").isNotNull()).select(
+        "conv_id", "turn_idx", "entity", "entity_kind"
+    )
+    chem = ent.filter(F.col("entity_kind") == "chemical").select(
+        "conv_id", "turn_idx", F.col("entity").alias("chem")
+    )
+    spec = ent.filter(F.col("entity_kind") == "species").select(
+        "conv_id", "turn_idx", F.col("entity").alias("spec")
+    )
+    pairs = chem.join(spec, ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "chem", "spec"
+    )
+    turn = _turn_uri()
+    return emit(
+        pairs,
+        t(F.col("chem"), NS_KG + "cooccursWith", F.col("spec")),
+        t(turn, NS_KG + "evidences", bnode(F.col("chem"), F.col("spec"), tag="cooc")),
+        t(bnode(F.col("chem"), F.col("spec"), tag="cooc"), NS_KG + "chemical", F.col("chem")),
+        t(bnode(F.col("chem"), F.col("spec"), tag="cooc"), NS_KG + "species", F.col("spec")),
+    )
+
+
+def build_triples(transcripts: DataFrame, linked: DataFrame) -> DataFrame:
+    """All stage-2 triples, deduplicated (A1)."""
+    return dedup(
+        transcript_structure_triples(transcripts)
+        .unionByName(mention_triples(linked))
+        .unionByName(quantity_triples(linked))
+        .unionByName(cooccurrence_triples(linked))
+    )

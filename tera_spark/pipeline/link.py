@@ -1,0 +1,169 @@
+"""Stage 2 — entity linking (north_star: "TERA-style entity linking —
+token-blocking candidate generation, Jaccard/edit-distance similarity
+scoring against chemical/species/endpoint lexicons").
+
+Two paths, mirroring TERA's alignment pair (SURVEY.md §2.4):
+
+- **exact** (J2-shaped): normalized mention == normalized lexicon label —
+  a broadcast join against the lexicon (ECOTOX chemicals / NCBI names
+  scale: ≤ a few M rows ⇒ ≤ ~100 MB, broadcastable; beyond that, a
+  shuffle-hash join on the normalized label still has no skew because
+  labels are near-unique).
+- **fuzzy** (J6-shaped): unlinked term mentions vs lexicon labels via
+  character-3-gram blocking (misspellings share most shingles even when
+  they share no whole token) + vectorized WRatio scoring + argmax-per-
+  mention (A5/W2). The candidate set is bounded by requiring ≥2 shared
+  shingles and by hot-shingle capping.
+
+Output adds ``entity`` / ``link_method`` / ``link_score``; unlinked term
+mentions get a provisional ``urn:mention:<norm>`` entity that the
+canonicalization stage may merge into a lexicon entity (alias edges are
+also produced here, from the fuzzy scores).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tera_spark.functions.similarity import wratio_udf
+
+PROVISIONAL_PREFIX = "urn:mention:"
+
+
+def _norm(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _shingles(col, n: int = 3):
+    """Character n-gram array of the normalized string (distinct),
+    space-padded so word boundaries contribute shingles. JVM-side
+    (sequence + transform + substr) — no UDF."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    return F.when(F.length(padded) >= n, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - n + 1),
+            lambda i: padded.substr(i, F.lit(n)),
+        )
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def link_mentions(
+    mentions: DataFrame,
+    lexicon: DataFrame,
+    fuzzy_threshold: float = 88.0,
+    max_shingle_freq: int = 2000,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (linked mentions, alias_edges).
+
+    ``lexicon``: (entity, label, kind). ``mentions``: stage-1 output.
+    """
+    lex = lexicon.select(
+        F.col("entity"),
+        F.col("kind").alias("lex_kind"),
+        _norm(F.col("label")).alias("norm_label"),
+    ).dropDuplicates(["entity", "norm_label"])
+
+    terms = mentions.filter(F.col("kind") == "term").withColumn(
+        "norm", _norm(F.col("mention"))
+    )
+    non_terms = mentions.filter(F.col("kind") != "term")
+
+    # --- exact path -------------------------------------------------------
+    exact_lex = F.broadcast(lex.withColumnRenamed("norm_label", "norm"))
+    exact = terms.join(exact_lex, "norm", "left")
+
+    linked_exact = exact.filter(F.col("entity").isNotNull()).select(
+        *mentions.columns,
+        F.col("entity"),
+        F.col("lex_kind").alias("entity_kind"),
+        F.lit("exact").alias("link_method"),
+        F.lit(100.0).alias("link_score"),
+    )
+
+    # --- fuzzy path over the distinct unlinked vocabulary ------------------
+    # Dictionary-encode: score each distinct normalized mention once, not
+    # once per occurrence (same trick as the unit parser, F1).
+    unlinked = exact.filter(F.col("entity").isNull()).drop(
+        "entity", "lex_kind"
+    )
+    vocab = (
+        unlinked.select("norm")
+        .filter(F.length("norm") >= 5)
+        .distinct()
+        .withColumn("m_sh", _shingles(F.col("norm")))
+    )
+    lex_sh = lex.withColumn("l_sh", _shingles(F.col("norm_label")))
+
+    m_tok = vocab.select("norm", F.explode("m_sh").alias("sh"))
+    l_tok = lex_sh.select("entity", "lex_kind", "norm_label", F.explode("l_sh").alias("sh"))
+    hot = (
+        l_tok.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_shingle_freq)
+        .select("sh")
+    )
+    m_tok = m_tok.join(F.broadcast(hot), "sh", "left_anti")
+    l_tok = l_tok.join(F.broadcast(hot), "sh", "left_anti")
+
+    cand = (
+        m_tok.join(l_tok, "sh")
+        .groupBy("norm", "entity", "lex_kind", "norm_label")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    scored = cand.withColumn(
+        "link_score", wratio_udf(F.col("norm"), F.col("norm_label")).cast("double")
+    ).filter(F.col("link_score") >= fuzzy_threshold)
+    best = (
+        scored.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("norm").orderBy(
+                    F.col("link_score").desc(), F.col("entity").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("norm", "entity", "lex_kind", "link_score")
+    )
+
+    fuzzy_joined = unlinked.join(F.broadcast(best), "norm", "left")
+    linked_fuzzy = fuzzy_joined.filter(F.col("entity").isNotNull()).select(
+        *mentions.columns,
+        F.col("entity"),
+        F.col("lex_kind").alias("entity_kind"),
+        F.lit("fuzzy").alias("link_method"),
+        F.col("link_score"),
+    )
+    provisional = fuzzy_joined.filter(F.col("entity").isNull()).select(
+        *mentions.columns,
+        F.concat(F.lit(PROVISIONAL_PREFIX), F.col("norm")).alias("entity"),
+        F.lit("unknown").alias("entity_kind"),
+        F.lit("provisional").alias("link_method"),
+        F.lit(0.0).alias("link_score"),
+    )
+
+    passthrough = non_terms.select(
+        *mentions.columns,
+        F.when(F.col("kind") == "code", F.concat(F.lit("code:"), F.col("mention")))
+        .otherwise(F.lit(None))
+        .alias("entity"),
+        F.when(F.col("kind") == "code", F.lit("endpoint")).otherwise(F.lit("quantity")).alias("entity_kind"),
+        F.lit("rule").alias("link_method"),
+        F.lit(100.0).alias("link_score"),
+    )
+
+    linked = linked_exact.unionByName(linked_fuzzy).unionByName(provisional).unionByName(passthrough)
+
+    # Alias edges: provisional mention-entities that fuzzily resemble a
+    # lexicon entity below the auto-link threshold but above a merge floor
+    # are candidates for CC merging; at/above the threshold the fuzzy link
+    # already resolved them. We emit (provisional, entity) edges for all
+    # scored pairs ≥ threshold so canonicalization is idempotent even if
+    # linking choices change.
+    alias_edges = scored.filter(F.col("link_score") >= fuzzy_threshold).select(
+        F.concat(F.lit(PROVISIONAL_PREFIX), F.col("norm")).alias("u"),
+        F.col("entity").alias("v"),
+    )
+    return linked, alias_edges

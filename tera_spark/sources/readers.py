@@ -1,0 +1,245 @@
+"""Scans for every source format the reference consumes (SURVEY.md §2.1).
+
+All tabular sources are read all-STRING — the reference does
+``pd.read_csv(..., dtype=str, na_values=nan_values)`` everywhere
+(/root/reference/tera/DataAggregation.py:135,162,187,301,399,405,504,696,719,773)
+— then cleaned with the shared rule: NaN-vocabulary → null, trim, dropna /
+fill 'missing' (DataAggregation.py:18,136-137,400-408).
+
+Cleaning order note: the reference matches the NaN vocabulary against the
+*raw* cell and strips afterwards; we match against the trimmed cell (one
+pass, same observable result on all reference fixtures because the
+vocabulary entries are themselves trimmed tokens).
+
+Scale: these are plain ``spark.read.csv``/``read.text`` scans — splittable,
+schema-explicit (no inference pass), column-pruned by Catalyst. At 100 TB
+the same readers apply unchanged; only the paths move to object storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tera_spark.constants import MISSING, NAN_VALUES
+
+
+# --------------------------------------------------------------------------
+# Shared cleaning (P2/P3/P4)
+# --------------------------------------------------------------------------
+def ws_trim(col: Column) -> Column:
+    """Whitespace strip (P3) — pandas ``str.strip()`` parity: all leading/
+    trailing whitespace incl. the tabs that pad ``.dmp`` cells (Spark's
+    ``trim`` only strips spaces)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def nullify_nan(col: Column) -> Column:
+    """NaN-vocabulary → null (P2; DataAggregation.py:18)."""
+    t = ws_trim(col)
+    return F.when(col.isNull() | t.isin(NAN_VALUES), F.lit(None)).otherwise(t)
+
+
+def clean_strings(
+    df: DataFrame,
+    drop_subset: list[str] | None = None,
+    fill: str | None = None,
+) -> DataFrame:
+    """nullify + trim all columns, then dropna(subset)/fillna like the
+    reference loaders (DataAggregation.py:136-137,400-408).
+
+    ``drop_subset=None`` drops rows with *any* null (pandas ``dropna()``
+    default); pass ``fill`` to emulate ``fillna(value='missing')``.
+    """
+    out = df.select([nullify_nan(F.col(c)).alias(c) for c in df.columns])
+    if fill is None:
+        out = out.na.drop("any", subset=drop_subset)
+    else:
+        out = out.na.drop("any", subset=drop_subset or df.columns)
+        if drop_subset is not None:
+            out = out.na.fill(fill)
+    return out
+
+
+def _string_schema(names: list[str]) -> T.StructType:
+    return T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+
+
+# --------------------------------------------------------------------------
+# Pipe/comma CSV scans (S1-S11)
+# --------------------------------------------------------------------------
+def read_dmp(
+    spark: SparkSession, path: str, usecols: dict[int, str]
+) -> DataFrame:
+    """Headerless pipe-separated scan with positional usecols — the NCBI
+    ``*.dmp`` reader (S1-S3; DataAggregation.py:135,162,187). Cells carry
+    ``\\t`` padding (``\\t|\\t`` terminators); trim handles it.
+    """
+    n = max(usecols) + 1
+    names = [usecols.get(i, f"_drop{i}") for i in range(n)]
+    df = spark.read.csv(path, sep="|", header=False, schema=_string_schema(names + ["_tail"]))
+    return df.select([F.col(usecols[i]) for i in sorted(usecols)])
+
+
+def read_pipe_csv(
+    spark: SparkSession, path: str, usecols: list[str] | None = None
+) -> DataFrame:
+    """Pipe-separated with header row (S7-S11; DataAggregation.py:399,405,
+    504,696,773). All-string schema; column pruning via explicit select."""
+    df = spark.read.csv(path, sep="|", header=True, inferSchema=False)
+    if usecols:
+        df = df.select(*usecols)
+    return df
+
+
+def read_csv(
+    spark: SparkSession, path: str | list[str], usecols: list[str] | None = None
+) -> DataFrame:
+    """Comma CSV with header (S4-S5; DataAggregation.py:301,343)."""
+    df = spark.read.csv(path, sep=",", header=True, inferSchema=False)
+    if usecols:
+        df = df.select(*usecols)
+    return df
+
+
+def read_csv_schema_fallback(
+    spark: SparkSession, path: str, cols: tuple[str, str] = ("child", "parent")
+) -> DataFrame:
+    """S6 (DataAggregation.py:357-369): try header ``child,parent``; if the
+    header is absent, re-read headerless as ``parent,child`` (note the
+    swapped order — reference behavior)."""
+    head = spark.read.csv(path, header=True, inferSchema=False)
+    if all(c in head.columns for c in cols):
+        return head.select(*cols)
+    df = spark.read.csv(path, header=False, schema=_string_schema([cols[1], cols[0]]))
+    return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# RDF scans (S12-S14)
+# --------------------------------------------------------------------------
+_NT_RE = r"^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.*?)\s*\.\s*$"
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """N-Triples scan (S13; DataAggregation.py:855-859). Line-splittable —
+    each line is one triple, so this parallelizes perfectly: ``read.text``
+    partitions by byte ranges, regex runs JVM-side in codegen."""
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", _NT_RE, 1).alias("s_raw"),
+        F.regexp_extract("value", _NT_RE, 2).alias("predicate"),
+        F.regexp_extract("value", _NT_RE, 3).alias("o_raw"),
+    ).filter(F.col("predicate") != "")
+    obj_is_lit = F.col("o_raw").startswith('"')
+    return parsed.select(
+        F.regexp_replace("s_raw", r"^<|>$", "").alias("subject"),
+        F.col("predicate"),
+        F.when(
+            obj_is_lit,
+            F.regexp_replace(
+                F.regexp_extract("o_raw", r'^"((?:[^"\\]|\\.)*)"', 1),
+                r'\\(["\\])',
+                r"$1",
+            ),
+        )
+        .otherwise(F.regexp_replace("o_raw", r"^<|>$", ""))
+        .alias("object"),
+        obj_is_lit.alias("obj_is_literal"),
+    )
+
+
+def read_pc_ttl(spark: SparkSession, path: str) -> DataFrame:
+    """Turtle scan for the pc_compound profile (S12; DataAggregation.py:
+    813-817,834-838): ``@prefix`` declarations + ``pfx:local pfx:local
+    pfx:local .`` lines (see /root/reference/test_data/pc_test1.ttl).
+
+    The prefix table is tiny (a handful of declarations) — collected to the
+    driver and applied as a broadcast-joined expansion; triple lines stay
+    fully distributed. General TTL is out of scope (the reference only
+    feeds it these files).
+    """
+    lines = spark.read.text(path)
+    prefix_rows = (
+        lines.filter(F.col("value").startswith("@prefix"))
+        .select(
+            F.regexp_extract("value", r"@prefix\s+([A-Za-z0-9_]*):", 1).alias("pfx"),
+            F.regexp_extract("value", r"<([^>]*)>", 1).alias("expansion"),
+        )
+        .collect()
+    )
+    prefixes = {r["pfx"]: r["expansion"] for r in prefix_rows}
+    triple_re = r"^\s*([A-Za-z0-9_]+):(\S+)\s+([A-Za-z0-9_]+):(\S+)\s+(\S+?)(?::(\S+))?\s+\.\s*$"
+    raw = lines.filter(~F.col("value").startswith("@prefix")).filter(
+        F.col("value").rlike(triple_re)
+    )
+    pfx_map = F.create_map(
+        *[F.lit(x) for kv in prefixes.items() for x in kv]
+    )
+    parsed = raw.select(
+        F.regexp_extract("value", triple_re, 1).alias("s_pfx"),
+        F.regexp_extract("value", triple_re, 2).alias("s_local"),
+        F.regexp_extract("value", triple_re, 3).alias("p_pfx"),
+        F.regexp_extract("value", triple_re, 4).alias("p_local"),
+        F.regexp_extract("value", triple_re, 5).alias("o_first"),
+        F.regexp_extract("value", triple_re, 6).alias("o_local"),
+    )
+    obj_iri = F.when(
+        F.col("o_local") != "",
+        F.concat(pfx_map[F.col("o_first")], F.col("o_local")),
+    ).otherwise(
+        F.when(
+            F.col("o_first").startswith("<"),
+            F.regexp_replace("o_first", r"^<|>$", ""),
+        ).otherwise(F.col("o_first"))
+    )
+    return parsed.select(
+        F.concat(pfx_map[F.col("s_pfx")], F.col("s_local")).alias("subject"),
+        F.concat(pfx_map[F.col("p_pfx")], F.col("p_local")).alias("predicate"),
+        obj_iri.alias("object"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mapping scans (S15-S17)
+# --------------------------------------------------------------------------
+def read_mapping_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Downloaded-Wikidata mapping CSV with header ``from,to`` (S15;
+    DataIntegration.py:289-291) → (from_id, to_id)."""
+    df = spark.read.csv(path, header=True, inferSchema=False)
+    return df.select(
+        F.trim(F.col("from")).alias("from_id"), F.trim(F.col("to")).alias("to_id")
+    )
+
+
+def read_logmap_txt(spark: SparkSession, path: str) -> DataFrame:
+    """LogMap txt alignment (S16; DataIntegration.py:218-237):
+    ``e1|e2|type|score|is_instance`` with a 3-col ``e1|e2|score`` fallback.
+    Column-count sniff replaces the reference's try/except re-read."""
+    probe = spark.read.csv(path, sep="|", header=True, inferSchema=False)
+    ncols = len(probe.columns)
+    if ncols >= 5:
+        names = ["e1", "e2", "type", "score", "is_instance"]
+    else:
+        names = ["e1", "e2", "score"]
+    df = spark.read.csv(path, sep="|", header=True, schema=_string_schema(names))
+    return df.select("e1", "e2", F.col("score").cast("double").alias("score"))
+
+
+def read_logmap_rdf(spark: SparkSession, path: str) -> DataFrame:
+    """LogMap RDF alignment (S17; DataIntegration.py:194-216): alignment
+    cells with entity1/entity2/measure — parse the triples (N-Triples
+    profile), then pivot the three predicates per cell subject."""
+    base = "http://knowledgeweb.semanticweb.org/heterogeneity/alignment"
+    t = read_ntriples(spark, path)
+    cells = t.groupBy("subject").pivot(
+        "predicate",
+        [base + "entity1", base + "entity2", base + "measure"],
+    ).agg(F.first("object"))
+    return cells.select(
+        F.col(f"`{base}entity1`").alias("e1"),
+        F.col(f"`{base}entity2`").alias("e2"),
+        F.col(f"`{base}measure`").cast("double").alias("score"),
+    ).na.drop(subset=["e1", "e2", "score"])

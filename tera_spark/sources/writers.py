@@ -1,0 +1,58 @@
+"""Graph sinks — K1/K2 (SURVEY.md §2.1).
+
+Production target is partitioned Iceberg tables (north_star); this sandbox
+has no Iceberg jars, so the writer dispatches: Iceberg ``writeTo`` when the
+session has a catalog configured, parquet layout otherwise — same paths,
+same partitioning spec, so pipeline code is identical in both worlds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        return bool(spark.conf.get("spark.sql.catalog.tera", None))
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    path_or_table: str,
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a stage table. With Iceberg: ``writeTo(...).partitionedBy(
+    bucket(N, col))``. Parquet fallback: hash-bucket column materialized
+    explicitly (``pmod(xxhash64(col), N)``) and used as the partition dir —
+    the same co-location property (all rows of one conv_id land in one
+    bucket) with plain files."""
+    spark = df.sparkSession
+    if _iceberg_available(spark):
+        writer = df.writeTo(f"tera.{path_or_table}")
+        if bucket_by:
+            n, col = bucket_by
+            writer = writer.partitionedBy(F.bucket(n, col))
+        elif partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        return
+    if bucket_by:
+        n, col = bucket_by
+        df = df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int"))
+        df.write.mode(mode).partitionBy("_bucket").parquet(path_or_table)
+    elif partition_by:
+        df.write.mode(mode).partitionBy(*partition_by).parquet(path_or_table)
+    else:
+        df.write.mode(mode).parquet(path_or_table)
+
+
+def read_table(spark: SparkSession, path_or_table: str) -> DataFrame:
+    if _iceberg_available(spark):
+        return spark.read.table(f"tera.{path_or_table}")
+    df = spark.read.parquet(path_or_table)
+    return df.drop("_bucket") if "_bucket" in df.columns else df

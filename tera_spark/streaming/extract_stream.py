@@ -1,0 +1,76 @@
+"""Structured Streaming variant of the extraction stage.
+
+The reference has no streaming semantics (SURVEY.md §1.3); the graft adds
+an incremental ingest path: new transcript files land in a directory,
+``readStream`` picks them up, the *same* extraction + linking operators run
+per micro-batch (foreachBatch — the batch functions are reused verbatim, so
+batch/stream parity is by construction), and mention rows append to the
+checkpoint table. A watermark on ``ts`` bounds state for the windowed
+mention-rate aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tera_spark.pipeline.extract import extract_mentions
+from tera_spark.pipeline.link import link_mentions
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def stream_mentions(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    lexicon: DataFrame,
+):
+    """File-source stream → extraction+linking per micro-batch → parquet
+    append. Returns the StreamingQuery (caller stops it)."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        mentions = extract_mentions(batch_df)
+        linked, _ = link_mentions(mentions, lexicon)
+        linked.write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_mention_rate(
+    spark: SparkSession, input_dir: str, window: str = "10 minutes"
+) -> DataFrame:
+    """Streaming DataFrame: count of quantity/code/term mentions per
+    (window, role) with watermarking. Start with ``.writeStream`` or test
+    via ``availableNow`` + memory sink."""
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    wm = stream.withWatermark("ts", "20 minutes")
+    from tera_spark.pipeline.extract import mentions_udf
+
+    exploded = wm.select(
+        "ts", "role", F.explode(mentions_udf(F.col("text"))).alias("_m")
+    )
+    return exploded.groupBy(F.window("ts", window), "role", F.col("_m.kind").alias("kind")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,117 @@
+"""End-to-end pipeline tests (SURVEY.md §5.3 item 3): full 4-stage run on
+the deterministic synthetic corpus, resume-from-checkpoint bit-equality,
+linking quality on planted mentions, salting invariance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tera_spark.constants import NS_KG
+from tera_spark.fixtures.transcripts import (
+    gen_transcripts,
+    lexicon_spark_df,
+    transcripts_spark_df,
+)
+from tera_spark.pipeline.extract import extract_mentions
+from tera_spark.pipeline.link import link_mentions
+from tera_spark.pipeline.run import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return transcripts_spark_df(spark, n_convs=30, hot_convs=1, hot_factor=10).cache()
+
+
+@pytest.fixture(scope="module")
+def lexicon(spark):
+    return lexicon_spark_df(spark).cache()
+
+
+def test_generator_deterministic():
+    a = gen_transcripts(n_convs=5)
+    b = gen_transcripts(n_convs=5)
+    assert a.equals(b)
+
+
+def test_extract_finds_planted_mentions(spark, transcripts):
+    m = extract_mentions(transcripts)
+    kinds = {r.kind for r in m.select("kind").distinct().collect()}
+    assert {"term", "code", "quantity"} <= kinds
+    # every LC50-style code in the text is found
+    has_code = transcripts.filter(F.col("text").contains("LC50")).count()
+    found = m.filter((F.col("kind") == "code") & (F.col("mention") == "LC50")).count()
+    assert found >= has_code > 0
+
+
+def test_linking_exact_and_fuzzy(spark, transcripts, lexicon):
+    mentions = extract_mentions(transcripts)
+    linked, alias_edges = link_mentions(mentions, lexicon)
+    methods = {r.link_method for r in linked.select("link_method").distinct().collect()}
+    assert "exact" in methods
+    # exact links resolve to real lexicon entities
+    ex = linked.filter(F.col("link_method") == "exact")
+    assert ex.join(lexicon.select("entity").distinct(), "entity", "left_anti").count() == 0
+    # fuzzy path recovers at least some misspelled mentions
+    assert linked.filter(F.col("link_method") == "fuzzy").count() > 0
+
+
+def test_pipeline_end_to_end_and_resume(spark, transcripts, lexicon, tmp_path):
+    out1 = str(tmp_path / "run1")
+    res1 = run_pipeline(spark, transcripts, lexicon, out1)
+    assert res1.stages_run == ["mentions", "linked", "triples", "nodes", "edges"]
+
+    edges = spark.read.parquet(out1 + "/edges")
+    nodes = spark.read.parquet(out1 + "/nodes")
+    assert edges.count() > 0 and nodes.count() > 0
+    # canonicalization removed provisional entities that fuzzy-match lexicon
+    # entities: no 'urn:mention:' ids should remain for close misspellings
+    assert nodes.filter(F.col("id").startswith(NS_KG)).count() > 0
+
+    # resume: second run skips everything and output is bit-identical
+    res2 = run_pipeline(spark, transcripts, lexicon, out1)
+    assert res2.stages_run == [] and len(res2.stages_skipped) == 5
+
+    # partial resume: delete the last two stages, rerun, triples unchanged
+    import shutil
+
+    t_before = {tuple(r) for r in spark.read.parquet(out1 + "/triples").collect()}
+    shutil.rmtree(out1 + "/nodes")
+    shutil.rmtree(out1 + "/edges")
+    res3 = run_pipeline(spark, transcripts, lexicon, out1)
+    assert res3.stages_run == ["nodes", "edges"]
+    t_after = {tuple(r) for r in spark.read.parquet(out1 + "/triples").collect()}
+    assert t_before == t_after
+
+    # lineage + metrics recorded
+    lineage = spark.read.parquet(out1 + "/lineage")
+    assert lineage.filter(F.col("stage") == "mentions").count() > 0
+    metrics = spark.read.parquet(out1 + "/metrics")
+    assert {r.stage for r in metrics.collect()} >= {"mentions", "linked", "triples"}
+
+
+def test_salted_canonicalization_same_output(spark, transcripts, lexicon, tmp_path):
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    run_pipeline(spark, transcripts, lexicon, out_a)
+    run_pipeline(spark, transcripts, lexicon, out_b, salts=4)
+    ta = {tuple(r) for r in spark.read.parquet(out_a + "/triples").collect()}
+    tb = {tuple(r) for r in spark.read.parquet(out_b + "/triples").collect()}
+    assert ta == tb
+
+
+def test_per_turn_text_equality_invariant(spark, transcripts):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — the pipeline never mutates transcripts,
+    and reassembling conversations via the W1 window preserves text."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    assembled = (
+        transcripts.withColumn("rn", F.row_number().over(w))
+        .groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list(F.struct("turn_idx", "text"))).alias("turns"))
+    )
+    back = assembled.select(
+        "conv_id", F.explode("turns").alias("t")
+    ).select("conv_id", F.col("t.turn_idx").alias("turn_idx"), F.col("t.text").alias("text"))
+    diff = transcripts.select("conv_id", "turn_idx", "text").exceptAll(back)
+    assert diff.isEmpty()

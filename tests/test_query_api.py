@@ -1,0 +1,179 @@
+"""Read-path tests (Q1-Q14) including the flagship star join vs a
+pandas-side oracle built from the same fixtures."""
+
+import pandas as pd
+
+from tera_spark.constants import NS_ECOTOX, NS_UNIT
+from tera_spark.operators import query_api as Q
+from tera_spark.operators.extract.effects import (
+    clean_results,
+    clean_tests,
+    effects_graph,
+)
+from tests.test_effects import RESULTS_ROWS, TESTS_ROWS, _spark_df
+
+T_SCHEMA = "subject string, predicate string, object string, obj_is_literal boolean"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+SUBPROP = "http://www.w3.org/2002/07/owl#subPropertyOf"
+
+
+def g(spark, rows):
+    return spark.createDataFrame(rows, T_SCHEMA)
+
+
+def test_query_type_child_parent_label(spark):
+    gr = g(
+        spark,
+        [
+            ("a", RDF_TYPE, "T", False),
+            ("b", RDF_TYPE, "T", False),
+            ("c", SUB, "a", False),
+            ("a", SUB, "root", False),
+            ("a", LABEL, "Alpha", True),
+        ],
+    )
+    assert {r.s for r in Q.query_type(gr, "T").collect()} == {"a", "b"}
+    assert {r.s for r in Q.query_child(gr, "a").collect()} == {"c"}
+    assert {r.s for r in Q.query_parent(gr, "a").collect()} == {"root"}
+    assert {r.s for r in Q.query_label(gr, "Alpha").collect()} == {"a"}
+
+
+def test_query_alt_labels(spark):
+    gr = g(
+        spark,
+        [
+            ("p1", SUBPROP, LABEL, False),
+            ("e", "p1", "Name1", True),
+            ("e", "p2", "Name2", True),  # p2 not a label property
+            ("e", "p1", "iri-obj", False),  # not a literal
+        ],
+    )
+    out = {(r.p, r.s) for r in Q.query_alt_labels(gr, "e").collect()}
+    assert out == {("p1", "Name1")}
+
+
+def test_siblings_and_closure(spark):
+    gr = g(
+        spark,
+        [
+            ("child1", SUB, "parent", False),
+            ("child2", SUB, "parent", False),
+            ("gchild", SUB, "child1", False),
+            ("parent", SUB, "root", False),
+        ],
+    )
+    sib = {r.s for r in Q.query_siblings(gr, "child1", depth=1).collect()}
+    assert sib == {"child2"}
+    closure = {r.s for r in Q.query_siblings(gr, "gchild", depth=-1).collect()}
+    assert closure == {"child1", "child2", "parent", "root"}
+
+
+def test_construct_subgraph_bfs(spark):
+    gr = g(
+        spark,
+        [
+            ("a", "p", "b", False),
+            ("b", "p", "c", False),
+            ("b", LABEL, "B!", True),
+            ("z", "p", "zz", False),  # unreachable
+        ],
+    )
+    seeds = spark.createDataFrame([("a",)], "s string")
+    out = Q.construct_subgraph(gr, seeds)
+    assert out.count() == 3
+    assert {r.subject for r in out.collect()} == {"a", "b"}
+
+
+def test_compounds_prefix_scan(spark):
+    gr = g(spark, [("http://pc/CID1", "p", "x", False), ("http://other/1", "p", "y", False)])
+    assert {r.s for r in Q.compounds(gr, "http://pc/").collect()} == {"http://pc/CID1"}
+
+
+# --- flagship: get_endpoint vs pandas oracle --------------------------------
+def _endpoint_oracle():
+    """Pandas port of the SPARQL star (DataAccess.py:976-994) over the
+    cleaned fixture rows: inner block requires cc AND cu; OPTIONAL needs
+    both sd and sdu."""
+    from tera_spark.functions.units import unit_parser
+    from tests.oracles.effects_oracle import clean_rows
+    from tests.test_effects import RESULTS_ROWS, TESTS_ROWS
+
+    ns = NS_ECOTOX
+    tests = clean_rows(
+        TESTS_ROWS,
+        ["test_id", "test_cas", "species_number", "study_duration_mean",
+         "study_duration_unit", "organism_habitat", "organism_lifestage",
+         "organism_age_mean", "organism_age_unit", "organism_init_wt_mean",
+         "organism_init_wt_unit"],
+        ["test_id", "test_cas", "species_number"],
+    )
+    results = clean_rows(
+        RESULTS_ROWS,
+        ["test_id", "endpoint", "conc1_mean", "conc1_unit", "effect"],
+        ["test_id", "endpoint", "conc1_mean", "conc1_unit", "effect"],
+    )
+    out = set()
+    for r in results:
+        for t_ in tests:
+            if t_["test_id"] != r["test_id"]:
+                continue
+            digits = "".join(filter(str.isdigit, r["conc1_mean"]))
+            if not digits:
+                continue
+            pu = unit_parser(r["conc1_unit"]) if r["conc1_unit"] != "missing" else ""
+            if not pu:
+                continue
+            sd = sdu = None
+            if t_["study_duration_mean"] != "missing" and t_["study_duration_unit"] != "missing":
+                spu = unit_parser(t_["study_duration_unit"])
+                if spu:
+                    sd = t_["study_duration_mean"]
+                    sdu = NS_UNIT + spu
+            out.add(
+                (
+                    ns + "cas/" + t_["test_cas"],
+                    ns + "taxon/" + t_["species_number"],
+                    digits,
+                    NS_UNIT + pu,
+                    ns + "endpoint/" + r["endpoint"],
+                    ns + "effect/" + r["effect"],
+                    sd,
+                    sdu,
+                )
+            )
+    return out
+
+
+def test_get_endpoint_star_join(spark):
+    graph = effects_graph(_spark_df(spark, TESTS_ROWS), _spark_df(spark, RESULTS_ROWS))
+    got = {
+        (r.c, r.s, r.cc, r.cu, r.ep, r.ef, r.sd, r.sdu)
+        for r in Q.get_endpoint(graph, NS_ECOTOX).collect()
+    }
+    assert got == _endpoint_oracle()
+
+
+def test_get_endpoint_pairs_semijoin(spark):
+    graph = effects_graph(_spark_df(spark, TESTS_ROWS), _spark_df(spark, RESULTS_ROWS))
+    ns = NS_ECOTOX
+    pairs = spark.createDataFrame(
+        [(ns + "cas/50000", ns + "taxon/101")], "c string, s string"
+    )
+    got = Q.get_endpoint(graph, ns, pairs=pairs)
+    assert got.count() > 0
+    assert all(r.c == ns + "cas/50000" for r in got.collect())
+
+
+def test_get_chemicals_and_species(spark):
+    graph = effects_graph(_spark_df(spark, TESTS_ROWS), _spark_df(spark, RESULTS_ROWS))
+    ns = NS_ECOTOX
+    chems = {r.c for r in Q.get_chemicals(graph, ns).collect()}
+    assert ns + "cas/50000" in chems and ns + "cas/50003" in chems
+    species = {r.c for r in Q.get_species(graph, ns).collect()}
+    assert ns + "taxon/101" in species
+    from_species = Q.get_chemicals_from_species(
+        graph, ns, spark.createDataFrame([(ns + "taxon/101",)], "s string")
+    )
+    assert {r.c for r in from_species.collect()} == {ns + "cas/50000"}
