@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Timing forces full materialization with the noop sink (count() would let
+Catalyst prune the expensive projections). The KG pipeline runs over the
+deterministic synthetic transcript corpus and reports turns/sec — the
+north-rule throughput metric. Scaling evidence (N vs 4N cores) lives in
+tools/scaling_bench.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from tera_spark.entry_queries import QUERIES
+    from tera_spark.session import get_spark
+
+    spark = get_spark("tera_spark_bench", cores=cores, shuffle_partitions=cores)
+
+    headline = [
+        "t9_tests_triples",
+        "t10_results_triples",
+        "q14_endpoint_star",
+        "a_tpch_q1",
+        "w2_top1_per_group",
+        "cc_components",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "ann_topk_cosine",
+        "text_quality",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        _noop(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline throughput (turns/sec) over synthetic transcripts
+    from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
+    from tera_spark.operators.canonical import canonical_mapping
+    from tera_spark.operators.triples import replace_entities
+    from tera_spark.pipeline.extract import extract_mentions
+    from tera_spark.pipeline.kg import build_triples
+    from tera_spark.pipeline.link import link_mentions
+
+    n_convs = int(os.environ.get("TERA_BENCH_CONVS", "400"))
+    transcripts = transcripts_spark_df(spark, n_convs=n_convs).cache()
+    n_turns = transcripts.count()
+    lexicon = lexicon_spark_df(spark)
+    t0 = time.time()
+    mentions = extract_mentions(transcripts)
+    linked, alias_edges = link_mentions(mentions, lexicon)
+    triples = replace_entities(build_triples(transcripts, linked), canonical_mapping(alias_edges))
+    _noop(triples)
+    kg_secs = round(time.time() - t0, 3)
+    timings["kg_pipeline"] = kg_secs
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "kg_turns": n_turns,
+                "kg_turns_per_sec": round(n_turns / kg_secs, 1) if kg_secs else None,
+                "cores": cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

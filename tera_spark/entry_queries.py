@@ -1,0 +1,865 @@
+"""Driver-contract queries: every SURVEY.md §2 operator exercised over the
+driver's synthetic tables, paired with a DuckDB-oracle SQL string.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash):
+- every computed column is aliased identically in Spark and SQL;
+- count/rank outputs are BIGINT on both sides;
+- money aggregates go through decimal(18,2) so sums are exact and
+  engine-identical (double sums are order-nondeterministic);
+- md5-based bnodes match byte-for-byte (md5/concat_ws(chr(31)) parity).
+
+The ECOTOX-shaped mappings (orders → tests, lineitem → results) re-run the
+*actual* T9/T10 extractors and the Q14 star join on driver data, so the
+oracle checks the same code paths the KG pipeline uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tera_spark.constants import (
+    NS_ECOTOX,
+    OWL_SUBPROPERTYOF,
+    RDF_TYPE,
+    RDFS_LABEL,
+    RDFS_SUBCLASSOF,
+)
+from tera_spark.operators import query_api as Q
+from tera_spark.operators.align import convert, convert_via_base, pick_one, threshold_dedup
+from tera_spark.operators.canonical import connected_components
+from tera_spark.operators.dedup import (
+    exact_dedup,
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from tera_spark.operators.extract.effects import (
+    clean_results,
+    clean_tests,
+    results_triples,
+    tests_triples,
+)
+from tera_spark.operators.triples import dedup as dedup_triples
+from tera_spark.operators.triples import replace_entities, union_graphs
+from tera_spark.sources.readers import clean_strings
+
+NSX = "urn:x:"
+ECO = NS_ECOTOX
+UNIT_NS = "http://qudt.org/vocab/unit#"
+
+_UNITS = ["mg/L", "ug/L", "g/kg", "h", "%"]
+_PARSED = {
+    "mg/L": "MilligramPerLitre",
+    "ug/L": "MicrogramPerLitre",
+    "g/kg": "GramPerKilogram",
+    "h": "Hour",
+    "%": "Percent",
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# ECOTOX-shaped mappings of the driver tables
+# --------------------------------------------------------------------------
+def orders_as_tests(spark, sf_dir) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("test_id"),
+        F.col("o_custkey").cast("string").alias("test_cas"),
+        F.col("o_orderpriority").alias("species_number"),
+        F.floor("o_totalprice").cast("string").alias("study_duration_mean"),
+        F.when(F.col("o_orderstatus") == "O", "h").otherwise("missing").alias("study_duration_unit"),
+        F.when(F.col("o_orderstatus") == "F", "Water").otherwise("missing").alias("organism_habitat"),
+        F.lit("missing").alias("organism_lifestage"),
+        F.lit("missing").alias("organism_age_mean"),
+        F.lit("missing").alias("organism_age_unit"),
+        F.lit("missing").alias("organism_init_wt_mean"),
+        F.lit("missing").alias("organism_init_wt_unit"),
+    )
+
+
+def lineitem_as_results(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    unit = F.element_at(
+        F.array(*[F.lit(u) for u in _UNITS]), (F.col("l_linenumber") % 5) + 1
+    )
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("test_id"),
+        F.col("l_returnflag").alias("endpoint"),
+        F.col("l_quantity").cast("string").alias("conc1_mean"),
+        unit.alias("conc1_unit"),
+        F.col("l_linestatus").alias("effect"),
+    )
+
+
+def effects_graph_from_driver(spark, sf_dir) -> DataFrame:
+    return union_graphs(
+        tests_triples(clean_tests(orders_as_tests(spark, sf_dir))),
+        results_triples(clean_results(lineitem_as_results(spark, sf_dir))),
+    )
+
+
+# Shared SQL CTEs for the oracle side -------------------------------------
+_SQL_TESTS = """
+tests AS (
+  SELECT cast(o_orderkey AS varchar) AS test_id,
+         cast(o_custkey AS varchar) AS test_cas,
+         o_orderpriority AS species_number,
+         cast(cast(floor(o_totalprice) AS bigint) AS varchar) AS sd_val,
+         CASE WHEN o_orderstatus='O' THEN 'h' ELSE 'missing' END AS sd_unit,
+         CASE WHEN o_orderstatus='F' THEN 'Water' ELSE 'missing' END AS habitat
+  FROM orders
+)"""
+
+_SQL_RESULTS = """
+results AS (
+  SELECT cast(l_orderkey AS varchar) AS test_id,
+         l_returnflag AS endpoint,
+         cast(l_quantity AS varchar) AS conc1_mean,
+         ['mg/L','ug/L','g/kg','h','%'][(l_linenumber % 5) + 1] AS conc1_unit,
+         l_linestatus AS effect
+  FROM lineitem
+),
+results_seq AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY test_id, endpoint, conc1_mean, conc1_unit, effect ORDER BY test_id) AS dup_seq,
+    regexp_replace(conc1_mean, '[^0-9]', '', 'g') AS digits,
+    CASE conc1_unit WHEN 'mg/L' THEN 'MilligramPerLitre' WHEN 'ug/L' THEN 'MicrogramPerLitre'
+                    WHEN 'g/kg' THEN 'GramPerKilogram' WHEN 'h' THEN 'Hour' WHEN '%' THEN 'Percent' END AS pu
+  FROM results
+)"""
+
+_RDF_TYPE = RDF_TYPE
+_RDF_VALUE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#value"
+
+
+def _sql_t9() -> str:
+    return f"""
+WITH {_SQL_TESTS},
+b AS (
+  SELECT *, 'urn:tera-bnode:' || md5('test-q' || chr(31) || test_id || chr(31) || 'studyDuration'
+            || chr(31) || sd_val || chr(31) || sd_unit) AS bn
+  FROM tests
+)
+SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
+  SELECT '{ECO}test/'||test_id AS subject, '{_RDF_TYPE}' AS predicate, '{ECO}Test' AS object, false AS obj_is_literal FROM b
+  UNION ALL SELECT '{ECO}test/'||test_id, '{ECO}species', '{ECO}taxon/'||species_number, false FROM b
+  UNION ALL SELECT '{ECO}test/'||test_id, '{ECO}chemical', '{ECO}cas/'||test_cas, false FROM b
+  UNION ALL SELECT bn, '{_RDF_VALUE}', sd_val, true FROM b
+  UNION ALL SELECT bn, '{UNIT_NS}units', '{UNIT_NS}Hour', false FROM b WHERE sd_unit='h'
+  UNION ALL SELECT '{ECO}test/'||test_id, '{ECO}studyDuration', bn, false FROM b
+  UNION ALL SELECT '{ECO}test/'||test_id, '{ECO}organismHabitat', '{ECO}habitat/'||habitat, false FROM b WHERE habitat<>'missing'
+) u
+"""
+
+
+def _sql_t10() -> str:
+    return f"""
+WITH {_SQL_RESULTS},
+b AS (
+  SELECT *,
+    'urn:tera-bnode:' || md5('result' || chr(31) || test_id || chr(31) || endpoint || chr(31) || conc1_mean
+        || chr(31) || conc1_unit || chr(31) || effect || chr(31) || cast(dup_seq AS varchar)) AS rb,
+    'urn:tera-bnode:' || md5('conc' || chr(31) || test_id || chr(31) || endpoint || chr(31) || conc1_mean
+        || chr(31) || conc1_unit || chr(31) || effect || chr(31) || cast(dup_seq AS varchar)) AS cb
+  FROM results_seq
+)
+SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
+  SELECT rb AS subject, '{ECO}endpoint' AS predicate, '{ECO}endpoint/'||endpoint AS object, false AS obj_is_literal FROM b
+  UNION ALL SELECT rb, '{ECO}effect', '{ECO}effect/'||effect, false FROM b
+  UNION ALL SELECT cb, '{_RDF_VALUE}', digits, true FROM b WHERE digits<>''
+  UNION ALL SELECT cb, '{UNIT_NS}units', '{UNIT_NS}'||pu, false FROM b WHERE digits<>'' AND pu IS NOT NULL
+  UNION ALL SELECT rb, '{ECO}concentration', cb, false FROM b
+  UNION ALL SELECT '{ECO}test/'||test_id, '{ECO}hasResult', rb, false FROM b
+) u
+"""
+
+
+def _sql_q14() -> str:
+    return f"""
+WITH {_SQL_TESTS},
+{_SQL_RESULTS.lstrip()}
+SELECT DISTINCT
+  '{ECO}cas/'||t.test_cas AS c,
+  '{ECO}taxon/'||t.species_number AS s,
+  r.digits AS cc,
+  '{UNIT_NS}'||r.pu AS cu,
+  '{ECO}endpoint/'||r.endpoint AS ep,
+  '{ECO}effect/'||r.effect AS ef,
+  CASE WHEN t.sd_unit='h' THEN t.sd_val END AS sd,
+  CASE WHEN t.sd_unit='h' THEN '{UNIT_NS}Hour' END AS sdu
+FROM results_seq r JOIN tests t USING (test_id)
+WHERE r.digits <> '' AND r.pu IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# Nations/regions/customers graph for the read-path queries
+# --------------------------------------------------------------------------
+def nations_graph(spark, sf_dir) -> DataFrame:
+    from tera_spark.operators.extract._emit import emit, t, uri
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    customer = _t(spark, sf_dir, "customer")
+    nr = nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+    cn = customer.join(nation, customer["c_nationkey"] == nation["n_nationkey"])
+
+    region_triples = emit(
+        region,
+        t(uri(NSX + "region/", "r_name"), RDF_TYPE, F.lit(NSX + "Region")),
+        t(uri(NSX + "region/", "r_name"), RDFS_LABEL, F.col("r_name"), lit=True),
+    )
+    nation_triples = emit(
+        nr,
+        t(uri(NSX + "nation/", "n_name"), RDFS_SUBCLASSOF, uri(NSX + "region/", "r_name")),
+        t(uri(NSX + "nation/", "n_name"), RDFS_LABEL, F.col("n_name"), lit=True),
+        t(uri(NSX + "nation/", "n_name"), NSX + "nickname", F.lower(F.col("n_name")), lit=True),
+    )
+    axiom = spark.createDataFrame(
+        [(NSX + "nickname", OWL_SUBPROPERTYOF, RDFS_LABEL, False)],
+        "subject string, predicate string, object string, obj_is_literal boolean",
+    )
+    cust_triples = emit(
+        cn,
+        t(uri(NSX + "customer/", "c_custkey"), RDF_TYPE, F.lit(NSX + "Customer")),
+        t(uri(NSX + "customer/", "c_custkey"), NSX + "nation", uri(NSX + "nation/", "n_name")),
+        t(uri(NSX + "customer/", "c_custkey"), NSX + "segment", F.col("c_mktsegment"), lit=True),
+    )
+    return dedup_triples(
+        region_triples.unionByName(nation_triples).unionByName(axiom).unionByName(cust_triples)
+    )
+
+
+_SQL_NGRAPH = f"""
+ngraph AS (
+  SELECT 'urn:x:region/'||r_name AS subject, '{RDF_TYPE}' AS predicate, 'urn:x:Region' AS object, false AS obj_is_literal FROM region
+  UNION SELECT 'urn:x:region/'||r_name, '{RDFS_LABEL}', r_name, true FROM region
+  UNION SELECT 'urn:x:nation/'||n_name, '{RDFS_SUBCLASSOF}', 'urn:x:region/'||r_name, false FROM nation JOIN region ON n_regionkey=r_regionkey
+  UNION SELECT 'urn:x:nation/'||n_name, '{RDFS_LABEL}', n_name, true FROM nation
+  UNION SELECT 'urn:x:nation/'||n_name, 'urn:x:nickname', lower(n_name), true FROM nation
+  UNION SELECT 'urn:x:nickname', '{OWL_SUBPROPERTYOF}', '{RDFS_LABEL}', false
+  UNION SELECT 'urn:x:customer/'||cast(c_custkey AS varchar), '{RDF_TYPE}', 'urn:x:Customer', false FROM customer
+  UNION SELECT 'urn:x:customer/'||cast(c_custkey AS varchar), 'urn:x:nation', 'urn:x:nation/'||n_name, false FROM customer JOIN nation ON c_nationkey=n_nationkey
+  UNION SELECT 'urn:x:customer/'||cast(c_custkey AS varchar), 'urn:x:segment', c_mktsegment, true FROM customer
+)"""
+
+
+# --------------------------------------------------------------------------
+# Text / dedup / ANN SQL fragments
+# --------------------------------------------------------------------------
+_SQL_NORMTEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+_SQL_SHINGLES = f"""
+shingled AS (
+  SELECT doc_id, toks, len(toks) AS n_toks FROM (
+    SELECT doc_id, string_split({_SQL_NORMTEXT}, ' ') AS toks FROM documents
+  )
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN n_toks >= 3 THEN array_to_string(toks[i:i+2], ' ') ELSE array_to_string(toks, ' ') END AS sh
+  FROM (
+    SELECT doc_id, toks, n_toks,
+           unnest(CASE WHEN n_toks >= 3 THEN generate_series(1, n_toks - 2) ELSE [1] END) AS i
+    FROM shingled
+  )
+)"""
+
+
+def _queries() -> dict:
+    q = {}
+
+    # --- KG write path ------------------------------------------------------
+    q["t9_tests_triples"] = lambda spark, sf: tests_triples(
+        clean_tests(orders_as_tests(spark, sf))
+    )
+    q["t10_results_triples"] = lambda spark, sf: results_triples(
+        clean_results(lineitem_as_results(spark, sf))
+    )
+    q["q14_endpoint_star"] = lambda spark, sf: Q.get_endpoint(
+        effects_graph_from_driver(spark, sf), ECO
+    )
+    q["q13_get_chemicals"] = lambda spark, sf: Q.get_chemicals(
+        effects_graph_from_driver(spark, sf), ECO
+    )
+
+    # --- graph read path ----------------------------------------------------
+    q["q1_query_type"] = lambda spark, sf: Q.query_type(nations_graph(spark, sf), NSX + "Region")
+    q["q2_query_child"] = lambda spark, sf: Q.query_child(
+        nations_graph(spark, sf), NSX + "region/AMERICA"
+    )
+    q["q3_query_parent"] = lambda spark, sf: Q.query_parent(
+        nations_graph(spark, sf), NSX + "nation/NATION_3"
+    )
+    q["q4_query_label"] = lambda spark, sf: Q.query_label(nations_graph(spark, sf), "NATION_3")
+    q["q5_query_siblings"] = lambda spark, sf: Q.query_siblings(
+        nations_graph(spark, sf), NSX + "nation/NATION_3", depth=1
+    )
+    q["q6_alt_labels"] = lambda spark, sf: Q.query_alt_labels(
+        nations_graph(spark, sf), NSX + "nation/NATION_3"
+    )
+
+    def j10(spark, sf):
+        seeds = (
+            _t(spark, sf, "customer")
+            .filter(F.col("c_custkey") < 3)
+            .select(F.concat(F.lit(NSX + "customer/"), F.col("c_custkey").cast("string")).alias("s"))
+        )
+        return Q.construct_subgraph(nations_graph(spark, sf), seeds)
+
+    q["j10_subgraph_bfs"] = j10
+
+    def j11(spark, sf):
+        nation = _t(spark, sf, "nation")
+        region = _t(spark, sf, "region")
+        mapping = (
+            nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+            .filter(F.col("n_nationkey") % 2 == 1)
+            .select(
+                F.concat(F.lit(NSX + "nation/"), F.col("n_name")).alias("old"),
+                F.concat(F.lit(NSX + "region/"), F.col("r_name")).alias("new"),
+            )
+        )
+        return replace_entities(nations_graph(spark, sf), mapping)
+
+    q["j11_replace_entities"] = j11
+
+    def cc(spark, sf):
+        supplier = _t(spark, sf, "supplier")
+        edges = supplier.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("u"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("v"),
+        )
+        return connected_components(edges)
+
+    q["cc_components"] = cc
+
+    # --- mapping / conversion ------------------------------------------------
+    def j2(spark, sf):
+        nation = _t(spark, sf, "nation")
+        customer = _t(spark, sf, "customer")
+        mapping = nation.filter(F.col("n_nationkey") < 13).select(
+            F.col("n_nationkey").cast("string").alias("from_id"), F.col("n_name").alias("to_id")
+        )
+        ids = customer.select(F.col("c_nationkey").cast("string").alias("id")).distinct()
+        return convert(ids, mapping)
+
+    q["j2_convert_ids"] = j2
+
+    def j4(spark, sf):
+        nation = _t(spark, sf, "nation")
+        supplier = _t(spark, sf, "supplier")
+        base_to_f = nation.select(
+            F.concat(F.lit("b"), F.col("n_nationkey").cast("string")).alias("from_id"),
+            F.col("n_nationkey").cast("string").alias("to_id"),
+        )
+        base_to_t = nation.select(
+            F.concat(F.lit("b"), F.col("n_nationkey").cast("string")).alias("from_id"),
+            F.col("n_name").alias("to_id"),
+        )
+        ids = supplier.select(F.col("s_nationkey").cast("string").alias("id")).distinct()
+        return convert_via_base(ids, base_to_f, base_to_t)
+
+    q["j4_convert_via_base"] = j4
+
+    def j5(spark, sf):
+        customer = _t(spark, sf, "customer")
+        mapping = customer.select(
+            F.col("c_nationkey").cast("string").alias("from_id"), F.col("c_name").alias("to_id")
+        )
+        return pick_one(mapping)
+
+    q["j5_pick_one"] = j5
+
+    def j7(spark, sf):
+        events = _t(spark, sf, "events")
+        align = events.select(
+            F.col("user_id").cast("string").alias("e1"),
+            F.col("event_type").alias("e2"),
+            F.col("value").alias("score"),
+        )
+        return threshold_dedup(align, 150.0, unique=True)
+
+    q["j7_threshold_dedup"] = j7
+
+    # --- window / agg / set ops ----------------------------------------------
+    def w2(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        w = Window.partitionBy("l_orderkey").orderBy(
+            F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+        )
+        return (
+            li.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("l_orderkey").alias("orderkey"),
+                F.col("l_partkey").alias("partkey"),
+                F.col("l_extendedprice").alias("price"),
+            )
+        )
+
+    q["w2_top1_per_group"] = w2
+
+    def w1(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("user_id"), F.col("event_type").alias("first_event_type"))
+        )
+
+    q["w1_first_per_key"] = w1
+
+    def q1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,2)")
+        filtered = li.filter(F.col("l_shipdate") <= F.lit("1996-09-02").cast("timestamp"))
+        return (
+            filtered.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+                .cast("double")
+                .alias("sum_disc_price"),
+                (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    q["a_tpch_q1"] = q1
+
+    q["a6_distinct"] = lambda spark, sf: _t(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("segment")
+    ).distinct()
+
+    q["l1_topk_orders"] = lambda spark, sf: _t(spark, sf, "orders").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).select(F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("total")).limit(10)
+
+    def u1(spark, sf):
+        c = _t(spark, sf, "customer")
+        a = c.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("custkey"))
+        b = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+        return a.union(b).distinct()
+
+    q["u1_union_distinct"] = u1
+
+    def u3(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+            F.col("c_custkey").alias("custkey")
+        )
+
+    q["u3_anti_join"] = u3
+
+    # --- cleaning + scalar functions ------------------------------------------
+    def p2(spark, sf):
+        rows = [("1", "ok"), ("2", "NC"), ("3", "  x  "), ("4", "--"), ("5", None), ("6", "sp.")]
+        df = spark.createDataFrame(rows, "id string, val string")
+        return clean_strings(df, drop_subset=["id"], fill="missing")
+
+    q["p2_clean_nan_vocab"] = p2
+
+    def f1(spark, sf):
+        from tera_spark.functions.units import with_parsed_unit
+
+        units = ["mg/L", "ug/L", "g/kg", "mM", "%", "h", "d", "mg", "x", "mg%/L", "deg C", "cm^2", "L-1"]
+        df = spark.createDataFrame([(u,) for u in units], "unit string")
+        return with_parsed_unit(df, "unit", "parsed").select("unit", "parsed")
+
+    q["f1_unit_parse"] = f1
+
+    # --- text ops ---------------------------------------------------------------
+    def tok(spark, sf):
+        from tera_spark.operators.textops import with_token_counts
+
+        docs = _t(spark, sf, "documents")
+        return with_token_counts(docs).select(
+            "doc_id",
+            F.col("ws_tokens").cast("long").alias("ws_tokens"),
+            F.col("subword_tokens").cast("long").alias("subword_tokens"),
+        )
+
+    q["text_token_count"] = tok
+
+    def quality(spark, sf):
+        from tera_spark.operators.textops import with_quality_score
+
+        docs = _t(spark, sf, "documents")
+        return with_quality_score(docs).select(
+            "doc_id", "punct_ratio", "alpha_ratio", "stopword_ratio", "quality_score"
+        )
+
+    q["text_quality"] = quality
+
+    def lang(spark, sf):
+        from tera_spark.operators.textops import with_lang_id
+
+        docs = _t(spark, sf, "documents")
+        return with_lang_id(docs).select("doc_id", "lang_pred")
+
+    q["text_lang_id"] = lang
+
+    def fp(spark, sf):
+        from tera_spark.operators.textops import with_fingerprint
+
+        docs = _t(spark, sf, "documents")
+        return with_fingerprint(docs).select("doc_id", "fp_md5")
+
+    q["text_fingerprint_md5"] = fp
+
+    def winnow(spark, sf):
+        from tera_spark.operators.textops import with_fingerprint
+
+        docs = _t(spark, sf, "documents")
+        return with_fingerprint(docs).select(
+            "doc_id", F.size("fp_winnow").cast("long").alias("n_fingerprints")
+        )
+
+    q["text_winnow_fingerprint"] = winnow  # rows-only (xxhash64 not in DuckDB)
+
+    # --- dedup family -------------------------------------------------------------
+    q["dedup_exact"] = lambda spark, sf: exact_dedup(_t(spark, sf, "documents"))
+
+    q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.5
+    )
+
+    def mh_sig(spark, sf):
+        return minhash_signatures(_t(spark, sf, "documents"), num_hashes=8)
+
+    q["dedup_minhash_sig"] = mh_sig
+
+    q["dedup_minhash_lsh"] = lambda spark, sf: minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=8, bands=4
+    )
+
+    q["dedup_simhash"] = lambda spark, sf: simhash_pairs(
+        _t(spark, sf, "documents"), max_hamming=8
+    )  # rows-only (xxhash64)
+
+    def emb_dup(spark, sf):
+        emb = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        return embedding_neardup_pairs(emb, threshold=0.40)
+
+    q["dedup_embedding_cosine"] = emb_dup
+
+    # --- ANN -----------------------------------------------------------------------
+    def ann(spark, sf):
+        from tera_spark.operators.ann import cosine_topk
+
+        emb = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        return cosine_topk(emb, queries, k=10).withColumn("rank", F.col("rank").cast("long"))
+
+    q["ann_topk_cosine"] = ann
+
+    def ann_lsh(spark, sf):
+        from tera_spark.operators.ann import lsh_topk
+
+        emb = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        )
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        return lsh_topk(emb, queries, k=10, dim=64)
+
+    q["ann_lsh_topk"] = ann_lsh  # rows-only (hyperplane LSH not SQL-expressible)
+
+    # --- fuzzy alignment (rows-only: WRatio not SQL-expressible) --------------------
+    def j6(spark, sf):
+        from tera_spark.operators.align import string_matching_mapping
+
+        part = _t(spark, sf, "part")
+        l1 = part.filter(F.col("p_partkey") < 150).select(
+            F.col("p_partkey").cast("string").alias("entity"), F.col("p_name").alias("label")
+        )
+        l2 = part.filter((F.col("p_partkey") >= 100) & (F.col("p_partkey") < 250)).select(
+            F.concat(F.lit("x"), F.col("p_partkey").cast("string")).alias("entity"),
+            F.upper(F.col("p_name")).alias("label"),
+        )
+        return string_matching_mapping(l1, l2, threshold=100)
+
+    q["j6_string_matching"] = j6
+
+    # --- transcript KG pipeline (rows-only; golden-tested in pytest) ----------------
+    def kg_triples(spark, sf):
+        from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
+        from tera_spark.operators.canonical import canonical_mapping
+        from tera_spark.pipeline.extract import extract_mentions
+        from tera_spark.pipeline.kg import build_triples
+        from tera_spark.pipeline.link import link_mentions
+
+        transcripts = transcripts_spark_df(spark, n_convs=20, hot_convs=1, hot_factor=5)
+        lexicon = lexicon_spark_df(spark)
+        mentions = extract_mentions(transcripts)
+        linked, alias_edges = link_mentions(mentions, lexicon)
+        triples = build_triples(transcripts, linked)
+        return replace_entities(triples, canonical_mapping(alias_edges))
+
+    q["kg_pipeline_triples"] = kg_triples
+    return q
+
+
+def _oracle_sql() -> dict:
+    o = {}
+    o["t9_tests_triples"] = _sql_t9()
+    o["t10_results_triples"] = _sql_t10()
+    o["q14_endpoint_star"] = _sql_q14()
+    o["q13_get_chemicals"] = f"""
+WITH {_SQL_TESTS}
+SELECT DISTINCT '{ECO}cas/'||test_cas AS c FROM tests
+"""
+
+    o["q1_query_type"] = "SELECT DISTINCT 'urn:x:region/'||r_name AS s FROM region"
+    o["q2_query_child"] = (
+        "SELECT DISTINCT 'urn:x:nation/'||n_name AS s FROM nation JOIN region ON n_regionkey=r_regionkey "
+        "WHERE r_name='AMERICA'"
+    )
+    o["q3_query_parent"] = (
+        "SELECT DISTINCT 'urn:x:region/'||r_name AS s FROM nation JOIN region ON n_regionkey=r_regionkey "
+        "WHERE n_name='NATION_3'"
+    )
+    o["q4_query_label"] = (
+        "SELECT DISTINCT 'urn:x:nation/'||n_name AS s FROM nation WHERE n_name='NATION_3' "
+        "UNION SELECT DISTINCT 'urn:x:region/'||r_name FROM region WHERE r_name='NATION_3'"
+    )
+    o["q5_query_siblings"] = """
+SELECT DISTINCT 'urn:x:nation/'||b.n_name AS s
+FROM nation a JOIN nation b ON a.n_regionkey=b.n_regionkey AND a.n_name<>b.n_name
+WHERE a.n_name='NATION_3'
+"""
+    o["q6_alt_labels"] = (
+        "SELECT 'urn:x:nickname' AS p, lower(n_name) AS s FROM nation WHERE n_name='NATION_3'"
+    )
+    o["j10_subgraph_bfs"] = f"""
+WITH seeds AS (SELECT c_custkey, c_mktsegment, n_name, n_regionkey FROM customer JOIN nation ON c_nationkey=n_nationkey WHERE c_custkey < 3),
+nats AS (SELECT DISTINCT n_name, n_regionkey FROM seeds),
+regs AS (SELECT DISTINCT r_name FROM nats JOIN region ON n_regionkey=r_regionkey)
+SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
+  SELECT 'urn:x:customer/'||cast(c_custkey AS varchar) AS subject, '{RDF_TYPE}' AS predicate, 'urn:x:Customer' AS object, false AS obj_is_literal FROM seeds
+  UNION ALL SELECT 'urn:x:customer/'||cast(c_custkey AS varchar), 'urn:x:nation', 'urn:x:nation/'||n_name, false FROM seeds
+  UNION ALL SELECT 'urn:x:customer/'||cast(c_custkey AS varchar), 'urn:x:segment', c_mktsegment, true FROM seeds
+  UNION ALL SELECT 'urn:x:nation/'||n_name, '{RDFS_SUBCLASSOF}', 'urn:x:region/'||r_name, false FROM nats JOIN region ON n_regionkey=r_regionkey
+  UNION ALL SELECT 'urn:x:nation/'||n_name, '{RDFS_LABEL}', n_name, true FROM nats
+  UNION ALL SELECT 'urn:x:nation/'||n_name, 'urn:x:nickname', lower(n_name), true FROM nats
+  UNION ALL SELECT 'urn:x:region/'||r_name, '{RDF_TYPE}', 'urn:x:Region', false FROM regs
+  UNION ALL SELECT 'urn:x:region/'||r_name, '{RDFS_LABEL}', r_name, true FROM regs
+) u
+"""
+    o["j11_replace_entities"] = f"""
+WITH {_SQL_NGRAPH.lstrip()},
+mapping AS (
+  SELECT 'urn:x:nation/'||n_name AS old, 'urn:x:region/'||r_name AS new
+  FROM nation JOIN region ON n_regionkey=r_regionkey WHERE n_nationkey % 2 = 1
+)
+SELECT DISTINCT
+  coalesce(ms.new, g.subject) AS subject,
+  g.predicate,
+  CASE WHEN g.obj_is_literal THEN g.object ELSE coalesce(mo.new, g.object) END AS object,
+  g.obj_is_literal
+FROM ngraph g
+LEFT JOIN mapping ms ON g.subject = ms.old
+LEFT JOIN mapping mo ON g.object = mo.old AND NOT g.obj_is_literal
+"""
+    o["cc_components"] = """
+SELECT 's:'||cast(s_suppkey AS varchar) AS node, 'n:'||cast(s_nationkey AS varchar) AS component FROM supplier
+UNION
+SELECT DISTINCT 'n:'||cast(s_nationkey AS varchar), 'n:'||cast(s_nationkey AS varchar) FROM supplier
+"""
+
+    o["j2_convert_ids"] = """
+SELECT id, coalesce(n_name, 'no mapping') AS converted FROM
+(SELECT DISTINCT cast(c_nationkey AS varchar) AS id FROM customer) ids
+LEFT JOIN (SELECT cast(n_nationkey AS varchar) AS k, n_name FROM nation WHERE n_nationkey < 13) m
+ON ids.id = m.k
+"""
+    o["j4_convert_via_base"] = """
+SELECT id, coalesce(n_name, 'no mapping') AS converted FROM
+(SELECT DISTINCT cast(s_nationkey AS varchar) AS id FROM supplier) ids
+LEFT JOIN (SELECT cast(n_nationkey AS varchar) AS k, n_name FROM nation) m ON ids.id = m.k
+"""
+    o["j5_pick_one"] = """
+SELECT cast(c_nationkey AS varchar) AS from_id, min(c_name) AS to_id
+FROM customer GROUP BY 1
+"""
+    o["j7_threshold_dedup"] = """
+SELECT cast(user_id AS varchar) AS e1, event_type AS e2, max(value) AS score
+FROM events GROUP BY 1, 2 HAVING max(value) >= 150.0
+"""
+
+    o["w2_top1_per_group"] = """
+SELECT l_orderkey AS orderkey, l_partkey AS partkey, l_extendedprice AS price FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+    o["w1_first_per_key"] = """
+SELECT user_id, event_type AS first_event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn FROM events
+) WHERE rn = 1
+"""
+    o["a_tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+  cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1 AS decimal(18,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
+  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1996-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    o["a6_distinct"] = "SELECT DISTINCT c_mktsegment AS segment FROM customer"
+    o["l1_topk_orders"] = (
+        "SELECT o_orderkey AS orderkey, o_totalprice AS total FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    )
+    o["u1_union_distinct"] = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+    o["u3_anti_join"] = """
+SELECT c_custkey AS custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+    o["p2_clean_nan_vocab"] = """
+SELECT id, coalesce(CASE WHEN trim(val) IN ('nan','--','-X','NA','NC','-1','','sp.','sp,','var.','variant','NR','sp','ssp','ssp.','ssp,') THEN NULL ELSE trim(val) END, 'missing') AS val
+FROM (VALUES ('1','ok'),('2','NC'),('3','  x  '),('4','--'),('5',NULL),('6','sp.')) t(id, val)
+"""
+    # hand-verified golden values (tests/test_units.py)
+    o["f1_unit_parse"] = """
+SELECT * FROM (VALUES
+  ('mg/L','MilligramPerLitre'), ('ug/L','MicrogramPerLitre'), ('g/kg','GramPerKilogram'),
+  ('mM','Millimol'), ('%','Percent'), ('h','Hour'), ('d','Day'), ('mg','Milligram'),
+  ('x',''), ('mg%/L','MilligramPerLitre'), ('deg C','DegreeCelcius'),
+  ('cm^2','CentimetreSquared'), ('L-1','LitrePer')
+) t(unit, parsed)
+"""
+
+    o["text_token_count"] = r"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS ws_tokens,
+  len(regexp_extract_all(text, '([A-Z]?[a-z]+|[A-Z]+|[0-9]+|[^\w\s])')) AS subword_tokens
+FROM documents
+"""
+    o["text_quality"] = r"""
+SELECT doc_id,
+  round(CASE WHEN len(text) > 0 THEN (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / len(text) ELSE 0 END, 6) AS punct_ratio,
+  round(CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text) ELSE 0 END, 6) AS alpha_ratio,
+  round(CASE WHEN ws > 0 THEN stop * 1.0 / ws ELSE 0 END, 6) AS stopword_ratio,
+  round(0.4 * least(len(text) / 500.0, 1.0)
+      + 0.3 * (CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text) ELSE 0 END)
+      + 0.2 * (1 - (CASE WHEN len(text) > 0 THEN (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0 / len(text) ELSE 0 END))
+      + 0.1 * (CASE WHEN ws > 0 THEN stop * 1.0 / ws ELSE 0 END), 6) AS quality_score
+FROM (
+  SELECT doc_id, text,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS ws,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x IN ('the','and','of','to','in','is','that','with'))) AS stop
+  FROM documents
+)
+"""
+    o["text_lang_id"] = r"""
+SELECT doc_id,
+  -- replicate the strictly-greater running-argmax over [de, en, es, fr]:
+  -- earlier language wins ties
+  CASE
+    WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+    WHEN en > de AND en >= es AND en >= fr THEN 'en'
+    WHEN es > de AND es > en AND es >= fr THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) AS en,
+    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))) AS de,
+    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est','dans','une'))) AS fr,
+    len(list_filter(toks, x -> x IN ('el','la','los','que','de','es','una','por'))) AS es
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents)
+)
+"""
+    o["text_fingerprint_md5"] = f"""
+SELECT doc_id, md5({_SQL_NORMTEXT}) AS fp_md5 FROM documents
+"""
+
+    o["dedup_exact"] = f"""
+WITH keyed AS (SELECT doc_id, md5({_SQL_NORMTEXT}) AS k FROM documents)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS keep_id FROM keyed
+"""
+    o["dedup_ngram_jaccard"] = f"""
+WITH {_SQL_SHINGLES.lstrip()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 200),
+shc AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+"""
+    mh_min = ",\n  ".join(
+        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(8)
+    )
+    o["dedup_minhash_sig"] = f"""
+WITH {_SQL_SHINGLES.lstrip()}
+SELECT doc_id, {mh_min}
+FROM sh GROUP BY doc_id
+"""
+    o["dedup_minhash_lsh"] = f"""
+WITH {_SQL_SHINGLES.lstrip()},
+sig AS (SELECT doc_id, {mh_min} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, '0|' || h0 || '|' || h1 AS bucket FROM sig
+  UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc_id, '2|' || h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc_id, '3|' || h6 || '|' || h7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    o["dedup_embedding_cosine"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b, round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.40
+"""
+    o["ann_topk_cosine"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nn_id, list_cosine_similarity(e.v, q.qv) AS cos_raw
+  FROM e, q
+)
+SELECT query_id, nn_id, round(cos_raw, 6) AS cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, nn_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    return o
+
+
+QUERIES = _queries()
+ORACLES = _oracle_sql()

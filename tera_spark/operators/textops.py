@@ -27,10 +27,11 @@ def with_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     word pieces / digits / punctuation — a deterministic proxy for a BPE
     vocabulary)."""
     ws = F.size(_tokens(F.col(text_col)))
+    # BPE-ish segmentation: camel-case pieces / caps runs / digit runs /
+    # punctuation, via a lookaround-free pattern (portable Java-regex ∩ RE2)
     bpe_ish = F.size(
-        F.filter(
-            F.split(F.col(text_col), r"(?=[A-Z])|(?<=[a-z])(?=[0-9])|[\s]+|(?=[^\w\s])"),
-            lambda x: F.length(x) > 0,
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"([A-Z]?[a-z]+|[A-Z]+|[0-9]+|[^\w\s])"), F.lit(1)
         )
     )
     return docs.withColumn("ws_tokens", ws).withColumn("subword_tokens", bpe_ish)
@@ -65,10 +66,13 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language ID: argmax of per-language stopword hits
     (deterministic tie-break by language code)."""
     toks = _tokens(F.col(text_col))
-    scores = [
-        (lang, F.size(F.filter(toks, lambda x, ws=words: x.isin(ws))))
-        for lang, words in sorted(LANG_PROFILES.items())
-    ]
+
+    def stop_counter(words):
+        # NB: a 2-arg lambda would be treated as (element, index) by
+        # F.filter — keep the closure single-argument.
+        return F.size(F.filter(toks, lambda x: x.isin(words)))
+
+    scores = [(lang, stop_counter(words)) for lang, words in sorted(LANG_PROFILES.items())]
     best = F.lit("und")
     best_n = F.lit(0)
     for lang, n in scores:  # strictly-greater keeps the earliest (sorted) lang on ties

@@ -83,20 +83,27 @@ def link_mentions(
 
     # --- fuzzy path over the distinct unlinked vocabulary ------------------
     # Dictionary-encode: score each distinct normalized mention once, not
-    # once per occurrence (same trick as the unit parser, F1).
+    # once per occurrence (same trick as the unit parser, F1). Only 1-2
+    # word mentions enter the fuzzy path (3-grams are phrase noise).
     unlinked = exact.filter(F.col("entity").isNull()).drop(
         "entity", "lex_kind"
     )
     vocab = (
         unlinked.select("norm")
         .filter(F.length("norm") >= 5)
+        .filter(F.size(F.split(F.col("norm"), " ")) <= 2)
         .distinct()
         .withColumn("m_sh", _shingles(F.col("norm")))
+        .withColumn("m_n", F.size("m_sh"))
     )
-    lex_sh = lex.withColumn("l_sh", _shingles(F.col("norm_label")))
+    lex_sh = lex.withColumn("l_sh", _shingles(F.col("norm_label"))).withColumn(
+        "l_n", F.size("l_sh")
+    )
 
-    m_tok = vocab.select("norm", F.explode("m_sh").alias("sh"))
-    l_tok = lex_sh.select("entity", "lex_kind", "norm_label", F.explode("l_sh").alias("sh"))
+    m_tok = vocab.select("norm", "m_n", F.explode("m_sh").alias("sh"))
+    l_tok = lex_sh.select(
+        "entity", "lex_kind", "norm_label", "l_n", F.explode("l_sh").alias("sh")
+    )
     hot = (
         l_tok.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -106,15 +113,27 @@ def link_mentions(
     m_tok = m_tok.join(F.broadcast(hot), "sh", "left_anti")
     l_tok = l_tok.join(F.broadcast(hot), "sh", "left_anti")
 
+    # Candidate generation + cheap JVM-side shingle-Jaccard prefilter; the
+    # expensive Python WRatio scorer only sees plausible pairs.
     cand = (
         m_tok.join(l_tok, "sh")
-        .groupBy("norm", "entity", "lex_kind", "norm_label")
+        .groupBy("norm", "m_n", "entity", "lex_kind", "norm_label", "l_n")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= 2)
+        .withColumn(
+            "sh_jaccard",
+            F.col("shared") / (F.col("m_n") + F.col("l_n") - F.col("shared")),
+        )
+        .filter(F.col("sh_jaccard") >= 0.25)
     )
-    scored = cand.withColumn(
-        "link_score", wratio_udf(F.col("norm"), F.col("norm_label")).cast("double")
-    ).filter(F.col("link_score") >= fuzzy_threshold)
+    scored = (
+        cand.withColumn(
+            "link_score", wratio_udf(F.col("norm"), F.col("norm_label")).cast("double")
+        )
+        .filter(F.col("link_score") >= fuzzy_threshold)
+        .select("norm", "entity", "lex_kind", "link_score")
+        .cache()
+    )
     best = (
         scored.withColumn(
             "_rn",
@@ -162,7 +181,7 @@ def link_mentions(
     # already resolved them. We emit (provisional, entity) edges for all
     # scored pairs ≥ threshold so canonicalization is idempotent even if
     # linking choices change.
-    alias_edges = scored.filter(F.col("link_score") >= fuzzy_threshold).select(
+    alias_edges = scored.select(
         F.concat(F.lit(PROVISIONAL_PREFIX), F.col("norm")).alias("u"),
         F.col("entity").alias("v"),
     )

@@ -1,0 +1,53 @@
+from pyspark.sql import functions as F
+
+from tera_spark.constants import NS_ECOTOX
+from tera_spark.operators.api import EffectsAPI, GraphAPI, TaxonomyAPI, label_dictionary
+from tera_spark.operators.extract.effects import effects_graph
+from tests.test_effects import RESULTS_ROWS, TESTS_ROWS, _spark_df
+
+T_SCHEMA = "subject string, predicate string, object string, obj_is_literal boolean"
+
+
+def test_label_dictionary(spark):
+    g = spark.createDataFrame(
+        [("e1", "p", "Name", True), ("e1", "p", "iri", False), ("e1", "q", "Name", True)],
+        T_SCHEMA,
+    )
+    rows = {(r.entity, r.label) for r in label_dictionary(g).collect()}
+    assert rows == {("e1", "Name")}
+
+
+def test_convert_id_directions(spark):
+    g = spark.createDataFrame([], T_SCHEMA)
+    cas = spark.createDataFrame([("ik1", "cas1")], "from_id string, to_id string")
+    cid = spark.createDataFrame([("ik1", "cid1")], "from_id string, to_id string")
+    api = GraphAPI(g, "urn:t:", mappings={"cas": cas, "cid": cid}, base_identifier="inchikey")
+
+    out = {r.id: r.converted for r in api.convert_id(["ik1"], "inchikey", "cas").collect()}
+    assert out == {"ik1": "cas1"}
+    out = {r.id: r.converted for r in api.convert_id(["cas1", "zz"], "cas", "inchikey").collect()}
+    assert out == {"cas1": "ik1", "zz": "no mapping"}
+    out = {r.id: r.converted for r in api.convert_id(["cas1"], "cas", "cid").collect()}
+    assert out == {"cas1": "cid1"}
+    assert api.available_conversions() == {"inchikey", "cas", "cid"}
+
+
+def test_taxonomy_api(spark):
+    from tera_spark.operators.extract.taxonomy import taxonomy_graph
+    from tests.test_extract import DIVISIONS, NAMES, NODES, _df
+
+    g = taxonomy_graph(_df(spark, NODES), _df(spark, NAMES), _df(spark, DIVISIONS))
+    api = TaxonomyAPI(g)
+    ranks = {r.s for r in api.get_ranks().collect()}
+    assert "https://www.ncbi.nlm.nih.gov/taxonomy/rank/superkingdom" in ranks
+    div = api.get_division("https://www.ncbi.nlm.nih.gov/taxonomy/division/0")
+    assert {r.s for r in div.collect()} >= {"https://www.ncbi.nlm.nih.gov/taxonomy/taxon/1"}
+
+
+def test_effects_api(spark):
+    g = effects_graph(_spark_df(spark, TESTS_ROWS), _spark_df(spark, RESULTS_ROWS))
+    api = EffectsAPI(g)
+    assert api.get_chemicals().count() >= 3
+    sp = api.get_species_from_chemicals([NS_ECOTOX + "cas/50000"])
+    assert {r.c for r in sp.collect()} == {NS_ECOTOX + "taxon/101"}
+    assert api.get_endpoint().count() > 0

@@ -1,0 +1,126 @@
+"""Dedup / ANN / text-analysis operator tests on hand-built corpora with
+known ground truth."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tera_spark.operators.ann import cosine_topk, lsh_topk
+from tera_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from tera_spark.operators.textops import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_counts,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different content about spark dataframes and shuffle partitions"),
+    (5, "der hund und die katze sind nicht mit dem ball"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.doc_id: r.keep_id for r in exact_dedup(docs).collect()}
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] == 3 and out[4] == 4
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert all({a, b} != {1, 4} for a, b in pairs)
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = {(r.a, r.b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash(spark, docs):
+    pairs = {(r.a, r.b): r.hamming for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs  # one word changed → few bits differ
+
+
+def _vec(seed, dim=8):
+    import random
+
+    rng = random.Random(seed)
+    return [rng.uniform(-1, 1) for _ in range(dim)]
+
+
+def test_embedding_neardup_and_topk(spark):
+    base = _vec(1)
+    near = [x + 0.01 for x in base]
+    rows = [(0, base), (1, near)] + [(i, _vec(i)) for i in range(2, 30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r.a, r.b): r.cos for r in embedding_neardup_pairs(emb, threshold=0.99).collect()}
+    assert (0, 1) in pairs
+
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(emb, queries, k=3).collect()
+    assert [r.nn_id for r in top] == [0, 1, top[2].nn_id]
+    assert top[0].cos == 1.0
+
+    # LSH recall: the near-identical vector must collide in some table
+    lsh = lsh_topk(emb, queries, k=3, dim=8)
+    ids = [r.nn_id for r in lsh.collect()]
+    assert 0 in ids and 1 in ids
+
+
+def test_token_counts(spark, docs):
+    row = with_token_counts(docs).filter(F.col("doc_id") == 1).collect()[0]
+    assert row.ws_tokens == 14
+    assert row.subword_tokens == 14  # all plain words
+
+    mixed = spark.createDataFrame([(9, "HelloWorld v2.0!")], "doc_id long, text string")
+    r = with_token_counts(mixed).collect()[0]
+    assert r.ws_tokens == 2
+    # Hello World v 2 . 0 ! → 7 subword pieces
+    assert r.subword_tokens == 7
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = with_quality_score(docs).collect()
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].stopword_ratio > by_id[5].stopword_ratio  # English stopwords
+
+
+def test_lang_id(spark, docs):
+    out = {r.doc_id: r.lang_pred for r in with_lang_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+    assert out[4] == "und" or out[4] == "en"  # no/few stopwords
+
+
+def test_fingerprint_stability_and_edit_robustness(spark, docs):
+    fp = with_fingerprint(docs)
+    rows = {r.doc_id: r for r in fp.collect()}
+    assert rows[1].fp_md5 == rows[2].fp_md5
+    assert rows[1].fp_md5 != rows[3].fp_md5
+    # winnowing: single-word edit keeps most fingerprints
+    w1, w3 = set(rows[1].fp_winnow), set(rows[3].fp_winnow)
+    assert len(w1 & w3) / len(w1 | w3) > 0.5
