@@ -1,0 +1,76 @@
+"""Plan-property regression tests (SURVEY.md §4.2): these pin the physical
+characteristics the 100-TB design depends on — if a refactor breaks
+pushdown, broadcast selection, or adds a shuffle to the shuffle-free
+extraction stage, these fail."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tera_spark.plans.checks import (
+    count_exchanges,
+    explain_str,
+    has_pushed_filter,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_orderkey") == 42)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert has_pushed_filter(df, "l_orderkey")
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_convert_uses_broadcast(spark):
+    from tera_spark.operators.align import convert
+
+    ids = spark.createDataFrame([(str(i),) for i in range(100)], "id string")
+    m = spark.createDataFrame([("1", "one")], "from_id string, to_id string")
+    assert uses_broadcast_join(convert(ids, m))
+
+
+def test_extraction_is_shuffle_free(spark):
+    from tera_spark.fixtures.transcripts import transcripts_spark_df
+    from tera_spark.pipeline.extract import extract_mentions
+
+    mentions = extract_mentions(transcripts_spark_df(spark, n_convs=5))
+    assert count_exchanges(mentions) == 0
+
+
+def test_replace_entities_broadcasts_mapping(spark):
+    from tera_spark.operators.triples import replace_entities
+
+    g = spark.createDataFrame(
+        [("s", "p", "o", False)],
+        "subject string, predicate string, object string, obj_is_literal boolean",
+    )
+    m = spark.createDataFrame([("s", "s2")], "old string, new string")
+    plan = explain_str(replace_entities(g, m), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_flagship_star_join_no_rowwise_python(spark):
+    """The endpoint star join must not fall back to row-at-a-time eval:
+    the only Python boundary is the Arrow-vectorized, dictionary-encoded
+    unit parser (under AQE the pre-execution plan carries no codegen
+    annotations, so we assert the eval-node kinds instead)."""
+    from tera_spark.entry_queries import QUERIES
+
+    df = QUERIES["q14_endpoint_star"](spark, SF)
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+    for line in plan.splitlines():
+        if "ArrowEvalPython" in line:
+            assert "unit_parser_udf" in line  # only the dictionary-encoded parser
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
