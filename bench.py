@@ -37,6 +37,7 @@ def main() -> None:
         "t9_tests_triples",
         "t10_results_triples",
         "q14_endpoint_star",
+        "q14_endpoint_relational",
         "a_tpch_q1",
         "w2_top1_per_group",
         "cc_components",

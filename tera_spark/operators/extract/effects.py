@@ -152,6 +152,53 @@ def effects_graph(tests_raw: DataFrame, results_raw: DataFrame) -> DataFrame:
     )
 
 
+def get_endpoint_relational(tests: DataFrame, results: DataFrame) -> DataFrame:
+    """The flagship answered *pre-graph* (J1, SURVEY.md §2.4): one
+    equi-join on test_id instead of the 10-way triple star — the scale
+    path. Output is identical to ``query_api.get_endpoint`` over the
+    emitted graph (asserted in tests and by sharing the DuckDB oracle):
+    columns (c, s, cc, cu, ep, ef, sd, sdu) with the same null semantics
+    (concentration needs digits AND a parseable unit; OPTIONAL study
+    duration needs value AND parseable unit).
+
+    Inputs are *cleaned* frames (clean_tests / clean_results).
+    """
+    from tera_spark.constants import NS_UNIT
+
+    t = with_parsed_unit(
+        tests.select("test_id", "test_cas", "species_number",
+                     "study_duration_mean", "study_duration_unit"),
+        "study_duration_unit",
+        "_pu_std",
+    )
+    r = with_parsed_unit(results, "conc1_unit", "_pu_conc").withColumn(
+        "_digits", F.regexp_replace(F.col("conc1_mean"), "[^0-9]", "")
+    )
+    r = r.filter(
+        (F.col("_digits") != "") & (F.col("conc1_unit") != MISSING) & (F.col("_pu_conc") != "")
+    )
+    sd_ok = (
+        (F.col("study_duration_mean") != MISSING)
+        & (F.col("study_duration_unit") != MISSING)
+        & (F.col("_pu_std") != "")
+    )
+    ns = NS_ECOTOX
+    return (
+        r.join(t, "test_id", "inner")
+        .select(
+            uri(ns + "cas/", "test_cas").alias("c"),
+            uri(ns + "taxon/", "species_number").alias("s"),
+            F.col("_digits").alias("cc"),
+            F.concat(F.lit(NS_UNIT), F.col("_pu_conc")).alias("cu"),
+            uri(ns + "endpoint/", "endpoint").alias("ep"),
+            uri(ns + "effect/", "effect").alias("ef"),
+            F.when(sd_ok, F.col("study_duration_mean")).alias("sd"),
+            F.when(sd_ok, F.concat(F.lit(NS_UNIT), F.col("_pu_std"))).alias("sdu"),
+        )
+        .distinct()
+    )
+
+
 def load_effects(spark, directory: str) -> DataFrame:
     """``Effects(directory=...)`` — scan tests.txt/results.txt and emit."""
     return effects_graph(

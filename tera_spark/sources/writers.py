@@ -51,6 +51,21 @@ def write_table(
         df.write.mode(mode).parquet(path_or_table)
 
 
+def materialize_graph(graph: DataFrame, path: str) -> None:
+    """Materialize a triples DataFrame partitioned BY PREDICATE — the
+    layout the read path wants: every Q1-Q14 pattern starts by slicing on
+    ``predicate`` (SURVEY.md §2.8), so each edge-table scan becomes a
+    partition-pruned read instead of a full-graph filter. Predicate
+    cardinality is small (schema-sized), so this creates dozens of
+    partitions, not millions."""
+    graph.write.mode("overwrite").partitionBy("predicate").parquet(path)
+
+
+def read_graph(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select("subject", "predicate", "object", "obj_is_literal")
+
+
 def read_table(spark: SparkSession, path_or_table: str) -> DataFrame:
     if _iceberg_available(spark):
         return spark.read.table(f"tera.{path_or_table}")

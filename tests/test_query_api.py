@@ -166,6 +166,18 @@ def test_get_endpoint_pairs_semijoin(spark):
     assert all(r.c == ns + "cas/50000" for r in got.collect())
 
 
+def test_relational_equals_star_join(spark):
+    """J1 fast path ≡ J8 graph star join on the same inputs."""
+    from tera_spark.operators.extract.effects import get_endpoint_relational
+
+    tests = clean_tests(_spark_df(spark, TESTS_ROWS))
+    results = clean_results(_spark_df(spark, RESULTS_ROWS))
+    rel = {tuple(r) for r in get_endpoint_relational(tests, results).collect()}
+    graph = effects_graph(_spark_df(spark, TESTS_ROWS), _spark_df(spark, RESULTS_ROWS))
+    star = {tuple(r) for r in Q.get_endpoint(graph, NS_ECOTOX).collect()}
+    assert rel == star
+
+
 def test_get_chemicals_and_species(spark):
     graph = effects_graph(_spark_df(spark, TESTS_ROWS), _spark_df(spark, RESULTS_ROWS))
     ns = NS_ECOTOX
