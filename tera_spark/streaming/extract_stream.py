@@ -58,6 +58,35 @@ def stream_mentions(
     )
 
 
+def conversation_progress(stream: DataFrame):
+    """Custom stateful operator (applyInPandasWithState): per-conversation
+    running progress — cumulative turns and last turn_idx seen — updated
+    per micro-batch. State is keyed by conv_id (the same bucketing key as
+    the batch pipeline, so state locality matches storage locality);
+    ProcessingTimeTimeout ages out idle conversations."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, turns_total long, last_turn_idx int"
+    state_schema = "turns_total long, last_turn_idx int"
+
+    def update(key, pdfs, state: GroupState):
+        total, last = (state.get if state.exists else (0, -1))
+        for pdf in pdfs:
+            total += len(pdf)
+            if len(pdf):
+                last = max(last, int(pdf["turn_idx"].max()))
+        state.update((total, last))
+        state.setTimeoutDuration(60 * 60 * 1000)
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "turns_total": [total], "last_turn_idx": [last]}
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+    )
+
+
 def windowed_mention_rate(
     spark: SparkSession, input_dir: str, window: str = "10 minutes"
 ) -> DataFrame:

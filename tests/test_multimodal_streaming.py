@@ -62,6 +62,56 @@ def test_streaming_extraction_parity(spark, tmp_path):
     assert a == b
 
 
+def test_streaming_stateful_progress(spark, tmp_path):
+    """applyInPandasWithState: cumulative per-conversation state across
+    micro-batches."""
+    from tera_spark.fixtures.transcripts import transcripts_spark_df
+    from tera_spark.streaming.extract_stream import TRANSCRIPT_SCHEMA, conversation_progress
+
+    in_dir = str(tmp_path / "state_in")
+    tdf = transcripts_spark_df(spark, n_convs=4)
+    tdf.write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        conversation_progress(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("conv_progress")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql(
+        "select conv_id, max(turns_total) as turns_total from conv_progress group by conv_id"
+    ).collect()
+    expected = {r.conv_id: r.cnt for r in tdf.groupBy("conv_id").agg(F.count("*").alias("cnt")).collect()}
+    got = {r.conv_id: r.turns_total for r in rows}
+    assert got == expected
+
+
+def test_ivf_topk_matches_bruteforce_mostly(spark):
+    from tera_spark.operators.ann import cosine_topk, ivf_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4)
+    # self-match always found; recall@5 ≥ 0.5 with half the lists probed
+    e = {(r.query_id, r.nn_id) for r in exact.collect()}
+    a = {(r.query_id, r.nn_id) for r in approx.collect()}
+    assert all((q, q) in a for q in range(3))
+    assert len(e & a) / len(e) >= 0.5
+
+
 def test_streaming_windowed_rate(spark, tmp_path):
     from tera_spark.fixtures.transcripts import transcripts_spark_df
     from tera_spark.streaming.extract_stream import windowed_mention_rate

@@ -62,9 +62,18 @@ def test_pipeline_end_to_end_and_resume(spark, transcripts, lexicon, tmp_path):
     edges = spark.read.parquet(out1 + "/edges")
     nodes = spark.read.parquet(out1 + "/nodes")
     assert edges.count() > 0 and nodes.count() > 0
-    # canonicalization removed provisional entities that fuzzy-match lexicon
-    # entities: no 'urn:mention:' ids should remain for close misspellings
     assert nodes.filter(F.col("id").startswith(NS_KG)).count() > 0
+
+    # canonicalization really merged the merge-band provisionals: every
+    # alias-edge source (urn:mention:<norm>) was rewritten out of the graph
+    alias = spark.read.parquet(out1 + "/alias_edges")
+    assert alias.count() > 0
+    triples = spark.read.parquet(out1 + "/triples")
+    leftover = (
+        triples.join(alias.select(F.col("u").alias("subject")), "subject", "left_semi").count()
+        + triples.join(alias.select(F.col("u").alias("object")), "object", "left_semi").count()
+    )
+    assert leftover == 0
 
     # resume: second run skips everything and output is bit-identical
     res2 = run_pipeline(spark, transcripts, lexicon, out1)

@@ -1,0 +1,79 @@
+"""Run the pipeline once with the Spark event log on, then print per-job
+wall time and gaps — shows where the serial, non-scaling time goes.
+Usage: python tools/eventlog_probe.py CORES [CONVS]"""
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+cores = int(sys.argv[1])
+convs = int(sys.argv[2]) if len(sys.argv) > 2 else 6000
+evdir = f"/tmp/spark-events-{cores}"
+shutil.rmtree(evdir, ignore_errors=True)
+os.makedirs(evdir, exist_ok=True)
+
+from tera_spark.session import get_spark
+
+spark = get_spark(
+    "ev",
+    cores=cores,
+    shuffle_partitions=cores,
+    extra_conf={
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": evdir,
+        "spark.eventLog.compress": "false",
+    },
+)
+from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
+from tera_spark.operators.canonical import canonical_mapping
+from tera_spark.operators.triples import replace_entities
+from tera_spark.pipeline.extract import extract_mentions
+from tera_spark.pipeline.kg import build_triples
+from tera_spark.pipeline.link import link_mentions
+
+t = transcripts_spark_df(spark, n_convs=convs).cache()
+n = t.count()
+lexicon = lexicon_spark_df(spark)
+t0 = time.time()
+mentions = extract_mentions(t)
+linked, alias_edges = link_mentions(mentions, lexicon)
+triples = replace_entities(build_triples(t, linked), canonical_mapping(alias_edges))
+triples.write.format("noop").mode("overwrite").save()
+wall = time.time() - t0
+spark.stop()
+
+jobs = []
+files = [f for f in glob.glob(evdir + "/**/*", recursive=True) if os.path.isfile(f) and "appstatus" not in f]
+for f in files:
+    with open(f) as fh:
+        for line in fh:
+            try:
+                e = json.loads(line)
+            except Exception:
+                continue
+            if e.get("Event") == "SparkListenerJobStart":
+                jobs.append({"id": e["Job ID"], "start": e["Submission Time"]})
+            elif e.get("Event") == "SparkListenerJobEnd":
+                for j in jobs:
+                    if j["id"] == e["Job ID"]:
+                        j["end"] = e["Completion Time"]
+
+jobs = [j for j in jobs if "end" in j]
+jobs.sort(key=lambda j: j["start"])
+print(f"cores={cores} turns={n} wall={wall:.1f}s jobs={len(jobs)}")
+prev_end = None
+busy = 0
+gaps = 0
+for j in jobs:
+    dur = (j["end"] - j["start"]) / 1000
+    gap = (j["start"] - prev_end) / 1000 if prev_end else 0
+    busy += dur
+    gaps += max(gap, 0)
+    if dur > 0.5 or gap > 0.5:
+        print(f"  job {j['id']:>3} dur={dur:6.1f}s gap_before={gap:6.1f}s")
+    prev_end = max(prev_end or 0, j["end"])
+print(f"sum(job durations)={busy:.1f}s sum(gaps between jobs)={gaps:.1f}s")
