@@ -47,16 +47,23 @@ def _done(path: str) -> bool:
     )
 
 
-def _lineage(df: DataFrame, stage: str, key: str, out_dir: str) -> None:
+def _lineage(df: DataFrame, stage: str, key: str, out_dir: str) -> int:
     """Per-partition lineage rows: counts by conv bucket (or entity bucket
-    for graph tables)."""
+    for graph tables). Returns the stage's total row count — computed from
+    the same aggregation, so lineage + count is ONE job, not two (serial
+    job count is the measured local-mode bottleneck, BENCH/BASELINE.md)."""
     rows = (
         df.groupBy(F.pmod(F.xxhash64(F.col(key)), F.lit(N_BUCKETS)).cast("int").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("rows"))
         .withColumn("stage", F.lit(stage))
         .select("stage", "bucket", "rows")
+        .collect()
     )
-    rows.write.mode("append").parquet(os.path.join(out_dir, "lineage"))
+    spark = df.sparkSession
+    spark.createDataFrame(rows or [], "stage string, bucket int, rows long").write.mode(
+        "append"
+    ).parquet(os.path.join(out_dir, "lineage"))
+    return sum(r["rows"] for r in rows)
 
 
 def _metric(spark: SparkSession, out_dir: str, stage: str, rows_out: int, seconds: float, result: PipelineResult) -> None:
@@ -91,8 +98,7 @@ def run_pipeline(
         df = produce()
         write_table(df, path, bucket_by=(N_BUCKETS, key))
         out = read_table(spark, path)
-        n = out.count()
-        _lineage(out, name, key, out_dir)
+        n = _lineage(out, name, key, out_dir)
         _metric(spark, out_dir, name, n, time.time() - t0, res)
         res.stages_run.append(name)
         return out
