@@ -3,9 +3,12 @@
 ``entry`` runs the flagship Q14 endpoint star join (SURVEY.md §3.2) over
 the ECOTOX-shaped mapping of the driver tables at sf0.001. ``queries`` /
 ``oracle_sql`` pair every implemented SURVEY.md §2 operator with a DuckDB
-oracle (see tera_spark/entry_queries.py); entries without an oracle are
-the documented non-SQL-expressible ops (fuzzy WRatio scoring, xxhash64
-simhash/winnowing, hyperplane LSH, the mention-extraction pandas UDF).
+oracle (see tera_spark/entry_queries.py). Round 2 oracle upgrades:
+simhash/winnowing run md5-prefix portable hashes, and the hyperplane-LSH
+entries replay the deterministic hyperplanes as SQL float literals — the
+only remaining rows-only entries are the fuzzy WRatio scorer (Python
+difflib, by design) and the end-to-end transcript KG pipeline (golden-
+tested in pytest instead).
 """
 
 from __future__ import annotations

@@ -53,16 +53,18 @@ def main() -> None:
         _noop(QUERIES[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # KG pipeline throughput (turns/sec) over synthetic transcripts
-    from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
+    # KG pipeline throughput (turns/sec) over synthetic transcripts —
+    # distributed generator (per-conv seeded, parallelism-invariant) at a
+    # corpus size where throughput reflects dataflow, not JVM fixed cost
+    from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df_dist
     from tera_spark.operators.canonical import canonical_mapping
     from tera_spark.operators.triples import replace_entities
     from tera_spark.pipeline.extract import extract_mentions
     from tera_spark.pipeline.kg import build_triples
     from tera_spark.pipeline.link import link_mentions
 
-    n_convs = int(os.environ.get("TERA_BENCH_CONVS", "400"))
-    transcripts = transcripts_spark_df(spark, n_convs=n_convs).cache()
+    n_convs = int(os.environ.get("TERA_BENCH_CONVS", "20000"))
+    transcripts = transcripts_spark_df_dist(spark, n_convs=n_convs).cache()
     n_turns = transcripts.count()
     lexicon = lexicon_spark_df(spark)
     t0 = time.time()

@@ -31,6 +31,7 @@ from tera_spark.operators.align import convert, convert_via_base, pick_one, thre
 from tera_spark.operators.canonical import connected_components
 from tera_spark.operators.dedup import (
     exact_dedup,
+    embedding_neardup_lsh_pairs,
     embedding_neardup_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -212,6 +213,182 @@ WHERE r.digits <> '' AND r.pu IS NOT NULL
 """
 
 
+def _sql_q14_pairs() -> str:
+    """J9: the q14 star answer semi-joined to the (chemical, species) pairs
+    derived from orders with o_custkey < 50."""
+    return f"""
+SELECT * FROM ({_sql_q14()}) q
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey < 50
+    AND '{ECO}cas/'||cast(o_custkey AS varchar) = q.c
+    AND '{ECO}taxon/'||o_orderpriority = q.s
+)
+"""
+
+
+def _sql_f5_tanimoto() -> str:
+    """Bitwise Tanimoto on md5-derived packed fingerprints — the same
+    15-hex-char chunking as api.pack_fingerprint_hex ((0x||chunk)::BIGINT
+    ≡ Spark conv(chunk,16,10))."""
+    return """
+WITH fps AS (
+  SELECT cast(p_partkey AS varchar) AS id, md5(p_name) AS h FROM part WHERE p_partkey <= 100
+),
+packed AS (
+  SELECT id,
+    ('0x'||substr(h,1,15))::BIGINT AS c1,
+    ('0x'||substr(h,16,15))::BIGINT AS c2,
+    ('0x'||substr(h,31,15))::BIGINT AS c3
+  FROM fps
+),
+ref AS (SELECT c1 AS r1, c2 AS r2, c3 AS r3 FROM packed WHERE id = '1'),
+-- DuckDB bit_count returns INT8: widen before summing
+cnt AS (
+  SELECT id,
+    bit_count(c1&r1)::INT + bit_count(c2&r2)::INT + bit_count(c3&r3)::INT AS inter,
+    bit_count(c1)::INT + bit_count(c2)::INT + bit_count(c3)::INT AS na,
+    bit_count(r1)::INT + bit_count(r2)::INT + bit_count(r3)::INT AS nb
+  FROM packed, ref WHERE id <> '1'
+)
+SELECT id, round(inter * 1.0 / (na + nb - inter), 6) AS tanimoto FROM cnt
+"""
+
+
+def _sql_simhash_md5(max_hamming: int = 8, bands: int = 4, bits: int = 60) -> str:
+    """Portable SimHash replay: md5-prefix token hash, 60 bit votes,
+    pigeonhole band blocking — generated SQL mirrors dedup.simhash_pairs
+    (portable=True) expression for expression."""
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)" for i in range(bits)
+    )
+    chunk_bits = bits // bands
+    mask = (1 << chunk_bits) - 1
+    band_sel = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, '{b}|' || cast((simhash >> {b * chunk_bits}) & {mask} AS varchar) AS bucket FROM sig2"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_SQL_NORMTEXT}, ' ')) AS tok FROM documents
+),
+hashed AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+votes AS (SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id),
+sig2 AS (SELECT doc_id, {sig} AS simhash FROM votes),
+banded AS ({band_sel})
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _sql_lsh_neardup(
+    threshold: float = 0.40, n_planes: int = 4, n_tables: int = 8, dim: int = 64
+) -> str:
+    """Embedding-LSH replay: the SAME deterministic md5-derived hyperplanes
+    as dedup.embedding_neardup_lsh_pairs, inlined as float literals (repr
+    round-trips binary64 exactly), so the oracle checks the blocking
+    itself, not just the final cosine."""
+    from tera_spark.operators.ann import _hyperplane
+
+    selects = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = _hyperplane(1000 + t * n_planes + p, dim)
+            arr = "[" + ",".join(repr(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END)"
+            )
+        selects.append(
+            f"SELECT vec_id, 't{t}:' || {' || '.join(bits)} AS bucket FROM e"
+        )
+    buckets_sql = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS ({buckets_sql}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.a, c.b, round(list_cosine_similarity(va.v, vb.v), 6) AS cos
+FROM cand c JOIN e va ON c.a = va.vec_id JOIN e vb ON c.b = vb.vec_id
+WHERE list_cosine_similarity(va.v, vb.v) >= {threshold}
+"""
+
+
+def _sql_lsh_topk(
+    k: int = 10, n_planes: int = 8, n_tables: int = 4, dim: int = 64
+) -> str:
+    """ann.lsh_topk replay: same deterministic hyperplanes inlined as float
+    literals; bucket-collision candidates → exact cosine → top-k."""
+    from tera_spark.operators.ann import _hyperplane
+
+    def bucket_union(src: str, idc: str) -> str:
+        sels = []
+        for t in range(n_tables):
+            bits = []
+            for p in range(n_planes):
+                plane = _hyperplane(t * n_planes + p, dim)
+                arr = "[" + ",".join(repr(x) for x in plane) + "]"
+                bits.append(
+                    f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN '1' ELSE '0' END)"
+                )
+            sels.append(
+                f"SELECT {idc}, v, 't{t}:' || {' || '.join(bits)} AS bucket FROM {src}"
+            )
+        return "\n  UNION ALL ".join(sels)
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 5),
+cb AS ({bucket_union('e', 'vec_id')}),
+qb AS ({bucket_union('q', 'query_id')}),
+cand AS (
+  SELECT DISTINCT cb.vec_id AS nn_id, qb.query_id
+  FROM cb JOIN qb ON cb.bucket = qb.bucket
+),
+scored AS (
+  SELECT c.query_id, c.nn_id, list_cosine_similarity(ev.v, qv.v) AS cos_raw
+  FROM cand c JOIN e ev ON c.nn_id = ev.vec_id JOIN q qv ON c.query_id = qv.query_id
+)
+SELECT query_id, nn_id, round(cos_raw, 6) AS cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, nn_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+_SQL_WINNOW_MD5 = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+kg AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 5 THEN
+      list_transform(generate_series(1, len(toks)-4),
+                     i -> ('0x'||substr(md5(array_to_string(toks[i:i+4], ' ')),1,15))::BIGINT)
+    ELSE [('0x'||substr(md5(array_to_string(toks, ' ')),1,15))::BIGINT] END AS kgs
+  FROM tk
+),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(kgs) >= 4 THEN
+      list_transform(generate_series(1, len(kgs)-3), j -> list_min(kgs[j:j+3]))
+    ELSE [list_min(kgs)] END AS ws
+  FROM kg
+)
+SELECT DISTINCT doc_id, unnest(ws) AS fp FROM wins
+"""
+
+
 # --------------------------------------------------------------------------
 # Nations/regions/customers graph for the read-path queries
 # --------------------------------------------------------------------------
@@ -296,7 +473,7 @@ def _queries() -> dict:
     q["t10_results_triples"] = lambda spark, sf: results_triples(
         clean_results(lineitem_as_results(spark, sf))
     )
-    def q14_star(spark, sf):
+    def _materialized_effects(spark, sf):
         # Construct-once / query-many: the star join runs over a
         # MATERIALIZED graph partitioned by predicate, so each of its 10
         # edge slices is a partition-pruned scan. (Measured alternatives:
@@ -318,9 +495,24 @@ def _queries() -> dict:
         path = "/tmp/tera_graph_cache/" + re.sub(r"\W", "_", sf) + "_" + code_h
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             materialize_graph(effects_graph_from_driver(spark, sf), path)
-        return Q.get_endpoint(read_graph(spark, path), ECO)
+        return read_graph(spark, path)
 
-    q["q14_endpoint_star"] = q14_star
+    q["q14_endpoint_star"] = lambda spark, sf: Q.get_endpoint(
+        _materialized_effects(spark, sf), ECO
+    )
+
+    def q14_pairs(spark, sf):
+        # J9: the reference's per-(chemical, species) query loop
+        # (DataAccess.py:995-1022, O(|c|·|s|) full-graph SPARQL) as ONE
+        # broadcast semi-join against a pairs table.
+        o = _t(spark, sf, "orders")
+        pairs = o.filter(F.col("o_custkey") < 50).select(
+            F.concat(F.lit(ECO + "cas/"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit(ECO + "taxon/"), F.col("o_orderpriority")).alias("s"),
+        )
+        return Q.get_endpoint(_materialized_effects(spark, sf), ECO, pairs=pairs)
+
+    q["q14_endpoint_pairs"] = q14_pairs
     q["q13_get_chemicals"] = lambda spark, sf: Q.get_chemicals(
         effects_graph_from_driver(spark, sf), ECO
     )
@@ -524,6 +716,91 @@ def _queries() -> dict:
 
     q["f1_unit_parse"] = f1
 
+    def f4(spark, sf):
+        from tera_spark.functions.units import unit_conversion_udf
+
+        rows = [
+            ("Milligram", "Kilogram", None),
+            ("MilligramPerLitre", "GramPerLitre", None),
+            ("Hour", "Hour", None),
+            ("Millimol", "Gram", 10.0),
+            ("Litre", "Millilitre", None),
+            ("Kilogram", "Gram", None),
+            ("http://qudt.org/vocab/unit#Milligram", "http://qudt.org/vocab/unit#Gram", None),
+            ("MicrogramPerLitre", "MilligramPerLitre", None),
+            ("Hour", "Gram", None),  # incompatible → null
+        ]
+        df = spark.createDataFrame(rows, "from_unit string, to_unit string, mm double")
+        return df.select(
+            "from_unit",
+            "to_unit",
+            unit_conversion_udf("from_unit", "to_unit", "mm").alias("factor"),
+        )
+
+    q["f4_unit_conversion"] = f4
+
+    def f5(spark, sf):
+        from tera_spark.operators.api import ChemicalAPI, pack_fingerprint_hex
+
+        part = _t(spark, sf, "part")
+        fps = part.filter(F.col("p_partkey") <= 100).select(
+            F.col("p_partkey").cast("string").alias("id"),
+            pack_fingerprint_hex(F.md5(F.col("p_name"))).alias("fingerprint"),
+        )
+        api = ChemicalAPI(graph=fps, namespace=NSX)
+        return api.similarity(fps, id_="1")
+
+    q["f5_tanimoto"] = f5
+
+    def chem_names(spark, sf):
+        from tera_spark.operators.api import ChemicalAPI
+
+        part = _t(spark, sf, "part")
+        synonyms = part.select(
+            F.col("p_partkey").cast("string").alias("id"), F.col("p_name").alias("synonym")
+        ).unionByName(
+            part.select(
+                F.col("p_partkey").cast("string").alias("id"),
+                F.upper(F.col("p_name")).alias("synonym"),
+            )
+        )
+        ids = part.filter(F.col("p_partkey") < 20).select(
+            F.col("p_partkey").cast("string").alias("s")
+        )
+        api = ChemicalAPI(graph=part, namespace=NSX)
+        return api.get_names(synonyms, ids)
+
+    q["api_chem_names"] = chem_names
+
+    def chem_features(spark, sf):
+        from tera_spark.operators.api import ChemicalAPI
+
+        part = _t(spark, sf, "part")
+        features = part.select(
+            F.col("p_partkey").cast("string").alias("id"),
+            F.lit("retailprice").alias("feature"),
+            F.col("p_retailprice").cast("string").alias("value"),
+        ).unionByName(
+            part.select(
+                F.col("p_partkey").cast("string").alias("id"),
+                F.lit("size").alias("feature"),
+                F.col("p_size").cast("string").alias("value"),
+            )
+        ).unionByName(
+            part.select(
+                F.col("p_partkey").cast("string").alias("id"),
+                F.lit("brand").alias("feature"),
+                F.col("p_brand").cast("string").alias("value"),
+            )
+        )
+        ids = part.filter(F.col("p_partkey") < 30).select(
+            F.col("p_partkey").cast("string").alias("s")
+        )
+        api = ChemicalAPI(graph=part, namespace=NSX)
+        return api.get_features(features, ids, params=["retailprice", "size"])
+
+    q["api_chem_features"] = chem_features
+
     # --- text ops ---------------------------------------------------------------
     def tok(spark, sf):
         from tera_spark.operators.textops import with_token_counts
@@ -564,14 +841,17 @@ def _queries() -> dict:
     q["text_fingerprint_md5"] = fp
 
     def winnow(spark, sf):
+        # portable (md5-prefix) k-gram hash so every winnow value is
+        # oracle-checked; the xxhash64 default stays the scale path
+        # (round-1 verdict next-round #5)
         from tera_spark.operators.textops import with_fingerprint
 
         docs = _t(spark, sf, "documents")
-        return with_fingerprint(docs).select(
-            "doc_id", F.size("fp_winnow").cast("long").alias("n_fingerprints")
+        return with_fingerprint(docs, portable=True).select(
+            "doc_id", F.explode("fp_winnow").alias("fp")
         )
 
-    q["text_winnow_fingerprint"] = winnow  # rows-only (xxhash64 not in DuckDB)
+    q["text_winnow_fingerprint"] = winnow
 
     # --- dedup family -------------------------------------------------------------
     q["dedup_exact"] = lambda spark, sf: exact_dedup(_t(spark, sf, "documents"))
@@ -589,17 +869,27 @@ def _queries() -> dict:
         _t(spark, sf, "documents"), num_hashes=8, bands=4
     )
 
+    # portable (md5-prefix) token hash so pairs + hamming are oracle-checked
+    # (round-1 verdict next-round #5); xxhash64 stays the scale default
     q["dedup_simhash"] = lambda spark, sf: simhash_pairs(
-        _t(spark, sf, "documents"), max_hamming=8
-    )  # rows-only (xxhash64)
+        _t(spark, sf, "documents"), max_hamming=8, portable=True
+    ).withColumn("hamming", F.col("hamming").cast("long"))
 
-    def emb_dup(spark, sf):
-        emb = _t(spark, sf, "embeddings").withColumn(
+    def _emb(spark, sf):
+        return _t(spark, sf, "embeddings").withColumn(
             "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
         )
-        return embedding_neardup_pairs(emb, threshold=0.40)
 
-    q["dedup_embedding_cosine"] = emb_dup
+    q["dedup_embedding_cosine"] = lambda spark, sf: embedding_neardup_pairs(
+        _emb(spark, sf), threshold=0.40
+    )
+
+    # the SCALE path (hyperplane-LSH blocking, round-1 verdict #2): the
+    # oracle replays the same deterministic hyperplanes in SQL, so this
+    # checks the blocking itself, not just the final cosine
+    q["dedup_embedding_lsh"] = lambda spark, sf: embedding_neardup_lsh_pairs(
+        _emb(spark, sf), threshold=0.40
+    )
 
     # --- ANN -----------------------------------------------------------------------
     def ann(spark, sf):
@@ -624,9 +914,11 @@ def _queries() -> dict:
         queries = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding")
         )
-        return lsh_topk(emb, queries, k=10, dim=64)
+        return lsh_topk(emb, queries, k=10, dim=64).withColumn(
+            "rank", F.col("rank").cast("long")
+        )
 
-    q["ann_lsh_topk"] = ann_lsh  # rows-only (hyperplane LSH not SQL-expressible)
+    q["ann_lsh_topk"] = ann_lsh  # oracle replays the hyperplanes in SQL
 
     # --- fuzzy alignment (rows-only: WRatio not SQL-expressible) --------------------
     def j6(spark, sf):
@@ -669,6 +961,7 @@ def _oracle_sql() -> dict:
     o["t10_results_triples"] = _sql_t10()
     o["q14_endpoint_star"] = _sql_q14()
     o["q14_endpoint_relational"] = _sql_q14()  # same answer, two physical paths
+    o["q14_endpoint_pairs"] = _sql_q14_pairs()
     o["q13_get_chemicals"] = f"""
 WITH {_SQL_TESTS}
 SELECT DISTINCT '{ECO}cas/'||test_cas AS c FROM tests
@@ -800,6 +1093,43 @@ SELECT * FROM (VALUES
   ('cm^2','CentimetreSquared'), ('L-1','LitrePer')
 ) t(unit, parsed)
 """
+    # golden factors verified against the pure-Python F4 scalar
+    # (tests/test_units.py); the double literals are bit-identical to the
+    # computed values (verified: 0.001/1000 == 1e-6 etc.)
+    o["f4_unit_conversion"] = """
+SELECT from_unit, to_unit, factor FROM (VALUES
+  ('Milligram','Kilogram', 0.000001),
+  ('MilligramPerLitre','GramPerLitre', 0.001),
+  ('Hour','Hour', 1.0),
+  ('Millimol','Gram', 0.01),
+  ('Litre','Millilitre', 1000.0),
+  ('Kilogram','Gram', 1000.0),
+  ('http://qudt.org/vocab/unit#Milligram','http://qudt.org/vocab/unit#Gram', 0.001),
+  ('MicrogramPerLitre','MilligramPerLitre', 0.001),
+  ('Hour','Gram', CAST(NULL AS DOUBLE))
+) t(from_unit, to_unit, factor)
+"""
+    o["f5_tanimoto"] = _sql_f5_tanimoto()
+    o["api_chem_names"] = """
+WITH ids AS (SELECT cast(p_partkey AS varchar) AS id FROM part WHERE p_partkey < 20),
+syn AS (
+  SELECT cast(p_partkey AS varchar) AS id, p_name AS synonym FROM part
+  UNION ALL
+  SELECT cast(p_partkey AS varchar), upper(p_name) FROM part
+)
+SELECT ids.id, syn.synonym FROM ids LEFT JOIN syn ON ids.id = syn.id
+"""
+    o["api_chem_features"] = """
+WITH ids AS (SELECT cast(p_partkey AS varchar) AS id FROM part WHERE p_partkey < 30),
+feats AS (
+  SELECT cast(p_partkey AS varchar) AS id, 'retailprice' AS feature, cast(p_retailprice AS varchar) AS value FROM part
+  UNION ALL SELECT cast(p_partkey AS varchar), 'size', cast(p_size AS varchar) FROM part
+  UNION ALL SELECT cast(p_partkey AS varchar), 'brand', p_brand FROM part
+)
+SELECT ids.id, feats.feature, feats.value
+FROM ids JOIN feats ON ids.id = feats.id
+WHERE feats.feature IN ('retailprice','size')
+"""
 
     o["text_token_count"] = r"""
 SELECT doc_id,
@@ -846,6 +1176,7 @@ FROM (
     o["text_fingerprint_md5"] = f"""
 SELECT doc_id, md5({_SQL_NORMTEXT}) AS fp_md5 FROM documents
 """
+    o["text_winnow_fingerprint"] = _SQL_WINNOW_MD5
 
     o["dedup_exact"] = f"""
 WITH keyed AS (SELECT doc_id, md5({_SQL_NORMTEXT}) AS k FROM documents)
@@ -885,12 +1216,15 @@ banded AS (
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
+    o["dedup_simhash"] = _sql_simhash_md5(max_hamming=8)
     o["dedup_embedding_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS a, b.vec_id AS b, round(list_cosine_similarity(a.v, b.v), 6) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.40
 """
+    o["dedup_embedding_lsh"] = _sql_lsh_neardup(threshold=0.40)
+    o["ann_lsh_topk"] = _sql_lsh_topk(k=10)
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

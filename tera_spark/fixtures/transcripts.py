@@ -109,6 +109,39 @@ def gen_lexicons() -> tuple[pd.DataFrame, pd.DataFrame]:
     return pd.DataFrame(chem), pd.DataFrame(spec)
 
 
+def _turn_content(rng: random.Random, ti: int) -> tuple[str, str | None, str]:
+    """(role, tool, text) for one turn — shared by the sequential and
+    distributed generators (identical rng call order keeps the sequential
+    output byte-stable vs round 1)."""
+    role = ROLES[ti % 3]
+    tool = rng.choice(TOOLS) if role == "tool" else None
+    parts = [rng.choice(_FILLER)]
+    r = rng.random()
+    if r < 0.35:  # chemical mention (sometimes misspelled)
+        cas, names = rng.choice(CHEMICALS)
+        name = rng.choice(names)
+        if rng.random() < 0.25:
+            name = _misspell(rng, name)
+        parts.append(name)
+        if rng.random() < 0.6:  # endpoint + concentration
+            parts.append(
+                f"{rng.choice(ENDPOINTS)} at "
+                f"{rng.choice(['0.5', '2', '10', '100', '2000000', '>100', 'ca. 5'])} "
+                f"{rng.choice(UNITS)}"
+            )
+    elif r < 0.65:  # species mention
+        sid, latin, common = rng.choice(SPECIES)
+        name = latin if rng.random() < 0.6 else common
+        if rng.random() < 0.2:
+            name = _misspell(rng, name)
+        parts.append(name)
+        if rng.random() < 0.3:
+            cas, names = rng.choice(CHEMICALS)
+            parts.append("exposed to " + rng.choice(names))
+    # else: junk turn, no mentions
+    return role, tool, " ".join(parts)
+
+
 def gen_transcripts(
     n_convs: int = 100,
     avg_turns: int = 10,
@@ -128,38 +161,13 @@ def gen_transcripts(
         if ci < hot_convs:
             n_turns *= hot_factor
         for ti in range(n_turns):
-            role = ROLES[ti % 3]
-            tool = rng.choice(TOOLS) if role == "tool" else None
-            parts = [rng.choice(_FILLER)]
-            r = rng.random()
-            if r < 0.35:  # chemical mention (sometimes misspelled)
-                cas, names = rng.choice(CHEMICALS)
-                name = rng.choice(names)
-                if rng.random() < 0.25:
-                    name = _misspell(rng, name)
-                parts.append(name)
-                if rng.random() < 0.6:  # endpoint + concentration
-                    parts.append(
-                        f"{rng.choice(ENDPOINTS)} at "
-                        f"{rng.choice(['0.5', '2', '10', '100', '2000000', '>100', 'ca. 5'])} "
-                        f"{rng.choice(UNITS)}"
-                    )
-            elif r < 0.65:  # species mention
-                sid, latin, common = rng.choice(SPECIES)
-                name = latin if rng.random() < 0.6 else common
-                if rng.random() < 0.2:
-                    name = _misspell(rng, name)
-                parts.append(name)
-                if rng.random() < 0.3:
-                    cas, names = rng.choice(CHEMICALS)
-                    parts.append("exposed to " + rng.choice(names))
-            # else: junk turn, no mentions
+            role, tool, text = _turn_content(rng, ti)
             rows.append(
                 {
                     "conv_id": conv_id,
                     "turn_idx": ti,
                     "role": role,
-                    "text": " ".join(parts),
+                    "text": text,
                     "tool": tool,
                     "ts": EPOCH + timedelta(minutes=global_turn),
                 }
@@ -174,6 +182,51 @@ def transcripts_spark_df(spark, **kwargs):
     from pyspark.sql import functions as F
 
     return df.withColumn("turn_idx", F.col("turn_idx").cast("int"))
+
+
+def transcripts_spark_df_dist(
+    spark,
+    n_convs: int,
+    avg_turns: int = 10,
+    hot_convs: int = 2,
+    hot_factor: int = 100,
+    seed: int = 42,
+    parts: int | None = None,
+):
+    """Distributed corpus generator for large benches: conversations are
+    generated in parallel via ``mapInPandas``, each self-seeded by
+    ``(seed, conv index)`` so the output is deterministic and IDENTICAL at
+    any parallelism / partitioning — the property the two-cluster-size
+    scaling measurement needs. (The sequential ``gen_transcripts`` threads
+    one rng through all convs, so it stays the small-fixture generator;
+    driver-side generation would be the non-distributed bottleneck at
+    bench scale.)"""
+    parts = parts or spark.sparkContext.defaultParallelism
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for ci in pdf["id"]:
+                ci = int(ci)
+                rng = random.Random(f"{seed}:{ci}")
+                n_turns = max(2, int(rng.gauss(avg_turns, 3)))
+                if ci < hot_convs:
+                    n_turns *= hot_factor
+                ts0 = EPOCH + timedelta(minutes=ci * (avg_turns + 3))
+                for ti in range(n_turns):
+                    role, tool, text = _turn_content(rng, ti)
+                    recs.append(
+                        (f"conv{ci:06d}", ti, role, text, tool, ts0 + timedelta(minutes=ti))
+                    )
+            yield pd.DataFrame(
+                recs, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+
+    return spark.range(0, n_convs, 1, parts).mapInPandas(gen, schema)
 
 
 def lexicon_spark_df(spark):

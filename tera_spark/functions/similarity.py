@@ -66,12 +66,21 @@ def wratio(a: str, b: str) -> int:
 
 
 @F.pandas_udf(T.IntegerType())
-def wratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _wratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized pair scorer for blocked candidates (Arrow batches)."""
     return pd.Series(
         [wratio(x, y) if x is not None and y is not None else 0 for x, y in zip(a, b)],
         dtype="int32",
     )
+
+
+# Marked nondeterministic ON PURPOSE (it is deterministic): this stops
+# Catalyst from (a) pushing threshold filters that reference the score
+# BELOW the cheap blocking aggregation — measured to re-point the scorer at
+# every raw shingle-pair row, ~15× the candidate count — and (b) duplicating
+# the UDF into both a pushed filter and the projection (double evaluation).
+# Expensive-Python-UDF ordering must be pinned where the plan says it runs.
+wratio_udf = _wratio_udf.asNondeterministic()
 
 
 def jaccard_tokens(a: str, b: str) -> float:

@@ -15,7 +15,7 @@ semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tera_spark.constants import NS_ECOTOX, NS_NCBI, RDFS_LABEL
@@ -117,8 +117,39 @@ class TaxonomyAPI(GraphAPI):
     get_rank = get_division
 
 
+def pack_fingerprint_hex(col) -> Column:
+    """Hex fingerprint string → array<bigint>, 15 hex chars (60 bits) per
+    element — avoids signed-long overflow and stays engine-portable
+    (Spark ``conv(chunk,16,10)`` ≡ DuckDB ``('0x'||chunk)::BIGINT``)."""
+    n_chunks = F.ceil(F.length(col) / 15).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.conv(col.substr(i * 15 + 1, F.lit(15)), 16, 10).cast("long"),
+    )
+
+
+def tanimoto_expr(a, b) -> Column:
+    """Bitwise Tanimoto over packed-bigint fingerprint arrays: |a∧b| /
+    (|a|+|b|-|a∧b|) via bit_count — the F5 scalar (functions/similarity.py)
+    as a pure JVM column expression (SURVEY.md §2.7 plan)."""
+    popcnt = lambda arr: F.aggregate(
+        F.transform(arr, lambda x: F.bit_count(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    inter = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseAND(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    denom = popcnt(a) + popcnt(b) - inter
+    return F.when(denom > 0, inter.cast("double") / denom.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
 class ChemicalAPI(GraphAPI):
-    """DataAccess.py:640-660 (+ EcotoxChemicalAPI :801-833)."""
+    """DataAccess.py:476-660 (+ EcotoxChemicalAPI :801-833). The PubChem
+    REST calls (Compound.from_cid) are stood in by static tables — same
+    shapes, same methods, no network (SURVEY.md §2.1 S19)."""
 
     def compounds(self) -> DataFrame:
         return Q.compounds(self.graph, self.namespace)
@@ -136,6 +167,71 @@ class ChemicalAPI(GraphAPI):
         ids_df = self._seeds(ids).withColumnRenamed("s", "id")
         return ids_df.join(features, "id", "left").withColumn(
             "fingerprint", F.conv(F.col("fingerprint_hex"), 16, 2)
+        )
+
+    def get_names(self, synonyms: DataFrame, ids) -> DataFrame:
+        """``get_names`` (DataAccess.py:500-528): chemical synonyms. The
+        PubChem synonym call is stood in by a static (id, synonym) table;
+        the collection case is a join, not the reference's per-id loop."""
+        ids_df = self._seeds(ids).withColumnRenamed("s", "id")
+        return ids_df.join(synonyms, "id", "left").select("id", "synonym")
+
+    def class_hierarchy(self, ids) -> DataFrame:
+        """``class_hierarchy`` (DataAccess.py:530-554): the reference takes
+        the cid and mesh forms of each id and unions their subgraphs
+        (``construct_subgraph(a) | construct_subgraph(b)``). Here: convert
+        through the mapping tables where available, seed the BFS subgraph
+        with both converted forms."""
+        ids_df = self._seeds(ids).withColumnRenamed("s", "id")
+        seeds = None
+        for ident in ("cid", "mesh"):
+            if ident in self.mappings:
+                s = (
+                    self.convert_id(ids_df, self.base_identifier or "id", ident)
+                    .select(F.col("converted").alias("s"))
+                    .na.drop()
+                )
+                seeds = s if seeds is None else seeds.unionByName(s)
+        if seeds is None:
+            seeds = ids_df.select(F.col("id").alias("s"))
+        return Q.construct_subgraph(self.graph, seeds.distinct())
+
+    def get_features(
+        self, features: DataFrame, ids, params: list[str] | None = None
+    ) -> DataFrame:
+        """``get_features`` (DataAccess.py:556-597): chemical properties
+        from a static long-format (id, feature, value) table; ``params``
+        filters like the reference's property list."""
+        ids_df = self._seeds(ids).withColumnRenamed("s", "id")
+        out = ids_df.join(features, "id", "inner").select("id", "feature", "value")
+        if params:
+            out = out.filter(F.col("feature").isin(list(params)))
+        return out
+
+    def which_features(self, features: DataFrame) -> DataFrame:
+        """``which_features`` (DataAccess.py:599-615): available property
+        names — distinct features of the static table (the reference lists
+        pubchempy Compound properties)."""
+        return features.select("feature").distinct()
+
+    def similarity(self, fingerprints: DataFrame, id_: str, ids=None) -> DataFrame:
+        """``simiarity`` [sic] (DataAccess.py:616-640): Tanimoto of one
+        chemical against a set. ``fingerprints``: (id, fingerprint
+        array<bigint>) — see ``pack_fingerprint_hex``. One broadcast row +
+        JVM bit_count arithmetic; never a Python loop."""
+        fps = fingerprints.select(F.col("id"), F.col("fingerprint").alias("_fp"))
+        one = fps.filter(F.col("id") == id_).select(F.col("_fp").alias("_fp_ref"))
+        others = (
+            fps
+            if ids is None
+            else fps.join(
+                self._seeds(ids).withColumnRenamed("s", "id"), "id", "left_semi"
+            )
+        )
+        others = others.filter(F.col("id") != id_)
+        return others.join(F.broadcast(one)).select(
+            "id",
+            F.round(tanimoto_expr(F.col("_fp"), F.col("_fp_ref")), 6).alias("tanimoto"),
         )
 
 

@@ -21,7 +21,7 @@ Scale behavior:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from tera_spark.operators.triples import dedup as _dedup_triples
@@ -69,12 +69,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
 
 
-def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-    row = edges.agg(
+def _checkpoint_fingerprint(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """localCheckpoint + (count, xor-hash) convergence fingerprint in ONE
+    Spark job: the fingerprint rides the checkpoint action as observed
+    metrics (CollectMetrics), instead of a second full pass — halves the
+    serial job count of the CC loop (the measured local-mode bottleneck,
+    BENCH/BASELINE.md)."""
+    obs = Observation()
+    out = edges.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+    ).localCheckpoint()
+    vals = obs.get
+    return out, (int(vals["n"]), int(vals["h"]))
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
@@ -82,13 +90,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Returns DataFrame(node string, component string) where ``component`` is
     the lexicographically-smallest member. Convergence is detected with a
-    one-pass (count, hash-sum) fingerprint — no expensive set-difference.
+    one-pass (count, hash-sum) fingerprint — no expensive set-difference —
+    fused into each iteration's checkpoint action.
     """
     e = _canon(edges).localCheckpoint()
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        fp = _fingerprint(e)
+        e, fp = _checkpoint_fingerprint(_small_star(_large_star(e)))
         if fp == prev:
             break
         prev = fp

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tera_spark.constants import MISSING, NS_ECOTOX, RDF_TYPE, RDF_VALUE
-from tera_spark.functions.units import unit_iri, with_parsed_unit
+from tera_spark.functions.units import unit_iri, with_parsed_unit, with_parsed_units
 from tera_spark.operators.extract._emit import emit, t, uri
 from tera_spark.operators.triples import bnode, union_graphs
 from tera_spark.sources.readers import clean_strings, read_pipe_csv
@@ -53,13 +53,15 @@ def clean_results(raw: DataFrame) -> DataFrame:
 def tests_triples(tests: DataFrame) -> DataFrame:
     """T9 (DataAggregation.py:410-434). Input: cleaned tests frame."""
     ns = NS_ECOTOX
-    df = tests
-    for unit_col, parsed in [
-        ("study_duration_unit", "_pu_std"),
-        ("organism_age_unit", "_pu_age"),
-        ("organism_init_wt_unit", "_pu_wt"),
-    ]:
-        df = with_parsed_unit(df, unit_col, parsed)
+    # fused: one distinct over all 3 unit columns (one scan), not 3
+    df = with_parsed_units(
+        tests,
+        {
+            "study_duration_unit": "_pu_std",
+            "organism_age_unit": "_pu_age",
+            "organism_init_wt_unit": "_pu_wt",
+        },
+    )
 
     test = uri(ns + "test/", "test_id")
     taxon = uri(ns + "taxon/", "species_number")

@@ -82,18 +82,29 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", best)
 
 
-def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def with_fingerprint(
+    docs: DataFrame, text_col: str = "text", portable: bool = False
+) -> DataFrame:
     """Document fingerprints:
     - ``fp_md5``: md5 of whitespace-normalized lowercase text (exact-dup key);
     - ``fp_winnow``: winnowing fingerprint — k-gram (k=5 tokens) rolling
       hashes, min per sliding window (w=4) — robust to local edits.
+
+    ``portable=True`` swaps the k-gram hash from xxhash64 (one fused JVM
+    op, the scale default) to an md5-prefix bigint reproducible in DuckDB
+    (``('0x'||substr(md5(g),1,15))::BIGINT``) so the winnow set is
+    oracle-checkable value-for-value.
     """
     toks = _tokens(F.col(text_col))
     k, w = 5, 4
+    if portable:
+        gram_hash = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    else:
+        gram_hash = F.xxhash64
     kgrams = F.when(F.size(toks) >= k, F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
-    )).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+        lambda i: gram_hash(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )).otherwise(F.array(gram_hash(F.array_join(toks, " "))))
     docs = docs.withColumn("_kg", kgrams)
     windows = F.when(F.size("_kg") >= w, F.transform(
         F.sequence(F.lit(0), F.size("_kg") - w),

@@ -23,6 +23,8 @@ also produced here, from the fuzzy scores).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,16 +50,63 @@ def _shingles(col, n: int = 3):
     )).otherwise(F.array().cast("array<string>"))
 
 
+@dataclass
+class PreparedLexicon:
+    """Lexicon-side linking state, computed ONCE and reused across calls
+    (streaming micro-batches, repeated pipeline runs): normalized labels,
+    the shingle-blocked token table with hot shingles already removed, and
+    the hot-shingle set itself. All three are localCheckpointed — lexicon-
+    sized (≤ a few M rows), so the materialization is cheap and every
+    reuse skips the shingle/hot-token recompute."""
+
+    lex: DataFrame        # (entity, lex_kind, norm_label)
+    l_tok: DataFrame      # (entity, lex_kind, norm_label, l_n, sh) hot-filtered
+    hot: DataFrame        # (sh) shingles above max_shingle_freq
+    max_shingle_freq: int
+
+
+def prepare_lexicon(lexicon: DataFrame, max_shingle_freq: int = 2000) -> PreparedLexicon:
+    """Precompute the lexicon side of ``link_mentions``. Safe to call with
+    an already-prepared lexicon (returned unchanged)."""
+    if isinstance(lexicon, PreparedLexicon):
+        return lexicon
+    lex = (
+        lexicon.select(
+            F.col("entity"),
+            F.col("kind").alias("lex_kind"),
+            _norm(F.col("label")).alias("norm_label"),
+        )
+        .dropDuplicates(["entity", "norm_label"])
+        .localCheckpoint()
+    )
+    lex_sh = lex.withColumn("l_sh", _shingles(F.col("norm_label"))).withColumn(
+        "l_n", F.size("l_sh")
+    )
+    l_tok = lex_sh.select(
+        "entity", "lex_kind", "norm_label", "l_n", F.explode("l_sh").alias("sh")
+    )
+    hot = (
+        l_tok.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_shingle_freq)
+        .select("sh")
+        .localCheckpoint()
+    )
+    l_tok = l_tok.join(F.broadcast(hot), "sh", "left_anti").localCheckpoint()
+    return PreparedLexicon(lex=lex, l_tok=l_tok, hot=hot, max_shingle_freq=max_shingle_freq)
+
+
 def link_mentions(
     mentions: DataFrame,
-    lexicon: DataFrame,
+    lexicon: DataFrame | PreparedLexicon,
     fuzzy_threshold: float = 88.0,
     merge_floor: float = 80.0,
     max_shingle_freq: int = 2000,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (linked mentions, alias_edges).
 
-    ``lexicon``: (entity, label, kind). ``mentions``: stage-1 output.
+    ``lexicon``: (entity, label, kind) — or a ``PreparedLexicon`` to skip
+    the lexicon-side shingle/hot recompute. ``mentions``: stage-1 output.
 
     Confidence bands: score ≥ ``fuzzy_threshold`` links directly (the
     mention row carries the lexicon entity); scores in
@@ -68,11 +117,8 @@ def link_mentions(
     stage responsibilities honest: linking is per-mention local, merging
     is global/transitive.
     """
-    lex = lexicon.select(
-        F.col("entity"),
-        F.col("kind").alias("lex_kind"),
-        _norm(F.col("label")).alias("norm_label"),
-    ).dropDuplicates(["entity", "norm_label"])
+    prepared = prepare_lexicon(lexicon, max_shingle_freq)
+    lex = prepared.lex
 
     terms = mentions.filter(F.col("kind") == "term").withColumn(
         "norm", _norm(F.col("mention"))
@@ -105,31 +151,24 @@ def link_mentions(
     # norm — measured 16s → ~2s on a 143k-mention corpus. The distinct
     # vocabulary is small (10^3-10^5 rows) so the checkpoint is cheap at
     # any corpus scale.
+    # The explicit repartition matters twice over: AQE coalesces the tiny
+    # distinct to ONE partition, and because everything from here to the
+    # first shuffle is broadcast-join-only, that single partition would
+    # otherwise serialize the whole candidate-generation chain.
+    par = mentions.sparkSession.sparkContext.defaultParallelism
     vocab = (
         unlinked.select("norm")
         .filter(F.length("norm") >= 5)
         .filter(F.size(F.split(F.col("norm"), " ")) <= 2)
         .distinct()
+        .repartition(par)
         .localCheckpoint()
         .withColumn("m_sh", _shingles(F.col("norm")))
         .withColumn("m_n", F.size("m_sh"))
     )
-    lex_sh = lex.withColumn("l_sh", _shingles(F.col("norm_label"))).withColumn(
-        "l_n", F.size("l_sh")
-    )
-
     m_tok = vocab.select("norm", "m_n", F.explode("m_sh").alias("sh"))
-    l_tok = lex_sh.select(
-        "entity", "lex_kind", "norm_label", "l_n", F.explode("l_sh").alias("sh")
-    )
-    hot = (
-        l_tok.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > max_shingle_freq)
-        .select("sh")
-    )
-    m_tok = m_tok.join(F.broadcast(hot), "sh", "left_anti")
-    l_tok = l_tok.join(F.broadcast(hot), "sh", "left_anti")
+    m_tok = m_tok.join(F.broadcast(prepared.hot), "sh", "left_anti")
+    l_tok = prepared.l_tok
 
     # Candidate generation + cheap JVM-side shingle-Jaccard prefilter; the
     # expensive Python WRatio scorer only sees plausible pairs.
@@ -144,15 +183,27 @@ def link_mentions(
         )
         .filter(F.col("sh_jaccard") >= 0.25)
     )
+    # AQE coalesces post-shuffle partitions by (compressed) BYTE size; the
+    # candidate table is tiny in bytes but huge in Python-CPU per byte, so
+    # without intervention the whole WRatio pass collapses onto 1-2 tasks
+    # (measured: one 27-31s straggler task at ANY core count — the round-1
+    # scaling killer). An explicit numbered repartition is exempt from AQE
+    # coalescing and spreads the scoring across every core; the extra
+    # shuffle moves only megabytes.
+    cand = cand.repartition(par * 2, "norm")
     scored = (
         cand.withColumn(
             "link_score", wratio_udf(F.col("norm"), F.col("norm_label")).cast("double")
         )
         .filter(F.col("link_score") >= merge_floor)
         .select("norm", "entity", "lex_kind", "link_score")
-        .cache()
     )
-    # best candidate per distinct mention (A5/W2), across both bands
+    # best candidate per distinct mention (A5/W2), across both bands.
+    # localCheckpoint (not cache): it is consumed by BOTH the linked-mention
+    # output and the alias-edge output — the checkpoint materializes the
+    # expensive WRatio scoring exactly once, is bounded by the distinct
+    # vocabulary size, and unlike cache() leaves nothing pinned to unpersist
+    # after the session moves on (round-1 leak, VERDICT.md "what's wrong" #4).
     best_all = (
         scored.withColumn(
             "_rn",
@@ -164,6 +215,7 @@ def link_mentions(
         )
         .filter(F.col("_rn") == 1)
         .select("norm", "entity", "lex_kind", "link_score")
+        .localCheckpoint()
     )
     best = best_all.filter(F.col("link_score") >= fuzzy_threshold)
 

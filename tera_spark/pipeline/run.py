@@ -11,7 +11,15 @@ table snapshot). Because every operator is a pure function of its input
 bit-identical to an uninterrupted one — asserted in tests.
 
 Lineage: one row per (stage, conv bucket) with row counts; metrics: one
-row per stage with rows_in/rows_out/wall seconds. Both are append tables.
+row per stage with rows_out/wall seconds. Both are parquet append tables.
+
+Serial-job budget (the measured local-mode scaling bottleneck,
+BENCH/BASELINE.md): lineage counts ride the stage write itself via
+``df.observe`` (CollectMetrics — zero extra Spark jobs, zero extra passes
+over the data), and the tiny lineage/metrics tables are written driver-side
+with pyarrow (32 rows — a Spark job per write would be pure scheduling
+overhead; the files are plain parquet, readable by any engine). On a real
+cluster the same structure holds: one job per stage, period.
 """
 
 from __future__ import annotations
@@ -20,17 +28,26 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from tera_spark.operators.canonical import canonical_mapping, replace_entities_salted
 from tera_spark.operators.triples import replace_entities
 from tera_spark.pipeline.extract import extract_mentions
 from tera_spark.pipeline.kg import build_triples
-from tera_spark.pipeline.link import link_mentions
+from tera_spark.pipeline.link import link_mentions, prepare_lexicon
 from tera_spark.sources.writers import read_table, write_table
 
 N_BUCKETS = 32
+
+_LINEAGE_SCHEMA = pa.schema(
+    [("stage", pa.string()), ("bucket", pa.int32()), ("rows", pa.int64())]
+)
+_METRICS_SCHEMA = pa.schema(
+    [("stage", pa.string()), ("rows_out", pa.int64()), ("seconds", pa.float64())]
+)
 
 
 @dataclass
@@ -47,31 +64,53 @@ def _done(path: str) -> bool:
     )
 
 
-def _lineage(df: DataFrame, stage: str, key: str, out_dir: str) -> int:
-    """Per-partition lineage rows: counts by conv bucket (or entity bucket
-    for graph tables). Returns the stage's total row count — computed from
-    the same aggregation, so lineage + count is ONE job, not two (serial
-    job count is the measured local-mode bottleneck, BENCH/BASELINE.md)."""
-    rows = (
-        df.groupBy(F.pmod(F.xxhash64(F.col(key)), F.lit(N_BUCKETS)).cast("int").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .withColumn("stage", F.lit(stage))
-        .select("stage", "bucket", "rows")
-        .collect()
+def _append_driver_table(out_dir: str, table: str, stage: str, pa_table: pa.Table) -> None:
+    """Append a tiny driver-side table as one parquet file per stage —
+    plain files, Spark-readable, no Spark job."""
+    path = os.path.join(out_dir, table)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa_table, os.path.join(path, f"{stage}.parquet"))
+
+
+def _lineage_exprs(key: str) -> list:
+    """Observe expressions: total row count + per-conv-bucket counts, using
+    the SAME bucket function the bucketed writer uses (writers.py) so
+    lineage rows describe the physical partitions."""
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(N_BUCKETS)).cast("int")
+    return [F.count(F.lit(1)).alias("rows")] + [
+        F.count(F.when(bucket == i, True)).alias(f"b{i}") for i in range(N_BUCKETS)
+    ]
+
+
+def _record(
+    out_dir: str, stage: str, vals: dict, seconds: float, result: PipelineResult
+) -> int:
+    buckets = [(i, int(vals[f"b{i}"])) for i in range(N_BUCKETS) if int(vals[f"b{i}"]) > 0]
+    _append_driver_table(
+        out_dir,
+        "lineage",
+        stage,
+        pa.table(
+            {
+                "stage": [stage] * len(buckets),
+                "bucket": [b for b, _ in buckets],
+                "rows": [n for _, n in buckets],
+            },
+            schema=_LINEAGE_SCHEMA,
+        ),
     )
-    spark = df.sparkSession
-    spark.createDataFrame(rows or [], "stage string, bucket int, rows long").write.mode(
-        "append"
-    ).parquet(os.path.join(out_dir, "lineage"))
-    return sum(r["rows"] for r in rows)
-
-
-def _metric(spark: SparkSession, out_dir: str, stage: str, rows_out: int, seconds: float, result: PipelineResult) -> None:
-    m = {"stage": stage, "rows_out": rows_out, "seconds": round(seconds, 3)}
-    result.metrics.append(m)
-    spark.createDataFrame(
-        [(stage, rows_out, float(seconds))], "stage string, rows_out long, seconds double"
-    ).write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+    n = int(vals["rows"])
+    _append_driver_table(
+        out_dir,
+        "metrics",
+        stage,
+        pa.table(
+            {"stage": [stage], "rows_out": [n], "seconds": [float(seconds)]},
+            schema=_METRICS_SCHEMA,
+        ),
+    )
+    result.metrics.append({"stage": stage, "rows_out": n, "seconds": round(seconds, 3)})
+    return n
 
 
 def run_pipeline(
@@ -95,18 +134,19 @@ def run_pipeline(
             res.stages_skipped.append(name)
             return read_table(spark, path)
         t0 = time.time()
-        df = produce()
+        obs = Observation()
+        df = produce().observe(obs, *_lineage_exprs(key))
         write_table(df, path, bucket_by=(N_BUCKETS, key))
-        out = read_table(spark, path)
-        n = _lineage(out, name, key, out_dir)
-        _metric(spark, out_dir, name, n, time.time() - t0, res)
+        _record(out_dir, name, obs.get, time.time() - t0, res)
         res.stages_run.append(name)
-        return out
+        return read_table(spark, path)
 
     mentions = stage("mentions", "conv_id", lambda: extract_mentions(transcripts))
 
     def _link():
-        linked, alias_edges = link_mentions(mentions, lexicon, fuzzy_threshold)
+        linked, alias_edges = link_mentions(
+            mentions, prepare_lexicon(lexicon), fuzzy_threshold
+        )
         write_table(alias_edges, os.path.join(out_dir, "alias_edges"), bucket_by=(8, "u"))
         return linked
 

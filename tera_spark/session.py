@@ -30,6 +30,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
 
+    # Make tera_spark importable by python workers/daemon (the warm daemon
+    # module below is resolved by the worker python, whose PYTHONPATH does
+    # not automatically include the repo).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + (os.pathsep + pp if pp else "")
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -41,8 +49,26 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("TERA_SPARK_DRIVER_MEM", "8g"))
+        # Pin the heap: Xms=Xmx + AlwaysPreTouch commits every heap page at
+        # JVM startup. Without it, G1 grows/uncommits the heap continuously
+        # and every (re)committed page faults on first touch — measured on
+        # this microVM host as >60% of ALL cpu burned in kernel time during
+        # 32-thread runs (page-fault exits dominate). One-time pretouch
+        # moves that cost to startup. Real clusters set the same pair for
+        # the same reason.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms"
+            + os.environ.get("TERA_SPARK_DRIVER_MEM", "8g")
+            + " -XX:+AlwaysPreTouch -XX:-ShrinkHeapInSteps",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Fork UDF workers from a daemon that has pandas/pyarrow already
+        # imported (COW-warm) — kills the per-worker cold-import stampede
+        # on wide-parallelism UDF stages. See tera_spark/warm_daemon.py.
+        .config("spark.python.daemon.module", "tera_spark.warm_daemon")
+        .config("spark.python.worker.reuse", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -44,6 +44,12 @@ def write_table(
     if bucket_by:
         n, col = bucket_by
         df = df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int"))
+        # Cluster rows by bucket before the partitioned write: partitionBy
+        # alone writes (tasks × buckets) files — at 32×32 that's 1024 tiny
+        # files per stage and a listing-bound read path. One shuffle keyed
+        # on the bucket id bounds it at ~1 file per bucket (AQE handles
+        # residual size skew at scale).
+        df = df.repartition(n, F.col("_bucket"))
         df.write.mode(mode).partitionBy("_bucket").parquet(path_or_table)
     elif partition_by:
         df.write.mode(mode).partitionBy(*partition_by).parquet(path_or_table)

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tera_spark.pipeline.extract import extract_mentions
-from tera_spark.pipeline.link import link_mentions
+from tera_spark.pipeline.link import link_mentions, prepare_lexicon
 
 TRANSCRIPT_SCHEMA = T.StructType(
     [
@@ -45,9 +45,14 @@ def stream_mentions(
         .parquet(input_dir)
     )
 
+    # Lexicon-side blocking state is micro-batch-invariant: shingle/hot
+    # computation happens ONCE here, every micro-batch reuses the
+    # checkpointed tables (round-1 "what's wrong" #5).
+    prepared = prepare_lexicon(lexicon)
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         mentions = extract_mentions(batch_df)
-        linked, _ = link_mentions(mentions, lexicon)
+        linked, _ = link_mentions(mentions, prepared)
         linked.write.mode("append").parquet(output_dir)
 
     return (

@@ -51,3 +51,61 @@ def test_effects_api(spark):
     sp = api.get_species_from_chemicals([NS_ECOTOX + "cas/50000"])
     assert {r.c for r in sp.collect()} == {NS_ECOTOX + "taxon/101"}
     assert api.get_endpoint().count() > 0
+
+
+def test_chemical_api_surface(spark):
+    from tera_spark.operators.api import ChemicalAPI
+
+    g = spark.createDataFrame([], T_SCHEMA)
+    api = ChemicalAPI(g, "urn:c:")
+
+    syn = spark.createDataFrame(
+        [("c1", "aspirin"), ("c1", "ASA"), ("c2", "x")], "id string, synonym string"
+    )
+    names = {(r.id, r.synonym) for r in api.get_names(syn, ["c1"]).collect()}
+    assert names == {("c1", "aspirin"), ("c1", "ASA")}
+
+    feats = spark.createDataFrame(
+        [("c1", "charge", "0"), ("c1", "xlogp", "1.2"), ("c2", "charge", "1")],
+        "id string, feature string, value string",
+    )
+    out = {(r.id, r.feature, r.value) for r in api.get_features(feats, ["c1"], params=["charge"]).collect()}
+    assert out == {("c1", "charge", "0")}
+    assert {r.feature for r in api.which_features(feats).collect()} == {"charge", "xlogp"}
+
+    fps = spark.createDataFrame(
+        [("a", [12]), ("b", [10]), ("c", [12])], "id string, fingerprint array<long>"
+    )
+    sim = {r.id: r.tanimoto for r in api.similarity(fps, "a").collect()}
+    assert sim["c"] == 1.0
+    assert abs(sim["b"] - 1 / 3) < 1e-6  # 1100 vs 1010: inter=1, union=3
+
+
+def test_chemical_api_class_hierarchy(spark):
+    from tera_spark.operators.api import ChemicalAPI
+
+    g = spark.createDataFrame(
+        [
+            ("urn:c:C1", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "urn:c:C0", False),
+            ("urn:c:M1", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "urn:c:M0", False),
+            ("urn:c:Z9", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "urn:c:Z0", False),
+        ],
+        T_SCHEMA,
+    )
+    cid = spark.createDataFrame([("ik1", "urn:c:C1")], "from_id string, to_id string")
+    mesh = spark.createDataFrame([("ik1", "urn:c:M1")], "from_id string, to_id string")
+    api = ChemicalAPI(
+        g, "urn:c:", mappings={"cid": cid, "mesh": mesh}, base_identifier="inchikey"
+    )
+    subs = {r.subject for r in api.class_hierarchy(["ik1"]).collect()}
+    # reference semantics: subgraph(cid form) | subgraph(mesh form)
+    assert subs == {"urn:c:C1", "urn:c:M1"}
+
+
+def test_pack_fingerprint_hex(spark):
+    from tera_spark.operators.api import pack_fingerprint_hex
+
+    df = spark.createDataFrame([("ff" * 16,)], "h string")  # 32 hex chars
+    arr = df.select(pack_fingerprint_hex(F.col("h")).alias("fp")).collect()[0].fp
+    assert len(arr) == 3  # 15 + 15 + 2 hex chars
+    assert arr[0] == (1 << 60) - 1 and arr[1] == (1 << 60) - 1 and arr[2] == 255

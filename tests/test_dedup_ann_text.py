@@ -124,3 +124,67 @@ def test_fingerprint_stability_and_edit_robustness(spark, docs):
     # winnowing: single-word edit keeps most fingerprints
     w1, w3 = set(rows[1].fp_winnow), set(rows[3].fp_winnow)
     assert len(w1 & w3) / len(w1 | w3) > 0.5
+
+
+def test_simhash_default_and_bits_guard(spark, docs):
+    from tera_spark.operators.dedup import simhash_signatures
+
+    # default args must be safe (round-1 latent 1<<63 overflow at bits=64)
+    sigs = simhash_signatures(docs).collect()
+    assert all(r.simhash >= 0 for r in sigs)
+    with pytest.raises(ValueError):
+        simhash_signatures(docs, bits=64).collect()
+    with pytest.raises(ValueError):
+        simhash_signatures(docs, bits=61, portable=True).collect()
+    # portable (md5) variant reproduces the pair structure
+    pairs = {(r.a, r.b): r.hamming for r in simhash_pairs(docs, max_hamming=10, portable=True).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs
+
+
+def test_embedding_lsh_matches_brute(spark):
+    from tera_spark.operators.dedup import embedding_neardup_lsh_pairs
+
+    base = _vec(1)
+    near = [x + 0.01 for x in base]
+    near2 = [x * 1.05 for x in base]
+    rows = [(0, base), (1, near), (31, near2)] + [(i, _vec(i)) for i in range(2, 30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {(r.a, r.b, r.cos) for r in embedding_neardup_pairs(emb, threshold=0.9).collect()}
+    lsh = {(r.a, r.b, r.cos) for r in embedding_neardup_lsh_pairs(emb, threshold=0.9, dim=8).collect()}
+    assert (0, 1) in {(a, b) for a, b, _ in lsh}
+    # LSH candidates are exact-checked, so LSH ⊆ brute; at these params the
+    # near-dup pairs collide with overwhelming probability → equality
+    assert lsh == brute
+
+
+def test_winnow_portable_matches_default_structure(spark, docs):
+    xx = with_fingerprint(docs)
+    md = with_fingerprint(docs, portable=True)
+    nx = {r.doc_id: len(r.fp_winnow) for r in xx.collect()}
+    nm = {r.doc_id: len(r.fp_winnow) for r in md.collect()}
+    # same window structure (counts may differ only via distinct collisions)
+    assert set(nx) == set(nm)
+    rows = {r.doc_id: set(r.fp_winnow) for r in md.collect()}
+    assert rows[1] == rows[2]  # exact dup docs → identical winnow sets
+
+
+def test_kmeans_bounded_plan_and_ivf_recall(spark):
+    from tera_spark.operators.ann import cosine_topk, ivf_topk, kmeans_centroids
+
+    rows = [(i, _vec(i)) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_centroids(emb, k=4, iterations=5)
+    plan = cents._jdf.queryExecution().executedPlan().toString()
+    # each iteration is checkpointed: the returned plan reads a
+    # materialized RDD instead of replaying 5 rounds of joins
+    assert "ExistingRDD" in plan and "Join" not in plan
+    assert cents.count() == 4
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.nn_id) for r in cosine_topk(emb, queries, k=1).collect()}
+    approx = {(r.query_id, r.nn_id) for r in ivf_topk(emb, queries, k=1, n_centroids=4, n_probe=4).collect()}
+    # probing every list makes IVF exact — recall check of the plumbing
+    assert exact == approx

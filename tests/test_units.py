@@ -1,6 +1,7 @@
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from tera_spark.functions.units import (
     _to_base_unit,
@@ -89,3 +90,21 @@ def test_with_parsed_unit_dictionary_encode(spark):
         "3": "MicrogramPerLitre",
         "4": "",
     }
+
+
+def test_unit_conversion_udf(spark):
+    from tera_spark.functions.units import unit_conversion_udf
+
+    df = spark.createDataFrame(
+        [
+            ("Milligram", "Kilogram", None),
+            ("Hour", "Gram", None),   # incompatible → null (scalar raises)
+            ("Millimol", "Gram", 10.0),
+        ],
+        "f string, t string, mm double",
+    )
+    out = df.select(F.col("f"), unit_conversion_udf("f", "t", "mm").alias("x")).collect()
+    got = {r.f: r.x for r in out}
+    assert got["Milligram"] == 1e-6
+    assert got["Hour"] is None
+    assert got["Millimol"] == 0.01

@@ -1,11 +1,13 @@
-"""Run the pipeline once with the Spark event log on, then print per-job
-wall time and gaps — shows where the serial, non-scaling time goes.
+"""Run the checkpointed pipeline (the scaling-bench shape) once with the
+Spark event log on, then print per-job wall time and gaps — shows where the
+serial, non-scaling time goes.
 Usage: python tools/eventlog_probe.py CORES [CONVS]"""
 import glob
 import json
 import os
 import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -28,22 +30,31 @@ spark = get_spark(
         "spark.eventLog.compress": "false",
     },
 )
-from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
-from tera_spark.operators.canonical import canonical_mapping
-from tera_spark.operators.triples import replace_entities
-from tera_spark.pipeline.extract import extract_mentions
-from tera_spark.pipeline.kg import build_triples
-from tera_spark.pipeline.link import link_mentions
+from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df_dist
+from tera_spark.pipeline.run import run_pipeline
 
-t = transcripts_spark_df(spark, n_convs=convs).cache()
+src = tempfile.mkdtemp(prefix="ev_src_")
+transcripts_spark_df_dist(spark, n_convs=convs).write.mode("overwrite").parquet(src)
+t = spark.read.parquet(src)
 n = t.count()
 lexicon = lexicon_spark_df(spark)
+
+def _cpu_stat():
+    with open("/proc/stat") as fh:
+        return [int(x) for x in fh.readline().split()[1:9]]
+
+out = tempfile.mkdtemp(prefix="ev_out_")
+s0 = _cpu_stat()
 t0 = time.time()
-mentions = extract_mentions(t)
-linked, alias_edges = link_mentions(mentions, lexicon)
-triples = replace_entities(build_triples(t, linked), canonical_mapping(alias_edges))
-triples.write.format("noop").mode("overwrite").save()
+run_pipeline(spark, t, lexicon, out)
 wall = time.time() - t0
+s1 = _cpu_stat()
+d = [b - a for a, b in zip(s0, s1)]
+tot = sum(d) or 1
+names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+print("hostcpu " + " ".join(f"{n}={100*v/tot:.1f}%" for n, v in zip(names, d)))
+shutil.rmtree(out, ignore_errors=True)
+shutil.rmtree(src, ignore_errors=True)
 spark.stop()
 
 jobs = []
@@ -64,7 +75,7 @@ for f in files:
 
 jobs = [j for j in jobs if "end" in j]
 jobs.sort(key=lambda j: j["start"])
-print(f"cores={cores} turns={n} wall={wall:.1f}s jobs={len(jobs)}")
+print(f"cores={cores} turns={n} wall={wall:.1f}s jobs={len(jobs)} turns/s={n/wall:.0f}")
 prev_end = None
 busy = 0
 gaps = 0
