@@ -145,7 +145,9 @@ def canonicalize(
     return replace_entities_salted(triples, mapping, salts)
 
 
-def replace_entities_salted(graph: DataFrame, mapping: DataFrame, salts: int = 8) -> DataFrame:
+def replace_entities_salted(
+    graph: DataFrame, mapping: DataFrame, salts: int = 8, deduplicate: bool = True
+) -> DataFrame:
     """J11 at scale, mapping too large to broadcast: a shuffle join on
     ``subject``/``object`` would collapse the hottest canonical entities
     (mega-frequent mentions) onto single reducers. Salting spreads them:
@@ -181,4 +183,4 @@ def replace_entities_salted(graph: DataFrame, mapping: DataFrame, salts: int = 8
             "obj_is_literal",
         )
     )
-    return _dedup_triples(out)
+    return _dedup_triples(out) if deduplicate else out

@@ -96,7 +96,12 @@ def filter_pattern(
     return out
 
 
-def replace_entities(graph: DataFrame, mapping: DataFrame, broadcast_mapping: bool = True) -> DataFrame:
+def replace_entities(
+    graph: DataFrame,
+    mapping: DataFrame,
+    broadcast_mapping: bool = True,
+    deduplicate: bool = True,
+) -> DataFrame:
     """Entity rewrite = reference ``DataObject.replace``
     (DataAggregation.py:64-88): every triple whose subject or object equals
     an ``old`` id is re-pointed at ``new``; result is re-set-ified.
@@ -112,6 +117,10 @@ def replace_entities(graph: DataFrame, mapping: DataFrame, broadcast_mapping: bo
     equal to ``old``; its mappings only ever contain entity IRIs, so
     guarding on ``obj_is_literal`` is semantics-preserving and skips the
     probe for literal rows).
+
+    ``deduplicate=False`` skips the final set-ification so a caller can
+    fuse it into a downstream clustering shuffle (pipeline/run.py does —
+    one shuffle instead of two over the full triple table).
     """
     m = mapping.select(F.col("old"), F.col("new")).dropDuplicates(["old"])
     if broadcast_mapping:
@@ -132,7 +141,7 @@ def replace_entities(graph: DataFrame, mapping: DataFrame, broadcast_mapping: bo
             F.col("obj_is_literal"),
         )
     )
-    return dedup(out)
+    return dedup(out) if deduplicate else out
 
 
 def bnode(*parts: Column | str, tag: str = "b") -> Column:

@@ -27,14 +27,21 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--force", action="store_true")
     args = ap.parse_args(argv)
 
-    from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
+    from tera_spark.fixtures.transcripts import (
+        lexicon_spark_df,
+        transcripts_spark_df,
+        transcripts_spark_df_dist,
+    )
     from tera_spark.pipeline.run import run_pipeline
     from tera_spark.session import get_spark
 
     spark = get_spark("tera_spark_pipeline", cores=args.cores)
     if args.transcripts.startswith("synth:"):
         n = int(args.transcripts.split(":", 1)[1])
-        transcripts = transcripts_spark_df(spark, n_convs=n)
+        # small corpora use the byte-stable sequential generator (golden
+        # tests); large ones generate distributed (per-conv seeded)
+        gen = transcripts_spark_df if n <= 5000 else transcripts_spark_df_dist
+        transcripts = gen(spark, n_convs=n)
     else:
         transcripts = spark.read.parquet(args.transcripts)
     lexicon = lexicon_spark_df(spark)

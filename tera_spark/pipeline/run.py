@@ -38,7 +38,7 @@ from tera_spark.operators.triples import replace_entities
 from tera_spark.pipeline.extract import extract_mentions
 from tera_spark.pipeline.kg import build_triples
 from tera_spark.pipeline.link import link_mentions, prepare_lexicon
-from tera_spark.sources.writers import read_table, write_table
+from tera_spark.sources.writers import bucketize, read_table, write_table
 
 N_BUCKETS = 32
 
@@ -72,13 +72,12 @@ def _append_driver_table(out_dir: str, table: str, stage: str, pa_table: pa.Tabl
     pq.write_table(pa_table, os.path.join(path, f"{stage}.parquet"))
 
 
-def _lineage_exprs(key: str) -> list:
-    """Observe expressions: total row count + per-conv-bucket counts, using
-    the SAME bucket function the bucketed writer uses (writers.py) so
-    lineage rows describe the physical partitions."""
-    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(N_BUCKETS)).cast("int")
+def _lineage_exprs() -> list:
+    """Observe expressions: total row count + per-bucket counts over the
+    materialized ``_bucket`` column (the physical write partitions)."""
     return [F.count(F.lit(1)).alias("rows")] + [
-        F.count(F.when(bucket == i, True)).alias(f"b{i}") for i in range(N_BUCKETS)
+        F.count(F.when(F.col("_bucket") == i, True)).alias(f"b{i}")
+        for i in range(N_BUCKETS)
     ]
 
 
@@ -128,15 +127,22 @@ def run_pipeline(
     res = PipelineResult(out_dir=out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    def stage(name: str, key: str, produce):
+    def stage(name: str, key: str, produce, dedup_cols: list[str] | None = None):
+        """One Spark job per stage: bucket-cluster (one shuffle), optional
+        set-semantics dedup RIDING that same shuffle (keys prefixed with
+        the bucket column, so Catalyst needs no second exchange), lineage
+        counts observed on the write itself, partitioned write."""
         path = os.path.join(out_dir, name)
         if not force and _done(path):
             res.stages_skipped.append(name)
             return read_table(spark, path)
         t0 = time.time()
+        df = bucketize(produce(), N_BUCKETS, key)
+        if dedup_cols:
+            df = df.dropDuplicates(["_bucket", *dedup_cols])
         obs = Observation()
-        df = produce().observe(obs, *_lineage_exprs(key))
-        write_table(df, path, bucket_by=(N_BUCKETS, key))
+        df = df.observe(obs, *_lineage_exprs())
+        write_table(df, path, bucket_by=(N_BUCKETS, key), pre_bucketed=True)
         _record(out_dir, name, obs.get, time.time() - t0, res)
         res.stages_run.append(name)
         return read_table(spark, path)
@@ -153,14 +159,21 @@ def run_pipeline(
     linked = stage("linked", "conv_id", _link)
 
     def _canon():
+        # deduplicate=False: the post-rewrite set-semantics dedup is fused
+        # into the stage write's bucket shuffle (dedup_cols below) — one
+        # shuffle instead of two over the full triple table
         alias_edges = read_table(spark, os.path.join(out_dir, "alias_edges"))
         triples = build_triples(transcripts, linked)
         mapping = canonical_mapping(alias_edges)
         if salts is None:
-            return replace_entities(triples, mapping, broadcast_mapping=True)
-        return replace_entities_salted(triples, mapping, salts)
+            return replace_entities(
+                triples, mapping, broadcast_mapping=True, deduplicate=False
+            )
+        return replace_entities_salted(triples, mapping, salts, deduplicate=False)
 
-    triples = stage("triples", "subject", _canon)
+    triples = stage(
+        "triples", "subject", _canon, dedup_cols=["subject", "predicate", "object"]
+    )
 
     def _nodes():
         from tera_spark.constants import RDF_TYPE, RDFS_LABEL

@@ -19,20 +19,36 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def bucketize(df: DataFrame, n: int, col: str) -> DataFrame:
+    """Materialize the hash-bucket column and cluster rows by it (ONE
+    shuffle). partitionBy alone would write (tasks × buckets) files — at
+    32×32 that's 1024 tiny files per stage and a listing-bound read path;
+    clustering bounds it at ~1 file per bucket. Downstream dedups keyed on
+    ``["_bucket", …]`` ride this same exchange (Catalyst recognizes the
+    partitioning, verified in test_plans), so dedup + bucket-clustering +
+    write is a single shuffle."""
+    df = df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int"))
+    return df.repartition(n, F.col("_bucket"))
+
+
 def write_table(
     df: DataFrame,
     path_or_table: str,
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, str] | None = None,
     mode: str = "overwrite",
+    pre_bucketed: bool = False,
 ) -> None:
     """Write a stage table. With Iceberg: ``writeTo(...).partitionedBy(
     bucket(N, col))``. Parquet fallback: hash-bucket column materialized
     explicitly (``pmod(xxhash64(col), N)``) and used as the partition dir —
     the same co-location property (all rows of one conv_id land in one
-    bucket) with plain files."""
+    bucket) with plain files. ``pre_bucketed``: ``df`` already went through
+    ``bucketize`` (carries ``_bucket``, clustered) — write directly."""
     spark = df.sparkSession
     if _iceberg_available(spark):
+        if pre_bucketed:
+            df = df.drop("_bucket")
         writer = df.writeTo(f"tera.{path_or_table}")
         if bucket_by:
             n, col = bucket_by
@@ -41,15 +57,11 @@ def write_table(
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         writer.createOrReplace()
         return
-    if bucket_by:
+    if pre_bucketed:
+        df.write.mode(mode).partitionBy("_bucket").parquet(path_or_table)
+    elif bucket_by:
         n, col = bucket_by
-        df = df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int"))
-        # Cluster rows by bucket before the partitioned write: partitionBy
-        # alone writes (tasks × buckets) files — at 32×32 that's 1024 tiny
-        # files per stage and a listing-bound read path. One shuffle keyed
-        # on the bucket id bounds it at ~1 file per bucket (AQE handles
-        # residual size skew at scale).
-        df = df.repartition(n, F.col("_bucket"))
+        df = bucketize(df, n, col)
         df.write.mode(mode).partitionBy("_bucket").parquet(path_or_table)
     elif partition_by:
         df.write.mode(mode).partitionBy(*partition_by).parquet(path_or_table)

@@ -15,15 +15,67 @@ def test_multimodal_features(spark):
     feats = extract_features(media, dim=8)
     rows = feats.collect()
     assert len(rows) == 24
+    by_kind = {}
     for r in rows:
-        assert r.decode_ok
         assert len(r.feat) == 8
-        assert all(0.0 <= x <= 1.0 for x in r.feat)
         assert r.n_bytes > 0
+        by_kind.setdefault(r.kind, []).append(r)
+    # PNG/PPM images and WAV audio REALLY decode; mp4 video is the
+    # documented hash-fallback path
+    assert all(r.decode_ok for r in by_kind["image"])
+    assert all(r.decode_ok for r in by_kind["audio"])
+    assert all(not r.decode_ok for r in by_kind["video"])
+    # image features: width/height match the synthesized payloads
+    img = {r.media_id: r for r in by_kind["image"]}
+    assert img[0].feat[0] == 24.0 and img[0].feat[1] == 16.0  # PNG 24x16
+    assert img[3].feat[0] == 20.0 and img[3].feat[1] == 12.0  # PPM 20x12
+    # audio features: 200ms clip at 8kHz, sine RMS ≈ 0.5/sqrt(2)
+    aud = by_kind["audio"][0]
+    assert abs(aud.feat[0] - 0.2) < 1e-3
+    assert abs(aud.feat[1] - 0.3535) < 0.02
     # deterministic: same payload → same sha1/features
     again = {r.media_id: (r.sha1, tuple(r.feat)) for r in extract_features(media, dim=8).collect()}
     first = {r.media_id: (r.sha1, tuple(r.feat)) for r in rows}
     assert again == first
+
+
+def test_multimodal_codecs_roundtrip():
+    """Pure-Python decoders against stdlib-encoded payloads (no Spark)."""
+    import numpy as np
+
+    from tera_spark.operators.multimodal import (
+        _synth_png,
+        _synth_ppm,
+        _synth_wav,
+        decode_png,
+        decode_ppm,
+        decode_wav,
+    )
+
+    img = decode_png(_synth_png(3, w=10, h=7))
+    assert img.shape == (7, 10, 3)
+    # pixel (y=0, x=1, c=0) = byte index 3 of row 0: (3*7 + 0*13 + 3*29) % 256
+    assert img[0, 1, 0] == (3 * 7 + 0 * 13 + 3 * 29) % 256
+
+    ppm = decode_ppm(_synth_ppm(2, w=5, h=4))
+    assert ppm.shape == (4, 5, 3)
+    assert ppm[0, 0, 1] == (1 * 11 + 2 * 31) % 256
+
+    x, sr = decode_wav(_synth_wav(0, sr=8000, ms=100))
+    assert sr == 8000 and len(x) == 800
+    assert abs(float((x ** 2).mean()) ** 0.5 - 0.3535) < 0.01
+
+
+def test_multimodal_resize(spark):
+    from tera_spark.operators.multimodal import resize_images
+
+    media = synth_media_df(spark, n=16)
+    out = resize_images(media, out_w=8, out_h=6).collect()
+    imgs = media.filter(F.col("kind") == "image").count()
+    assert len(out) == imgs
+    for r in out:
+        assert r.decode_ok
+        assert len(bytes(r.rgb)) == 8 * 6 * 3
 
 
 def test_frame_sample_plan(spark):

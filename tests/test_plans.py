@@ -74,3 +74,25 @@ def test_flagship_star_join_no_rowwise_python(spark):
         if "ArrowEvalPython" in line:
             assert "unit_parser_udf" in line  # only the dictionary-encoded parser
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stage_dedup_rides_bucket_shuffle(spark):
+    """Set-semantics dedup keyed on ["_bucket", s, p, o] after an explicit
+    repartition on _bucket must NOT add a second exchange — the pipeline's
+    triples stage depends on this fusion (run.py stage())."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.sources.writers import bucketize
+
+    df = spark.range(100).select(
+        F.concat(F.lit("s"), (F.col("id") % 20).cast("string")).alias("subject"),
+        F.lit("p").alias("predicate"),
+        F.concat(F.lit("o"), (F.col("id") % 10).cast("string")).alias("object"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    out = bucketize(df, 32, "subject").dropDuplicates(
+        ["_bucket", "subject", "predicate", "object"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert out.drop("_bucket").distinct().count() == out.count()

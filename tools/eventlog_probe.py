@@ -33,7 +33,8 @@ spark = get_spark(
 from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df_dist
 from tera_spark.pipeline.run import run_pipeline
 
-src = tempfile.mkdtemp(prefix="ev_src_")
+os.makedirs("/dev/shm/ev_probe", exist_ok=True)
+src = tempfile.mkdtemp(prefix="ev_src_", dir="/dev/shm/ev_probe")
 transcripts_spark_df_dist(spark, n_convs=convs).write.mode("overwrite").parquet(src)
 t = spark.read.parquet(src)
 n = t.count()
@@ -43,17 +44,25 @@ def _cpu_stat():
     with open("/proc/stat") as fh:
         return [int(x) for x in fh.readline().split()[1:9]]
 
-out = tempfile.mkdtemp(prefix="ev_out_")
-s0 = _cpu_stat()
-t0 = time.time()
-run_pipeline(spark, t, lexicon, out)
-wall = time.time() - t0
-s1 = _cpu_stat()
-d = [b - a for a, b in zip(s0, s1)]
-tot = sum(d) or 1
-names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
-print("hostcpu " + " ".join(f"{n}={100*v/tot:.1f}%" for n, v in zip(names, d)))
-shutil.rmtree(out, ignore_errors=True)
+def once():
+    out = tempfile.mkdtemp(prefix="ev_out_", dir="/dev/shm/ev_probe")
+    s0 = _cpu_stat()
+    t0 = time.time()
+    run_pipeline(spark, t, lexicon, out)
+    w = time.time() - t0
+    s1 = _cpu_stat()
+    d = [b - a for a, b in zip(s0, s1)]
+    tot = sum(d) or 1
+    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    print("hostcpu " + " ".join(f"{nm}={100*v/tot:.1f}%" for nm, v in zip(names, d)))
+    shutil.rmtree(out, ignore_errors=True)
+    return w, t0 * 1000
+
+# cold + warm (the scaling bench takes the warm minimum); the job analysis
+# below is restricted to the WARM run via its start timestamp
+wall_cold, _ = once()
+wall, warm_start_ms = once()
+print(f"cold={wall_cold:.1f}s warm={wall:.1f}s")
 shutil.rmtree(src, ignore_errors=True)
 spark.stop()
 
@@ -73,7 +82,7 @@ for f in files:
                     if j["id"] == e["Job ID"]:
                         j["end"] = e["Completion Time"]
 
-jobs = [j for j in jobs if "end" in j]
+jobs = [j for j in jobs if "end" in j and j["start"] >= warm_start_ms]
 jobs.sort(key=lambda j: j["start"])
 print(f"cores={cores} turns={n} wall={wall:.1f}s jobs={len(jobs)} turns/s={n/wall:.0f}")
 prev_end = None
