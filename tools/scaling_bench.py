@@ -185,22 +185,20 @@ def write_report() -> None:
         # within-round pairs: consecutive (N, 4N) runs from one interleaved
         # set share a host window, so their ratio needs no floor argument
         seq = [r for r in runs if int(r["turns"]) == turns]
-        within = []
+        within: dict[tuple[int, int], list[float]] = {}
         for a, b in zip(seq, seq[1:]):
             if (
                 int(b["cores"]) == 4 * int(a["cores"])
                 and a.get("source") == b.get("source")
             ):
-                within.append(
-                    (a["cores"], b["cores"],
-                     round((b["turns_per_sec"] / a["turns_per_sec"]) / 4, 3))
+                within.setdefault((int(a["cores"]), int(b["cores"])), []).append(
+                    round((b["turns_per_sec"] / a["turns_per_sec"]) / 4, 3)
                 )
-        if within:
-            pairs = ", ".join(f"{e:.3f}" for _, _, e in within)
+        for (sc, bc), effs in sorted(within.items()):
+            pairs = ", ".join(f"{e:.3f}" for e in effs)
             lines.append(
                 f"Within-round (same host window, no floor argument) "
-                f"local[{within[0][0]}]→local[{within[0][1]}] efficiencies: "
-                f"{pairs}.\n\n"
+                f"local[{sc}]→local[{bc}] efficiencies: {pairs}.\n\n"
             )
     lines.append(
         "What it took to make this measurable on a shared microVM (round 2):\n"
