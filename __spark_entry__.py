@@ -3,12 +3,16 @@
 ``entry`` runs the flagship Q14 endpoint star join (SURVEY.md §3.2) over
 the ECOTOX-shaped mapping of the driver tables at sf0.001. ``queries`` /
 ``oracle_sql`` pair every implemented SURVEY.md §2 operator with a DuckDB
-oracle (see tera_spark/entry_queries.py). Round 2 oracle upgrades:
-simhash/winnowing run md5-prefix portable hashes, and the hyperplane-LSH
-entries replay the deterministic hyperplanes as SQL float literals — the
-only remaining rows-only entries are the fuzzy WRatio scorer (Python
-difflib, by design) and the end-to-end transcript KG pipeline (golden-
-tested in pytest instead).
+oracle (see tera_spark/entry_queries.py). Round 3 oracle upgrades: the
+IVF-ANN path (md5-portable k-means seeding; SQL replays seeding + Lloyd
+rounds + probe/rerank), the multimodal feature path (payload hex embedded,
+DuckDB recomputes byte counts + hashes), and the KG pipeline's
+deterministic slices (structure triples + exact/rule-linked mention
+triples, with term/code extraction and the exact lexicon join replayed in
+SQL from raw text). The only remaining rows-only entries are the fuzzy
+WRatio scorer (Python difflib, by design) and the end-to-end transcript
+KG pipeline whose only unverified band is that same scorer (golden-tested
+in pytest instead).
 """
 
 from __future__ import annotations

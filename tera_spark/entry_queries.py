@@ -365,6 +365,215 @@ SELECT query_id, nn_id, round(cos_raw, 6) AS cos, rank FROM (
 """
 
 
+def _sql_ivf_topk(
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4, iterations: int = 3,
+    dim: int = 64,
+) -> str:
+    """ann.ivf_topk replay (round-2 verdict next-round #2): the md5-portable
+    seed hash makes the k-means seeding engine-identical, and each Lloyd
+    round is one CTE pair (argmin assignment → per-dimension mean) over the
+    long-format (vec_id, dim, value) table — so the oracle replays the FULL
+    IVF path: seeding, 3 Lloyd rounds, list assignment, probing, rerank."""
+    itr = ""
+    prev = "c0"
+    for it in range(iterations):
+        nxt = f"c{it + 1}"
+        itr += f""",
+d{it} AS (
+  SELECT ed.vec_id, c.centroid_id, sum((ed.x - c.cx)*(ed.x - c.cx)) AS d
+  FROM ed JOIN {prev} c ON ed.di = c.di GROUP BY 1, 2
+),
+a{it} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+),
+{nxt} AS (
+  SELECT a.centroid_id, ed.di, avg(ed.x) AS cx
+  FROM a{it} a JOIN ed ON a.vec_id = ed.vec_id GROUP BY 1, 2
+)"""
+        prev = nxt
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, {dim})) AS di),
+ed AS (SELECT vec_id, di, v[di] AS x FROM e CROSS JOIN dims),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY h) AS centroid_id, v
+  FROM (
+    SELECT vec_id, v, ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT AS h
+    FROM e ORDER BY h LIMIT {n_centroids}
+  )
+),
+c0 AS (SELECT centroid_id, di, v[di] AS cx FROM seeds CROSS JOIN dims){itr},
+cd AS (
+  SELECT ed.vec_id, c.centroid_id, sum((ed.x - c.cx)*(ed.x - c.cx)) AS d
+  FROM ed JOIN {prev} c ON ed.di = c.di GROUP BY 1, 2
+),
+lists AS (
+  SELECT vec_id AS nn_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) AS rn
+    FROM cd WHERE vec_id < 5
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT DISTINCT l.nn_id, p.query_id
+  FROM lists l JOIN probes p ON l.centroid_id = p.centroid_id
+),
+scored AS (
+  SELECT c.query_id, c.nn_id, list_cosine_similarity(ev.v, qv.v) AS cos_raw
+  FROM cand c JOIN e ev ON c.nn_id = ev.vec_id JOIN e qv ON c.query_id = qv.vec_id
+)
+SELECT query_id, nn_id, round(cos_raw, 6) AS cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, nn_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _sql_mm_features(n: int = 64) -> str:
+    """Multimodal feature-path oracle (round-2 verdict next-round #3): the
+    deterministic synthetic payloads are embedded as hex literals; DuckDB
+    independently recomputes byte counts and the payload md5 from them
+    (its md5/sha only take VARCHAR, so both engines hash the lowercase hex
+    string). decode_ok asserts the REAL decoders succeed on every real
+    PNG/PPM/WAV payload and fall back exactly on the container formats."""
+    from tera_spark.operators.multimodal import synth_media_rows
+
+    vals = ",\n  ".join(
+        f"({mid}, '{kind}', '{bytes(payload).hex()}')"
+        for mid, kind, payload, *_ in synth_media_rows(n)
+    )
+    return f"""
+WITH m(media_id, kind, hx) AS (VALUES
+  {vals}
+)
+SELECT media_id::BIGINT AS media_id, kind,
+       octet_length(from_hex(hx))::BIGINT AS n_bytes,
+       md5(hx) AS payload_md5,
+       kind <> 'video' AS decode_ok
+FROM m
+"""
+
+
+def _kg_fixture_sql_cte() -> str:
+    """The deterministic 20-conv transcript corpus as a VALUES CTE — the
+    oracle's INPUT data (same bytes the Spark entries generate), so DuckDB
+    replays structure/extraction/linking from raw text independently."""
+    from tera_spark.fixtures.transcripts import gen_transcripts
+
+    pdf = gen_transcripts(n_convs=20, hot_convs=1, hot_factor=5)
+
+    def q(s) -> str:
+        if s is None:
+            return "NULL"
+        return "'" + str(s).replace("'", "''") + "'"
+
+    vals = ",\n  ".join(
+        f"({q(r.conv_id)}, {int(r.turn_idx)}, {q(r.role)}, {q(r.text)}, {q(r.tool)})"
+        for r in pdf.itertuples()
+    )
+    return f"transcripts(conv_id, turn_idx, role, text, tool) AS (VALUES\n  {vals}\n)"
+
+
+_SQL_KG_TURN = "'urn:tera-kg:turn/'||conv_id||'/'||CAST(turn_idx AS VARCHAR)"
+
+
+def _sql_kg_structure() -> str:
+    """pipeline.kg.transcript_structure_triples replay over the embedded
+    raw transcripts."""
+    return f"""
+WITH {_kg_fixture_sql_cte()}
+SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
+  SELECT 'urn:tera-kg:conv/'||conv_id AS subject, '{RDF_TYPE}' AS predicate,
+         'urn:tera-kg:Conversation' AS object, false AS obj_is_literal FROM transcripts
+  UNION ALL SELECT {_SQL_KG_TURN}, '{RDF_TYPE}', 'urn:tera-kg:Turn', false FROM transcripts
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:partOf', 'urn:tera-kg:conv/'||conv_id, false FROM transcripts
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:role', role, true FROM transcripts
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:tool', tool, true FROM transcripts WHERE tool IS NOT NULL
+) u
+"""
+
+
+def _sql_kg_exact_link() -> str:
+    """Exact/rule-linked mention-triple replay (round-2 verdict next-round
+    #5): DuckDB re-runs term extraction (word regex + stopword filter +
+    1..3-gram over consecutive content words), code extraction, label
+    normalization, and the exact lexicon join from the RAW transcript text
+    — the unverified pipeline surface shrinks to exactly the fuzzy WRatio
+    band (Python difflib, rows-only by design)."""
+    from tera_spark.fixtures.transcripts import gen_lexicons
+    from tera_spark.pipeline.extract import STOPWORDS
+
+    stop = ", ".join("'" + w + "'" for w in sorted(STOPWORDS))
+    chem, spec = gen_lexicons()
+    lex_vals = ",\n  ".join(
+        "('{}', '{}', '{}')".format(
+            r.entity, r.label.replace("'", "''"), r.kind
+        )
+        for r in list(chem.itertuples()) + list(spec.itertuples())
+    )
+    return f"""
+WITH {_kg_fixture_sql_cte()},
+lexraw(entity, label, kind) AS (VALUES
+  {lex_vals}
+),
+lex AS (
+  SELECT DISTINCT entity, kind,
+         trim(regexp_replace(lower(label), '\\s+', ' ', 'g')) AS norm_label
+  FROM lexraw
+),
+w AS (
+  SELECT conv_id, turn_idx, regexp_extract_all(text, '[A-Za-zµ-]+') AS ws
+  FROM transcripts
+),
+idx AS (
+  SELECT conv_id, turn_idx, ws, unnest(generate_series(1, len(ws))) AS j FROM w
+),
+grams AS (
+  SELECT DISTINCT conv_id, turn_idx, array_to_string(ws[j:j+n-1], ' ') AS mention
+  FROM idx CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) ns
+  WHERE j + n - 1 <= len(ws)
+    AND lower(ws[j]) NOT IN ({stop})
+    AND len(ws[j]) >= 4 AND ws[j] <> upper(ws[j])
+    AND (n < 2 OR (lower(ws[j+1]) NOT IN ({stop}) AND len(ws[j+1]) >= 2))
+    AND (n < 3 OR (lower(ws[j+2]) NOT IN ({stop}) AND len(ws[j+2]) >= 2))
+),
+ex AS (
+  SELECT DISTINCT g.conv_id, g.turn_idx, g.mention, lex.entity, lex.kind
+  FROM grams g JOIN lex ON lower(g.mention) = lex.norm_label
+),
+codes AS (
+  SELECT DISTINCT conv_id, turn_idx, m FROM (
+    SELECT conv_id, turn_idx,
+           unnest(regexp_extract_all(text, '\\b([A-Z]{{2,6}}[0-9]{{0,3}})\\b', 1)) AS m
+    FROM transcripts
+  )
+)
+SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
+  SELECT {_SQL_KG_TURN} AS subject, 'urn:tera-kg:mentions' AS predicate,
+         entity AS object, false AS obj_is_literal FROM ex
+  UNION ALL SELECT entity, '{RDF_TYPE}',
+         CASE kind WHEN 'chemical' THEN 'urn:tera-kg:Chemical'
+                   WHEN 'species' THEN 'urn:tera-kg:Species'
+                   ELSE 'urn:tera-kg:Entity' END, false FROM ex
+  UNION ALL SELECT entity, '{RDFS_LABEL}', mention, true FROM ex
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:mentions', 'code:'||m, false FROM codes
+  UNION ALL SELECT 'code:'||m, '{RDF_TYPE}', 'urn:tera-kg:Endpoint', false FROM codes
+  UNION ALL SELECT 'code:'||m, '{RDFS_LABEL}', m, true FROM codes
+) u
+"""
+
+
 _SQL_WINNOW_MD5 = r"""
 WITH tk AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
@@ -920,6 +1129,42 @@ def _queries() -> dict:
 
     q["ann_lsh_topk"] = ann_lsh  # oracle replays the hyperplanes in SQL
 
+    def ann_ivf(spark, sf):
+        # portable=True switches ONLY the k-means seed hash to the
+        # md5-prefix bigint (engine-identical); the oracle then replays
+        # seeding + 3 Lloyd rounds + probing + rerank in SQL. xxhash64
+        # stays the scale default.
+        from tera_spark.operators.ann import ivf_topk
+
+        emb = _emb(spark, sf)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding")
+        )
+        return ivf_topk(
+            emb, queries, k=10, n_centroids=16, n_probe=4, dim=64, portable=True
+        ).withColumn("rank", F.col("rank").cast("long"))
+
+    q["ann_ivf_topk"] = ann_ivf
+
+    # --- multimodal feature path (real decoders over real payloads) ---------------
+    def mm(spark, sf):
+        from tera_spark.operators.multimodal import extract_features, synth_media_df
+
+        media = synth_media_df(spark, 64)
+        feats = extract_features(media).select(
+            "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"),
+            "decode_ok",
+        )
+        hx = media.select(
+            "media_id", F.lower(F.hex(F.col("payload"))).alias("hx")
+        )
+        return feats.join(hx, "media_id").select(
+            "media_id", "kind", "n_bytes",
+            F.md5(F.col("hx")).alias("payload_md5"), "decode_ok",
+        )
+
+    q["mm_features"] = mm
+
     # --- fuzzy alignment (rows-only: WRatio not SQL-expressible) --------------------
     def j6(spark, sf):
         from tera_spark.operators.align import string_matching_mapping
@@ -936,7 +1181,38 @@ def _queries() -> dict:
 
     q["j6_string_matching"] = j6
 
-    # --- transcript KG pipeline (rows-only; golden-tested in pytest) ----------------
+    # --- transcript KG pipeline: SQL-oracled deterministic slices -------------------
+    def _kg_fixture(spark):
+        from tera_spark.fixtures.transcripts import transcripts_spark_df
+
+        return transcripts_spark_df(spark, n_convs=20, hot_convs=1, hot_factor=5)
+
+    def kg_struct(spark, sf):
+        from tera_spark.pipeline.kg import transcript_structure_triples
+
+        return dedup_triples(transcript_structure_triples(_kg_fixture(spark)))
+
+    q["kg_structure_triples"] = kg_struct
+
+    def kg_exact(spark, sf):
+        # the REAL extract→link path, filtered to its deterministic bands
+        # (exact lexicon hits + rule-linked codes) — the oracle replays
+        # extraction + normalization + the exact join from raw text, so
+        # the only rows-only pipeline surface left is the WRatio band
+        from tera_spark.fixtures.transcripts import lexicon_spark_df
+        from tera_spark.pipeline.extract import extract_mentions
+        from tera_spark.pipeline.kg import mention_triples
+        from tera_spark.pipeline.link import link_mentions
+
+        mentions = extract_mentions(_kg_fixture(spark))
+        linked, _ = link_mentions(mentions, lexicon_spark_df(spark))
+        return dedup_triples(
+            mention_triples(linked.filter(F.col("link_method").isin("exact", "rule")))
+        )
+
+    q["kg_exact_link_triples"] = kg_exact
+
+    # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
         from tera_spark.operators.canonical import canonical_mapping
@@ -1225,6 +1501,10 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.40
 """
     o["dedup_embedding_lsh"] = _sql_lsh_neardup(threshold=0.40)
     o["ann_lsh_topk"] = _sql_lsh_topk(k=10)
+    o["ann_ivf_topk"] = _sql_ivf_topk(k=10)
+    o["mm_features"] = _sql_mm_features(64)
+    o["kg_structure_triples"] = _sql_kg_structure()
+    o["kg_exact_link_triples"] = _sql_kg_exact_link()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

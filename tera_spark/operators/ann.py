@@ -86,6 +86,16 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _seed_hash(col: Column, portable: bool) -> Column:
+    """Seed-ordering hash. Default: xxhash64 (fastest JVM path). Portable:
+    the md5-prefix bigint that DuckDB reproduces exactly
+    (``('0x'||substr(md5(x),1,15))::BIGINT``) — lets the oracle replay the
+    k-means seeding, hence the whole IVF path (round-2 verdict #2)."""
+    if portable:
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(col)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -93,6 +103,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means as DataFrame ops: seeds are the k
     hash-smallest vectors (reproducible, no RNG), each iteration is one
@@ -105,9 +116,12 @@ def kmeans_centroids(
     """
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if dim is None:
-        dim = len(v.select("v").first()["v"])
+        first = v.select("v").first()
+        if first is None:
+            raise ValueError("kmeans_centroids: empty corpus (and no dim given)")
+        dim = len(first["v"])
     cents = (
-        v.withColumn("_h", F.xxhash64(F.col("id").cast("string")))
+        v.withColumn("_h", _seed_hash(F.col("id").cast("string"), portable))
         .orderBy("_h")
         .limit(k)
         .select(F.row_number().over(Window.orderBy("_h")).alias("centroid_id"), F.col("v").alias("c"))
@@ -143,15 +157,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
+    dim: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
     inverted lists (deterministic k-means), probe the ``n_probe`` nearest
     lists per query, exact-rerank only those lists. Cost per query drops
     from |corpus| to ~|corpus|·n_probe/n_centroids; the centroid table is
-    broadcast everywhere."""
+    broadcast everywhere. Pass ``dim`` when known to skip the probing
+    first() job; ``portable`` switches the k-means seed hash to the
+    DuckDB-replayable md5 form."""
     # kmeans_centroids returns a localCheckpointed table (materialized,
     # lineage-free) — reused by both assignment joins below without cache()
-    cents = kmeans_centroids(corpus, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    cents = kmeans_centroids(
+        corpus, k=n_centroids, id_col=id_col, vec_col=vec_col, dim=dim,
+        portable=portable,
+    )
     dist = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
     )

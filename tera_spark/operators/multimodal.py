@@ -82,27 +82,40 @@ def decode_png(payload: bytes) -> np.ndarray:
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
         f = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1).copy()
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
         if f == 0:
-            pass
-        elif f == 1:  # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 0xFF
-        elif f == 2:  # Up
+            line = line.copy()
+        elif f == 1:  # Sub: per-channel prefix sum mod 256 — fully vectorized
+            line = (
+                np.cumsum(line.reshape(-1, channels).astype(np.int64), axis=0) & 0xFF
+            ).astype(np.uint8).reshape(-1)
+        elif f == 2:  # Up — fully vectorized
             line = (line + prev) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = line[x - channels] if x >= channels else 0
-                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(line[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
+        elif f == 3:  # Average: left-recurrence → one loop over PIXELS
+            # (channel-vectorized), not bytes — ~channels× fewer iterations
+            ln = line.reshape(-1, channels).astype(np.int64)
+            pr = prev.reshape(-1, channels).astype(np.int64)
+            left = np.zeros(channels, dtype=np.int64)
+            for px in range(ln.shape[0]):
+                left = (ln[px] + ((left + pr[px]) >> 1)) & 0xFF
+                ln[px] = left
+            line = ln.astype(np.uint8).reshape(-1)
+        elif f == 4:  # Paeth: same pixel-loop shape, channel-vectorized
+            ln = line.reshape(-1, channels).astype(np.int64)
+            pr = prev.reshape(-1, channels).astype(np.int64)
+            left = np.zeros(channels, dtype=np.int64)
+            ul = np.zeros(channels, dtype=np.int64)
+            for px in range(ln.shape[0]):
+                b = pr[px]
+                p = left + b - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
+                )
+                left = (ln[px] + pred) & 0xFF
+                ln[px] = left
+                ul = b
+            line = ln.astype(np.uint8).reshape(-1)
         else:
             raise ValueError(f"unknown PNG filter {f}")
         img[y] = line
@@ -340,10 +353,10 @@ def _synth_wav(i: int, sr: int = 8000, ms: int = 200) -> bytes:
     return buf.getvalue()
 
 
-def synth_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table: REAL PNG/PPM/WAV payloads
-    (decoded by the real decoders above) plus fake-mp4 video rows that
-    exercise the documented fallback path."""
+def synth_media_rows(n: int = 64) -> list:
+    """Deterministic synthetic media rows — shared by ``synth_media_df``
+    and the driver-contract oracle (which embeds the payload hex as SQL
+    literals, so DuckDB recomputes byte counts and hashes independently)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video", "image"][i % 4]
@@ -358,4 +371,11 @@ def synth_media_df(spark, n: int = 64) -> DataFrame:
             payload = hashlib.sha256(f"media{i}".encode()).digest() * (1 + i % 4)
             mime, w, h, dur = "video/mp4", None, None, 1000 * (1 + i % 5)
         rows.append((i, kind, bytearray(payload), mime, w, h, dur))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media_df(spark, n: int = 64) -> DataFrame:
+    """Synthetic media table: REAL PNG/PPM/WAV payloads (decoded by the
+    real decoders above) plus fake-mp4 video rows that exercise the
+    documented fallback path."""
+    return spark.createDataFrame(synth_media_rows(n), MEDIA_SCHEMA)

@@ -12,11 +12,39 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _mem_available_gb() -> float:
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 1e9  # unknown → assume plenty (non-Linux dev box)
+
+
+def _pin_opts(heap: str) -> str:
+    """Heap-pinning JVM flags (Xms=Xmx + AlwaysPreTouch): commits every heap
+    page at JVM startup. Without it, G1 grows/uncommits the heap continuously
+    and every (re)committed page faults on first touch — measured on this
+    microVM host as >60% of ALL cpu burned in kernel time during 32-thread
+    runs. Gated: TERA_SPARK_PIN_HEAP=0 disables, and the pin is skipped
+    automatically when the host lacks 1.25× the heap in MemAvailable (a full
+    upfront commit on a tight host would OOM where lazy commit survives)."""
+    if os.environ.get("TERA_SPARK_PIN_HEAP", "1") == "0":
+        return ""
+    gb = float(heap.rstrip("gG")) if heap.lower().endswith("g") else 8.0
+    if _mem_available_gb() < 1.25 * gb:
+        return ""
+    return f"-Xms{heap} -XX:+AlwaysPreTouch -XX:-ShrinkHeapInSteps"
+
+
 def get_spark(
     app_name: str = "tera_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -24,6 +52,12 @@ def get_spark(
     partitions default to the core count — right-sized for local mode; on a
     real cluster this knob scales with executor count (and AQE coalesces
     down at runtime anyway).
+
+    ``master`` overrides the default ``local[cores]`` — pass
+    ``local-cluster[W,C,MB]`` to run W separate executor JVMs on this box
+    (the multi-executor memory topology of a real cluster; used by the
+    scaling bench to measure N→4N executor efficiency without sharing one
+    JVM's memory subsystem across all cores).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -38,8 +72,14 @@ def get_spark(
     if repo_root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = repo_root + (os.pathsep + pp if pp else "")
 
+    driver_mem = os.environ.get("TERA_SPARK_DRIVER_MEM", "8g")
+    conf = dict(extra_conf or {})
+    # Merge (never replace) user-supplied JVM options with the heap pin.
+    user_jvm = conf.pop("spark.driver.extraJavaOptions", "")
+    driver_jvm = " ".join(x for x in (user_jvm, _pin_opts(driver_mem)) if x)
+
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -48,20 +88,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("TERA_SPARK_DRIVER_MEM", "8g"))
-        # Pin the heap: Xms=Xmx + AlwaysPreTouch commits every heap page at
-        # JVM startup. Without it, G1 grows/uncommits the heap continuously
-        # and every (re)committed page faults on first touch — measured on
-        # this microVM host as >60% of ALL cpu burned in kernel time during
-        # 32-thread runs (page-fault exits dominate). One-time pretouch
-        # moves that cost to startup. Real clusters set the same pair for
-        # the same reason.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-Xms"
-            + os.environ.get("TERA_SPARK_DRIVER_MEM", "8g")
-            + " -XX:+AlwaysPreTouch -XX:-ShrinkHeapInSteps",
-        )
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Fork UDF workers from a daemon that has pandas/pyarrow already
@@ -70,7 +97,25 @@ def get_spark(
         .config("spark.python.daemon.module", "tera_spark.warm_daemon")
         .config("spark.python.worker.reuse", "true")
     )
-    for k, v in (extra_conf or {}).items():
+    if driver_jvm:
+        builder = builder.config("spark.driver.extraJavaOptions", driver_jvm)
+    if master and master.startswith("local-cluster["):
+        # Worker JVMs locate spark scripts/jars via SPARK_HOME (pip installs
+        # don't set it; the pyspark package dir is the correct value).
+        os.environ.setdefault("SPARK_HOME", __import__("pyspark").__path__[0])
+        # Multi-executor mode: size + pin each executor JVM the same way the
+        # driver is pinned (workers inherit this env via the launched JVMs).
+        exec_mem = os.environ.get("TERA_SPARK_EXECUTOR_MEM", "4g")
+        builder = builder.config("spark.executor.memory", exec_mem)
+        exec_pin = _pin_opts(exec_mem)
+        if exec_pin:
+            builder = builder.config("spark.executor.extraJavaOptions", exec_pin)
+        # executors are separate JVMs — they resolve python workers + the
+        # warm daemon through this path
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
+        )
+    for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -97,6 +97,31 @@ def test_pipeline_end_to_end_and_resume(spark, transcripts, lexicon, tmp_path):
     assert {r.stage for r in metrics.collect()} >= {"mentions", "linked", "triples"}
 
 
+def test_partial_write_is_rerun_not_resumed(spark, transcripts, lexicon, tmp_path):
+    """A stage dir holding parquet files but NO _SUCCESS (writer died between
+    task commits and the job commit) must be treated as absent: the stage
+    re-runs instead of resuming partial data (round-2 verdict fix)."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "partial")
+    run_pipeline(spark, transcripts, lexicon, out)
+    n_before = spark.read.parquet(out + "/edges").count()
+
+    # simulate the torn write: drop the commit marker AND some data files
+    os.remove(out + "/edges/_SUCCESS")
+    buckets = sorted(
+        d for d in os.listdir(out + "/edges") if d.startswith("_bucket=")
+    )
+    for d in buckets[: max(1, len(buckets) // 2)]:
+        shutil.rmtree(os.path.join(out, "edges", d))
+
+    res = run_pipeline(spark, transcripts, lexicon, out)
+    assert "edges" in res.stages_run
+    assert os.path.exists(out + "/edges/_SUCCESS")
+    assert spark.read.parquet(out + "/edges").count() == n_before
+
+
 def test_salted_canonicalization_same_output(spark, transcripts, lexicon, tmp_path):
     out_a = str(tmp_path / "a")
     out_b = str(tmp_path / "b")
@@ -105,6 +130,26 @@ def test_salted_canonicalization_same_output(spark, transcripts, lexicon, tmp_pa
     ta = {tuple(r) for r in spark.read.parquet(out_a + "/triples").collect()}
     tb = {tuple(r) for r in spark.read.parquet(out_b + "/triples").collect()}
     assert ta == tb
+
+
+def test_prepared_lexicon_release_and_freq_guard(spark, lexicon):
+    """release() must drop exactly the checkpoint blocks a PreparedLexicon
+    pinned (no RDD growth across repeated prepare/release cycles), and
+    re-preparing an already-prepared lexicon with a different
+    max_shingle_freq must fail loudly instead of silently ignoring it."""
+    from tera_spark.pipeline.link import _persistent_rdd_ids, prepare_lexicon
+
+    sc = spark.sparkContext
+    base = _persistent_rdd_ids(sc)
+    for _ in range(3):
+        p = prepare_lexicon(lexicon)
+        assert len(_persistent_rdd_ids(sc)) > len(base)
+        # idempotent pass-through with the same freq; reject a different one
+        assert prepare_lexicon(p) is p
+        with pytest.raises(ValueError, match="max_shingle_freq"):
+            prepare_lexicon(p, max_shingle_freq=7)
+        p.release()
+        assert _persistent_rdd_ids(sc) == base
 
 
 def test_per_turn_text_equality_invariant(spark, transcripts):
