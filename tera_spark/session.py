@@ -78,9 +78,15 @@ def get_spark(
     user_jvm = conf.pop("spark.driver.extraJavaOptions", "")
     driver_jvm = " ".join(x for x in (user_jvm, _pin_opts(driver_mem)) if x)
 
+    # Under spark-submit (PythonRunner sets the gateway port) the master
+    # comes from the submit command line — forcing local[cores] here would
+    # silently override `spark-submit --master ...`. Only set a master when
+    # the caller asked for one or we're a plain `python` process.
+    builder = SparkSession.builder
+    if master is not None or "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(master or f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(master or f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

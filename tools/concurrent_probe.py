@@ -1,0 +1,136 @@
+"""Host-ceiling attribution probe for the multi-JVM scaling pair.
+
+Question it answers: when local-cluster[4,8] (4 executor JVMs × 8 cores)
+scales at only ~0.4 vs local-cluster[1,8], is that the ENGINE (cross-
+executor coordination: shuffle files, sockets, scheduler) or the BOX
+(total memory-bandwidth / guest-kernel ceiling shared by any 32-core
+memory-heavy workload)?
+
+Method: run K COMPLETELY INDEPENDENT copies of the same 8-core single-JVM
+pipeline job concurrently — separate processes, separate SparkSessions,
+zero coordination, same read-only input, distinct outputs. Independent
+jobs have no engine-level interaction at all, so any slowdown vs one job
+running alone is pure host contention:
+
+    per-box efficiency = t_alone / t_concurrent   (per job)
+    aggregate turns/sec = K * turns / max(t_concurrent_i)
+
+If aggregate(K=4 independent) ~= rate(local-cluster[4,8]) then the
+cluster run is already extracting everything the box gives ANY 4x8-core
+layout, and the 8->32-core efficiency ceiling is the host's, not the
+engine's. Results are printed as one JSON line and appended to
+BENCH/scaling_runs.jsonl with mode="independent" for the report.
+
+Usage: python tools/concurrent_probe.py [n_convs] [K] [cores_per_job]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SHM = "/dev/shm/tera_scaling"
+HISTORY = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+
+_CHILD = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from tera_spark.session import get_spark
+from tera_spark.fixtures.transcripts import lexicon_spark_df
+from tera_spark.pipeline.run import run_pipeline
+
+spark = get_spark("concurrent_probe", cores={cores}, shuffle_partitions={cores})
+transcripts = spark.read.parquet({src!r})
+n_turns = transcripts.count()
+lexicon = lexicon_spark_df(spark)
+
+# warm python workers/JIT with one run, then the measured run — mirrors
+# the scaling bench's warm-run discipline so numbers are comparable
+for i in range(2):
+    out = {shm!r} + f"/probe_{tag}_{{i}}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    run_pipeline(spark, transcripts, lexicon, out)
+    secs = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+print(json.dumps({{"tag": {tag!r}, "turns": n_turns, "seconds": round(secs, 2)}}))
+spark.stop()
+"""
+
+_CPU_FIELDS = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+
+
+def _cpu_stat() -> list[int]:
+    with open("/proc/stat") as fh:
+        return [int(x) for x in fh.readline().split()[1:9]]
+
+
+def _spawn(tag: str, cores: int, src: str) -> subprocess.Popen:
+    code = _CHILD.format(repo=REPO, cores=cores, src=src, shm=SHM, tag=tag)
+    env = dict(os.environ, TERA_SPARK_DRIVER_MEM="16g",
+               SPARK_LOCAL_DIRS=os.path.join(SHM, "localdir"))
+    return subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+
+
+def _collect(procs: list[subprocess.Popen]) -> list[dict]:
+    out = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=3600)
+        lines = [l for l in stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise SystemExit(f"child produced no result (rc={p.returncode})")
+        out.append(json.loads(lines[-1]))
+    return out
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 600000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    src = os.path.join(SHM, f"transcripts_{n_convs}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        raise SystemExit(f"corpus missing: {src} (generate via scaling_bench)")
+    os.makedirs(os.path.join(SHM, "localdir"), exist_ok=True)
+
+    # phase 1: one job alone (the contention-free reference)
+    alone = _collect([_spawn("alone", cores, src)])[0]
+
+    # phase 2: K independent jobs simultaneously
+    s0 = _cpu_stat()
+    procs = [_spawn(f"c{i}", cores, src) for i in range(k)]
+    results = _collect(procs)
+    s1 = _cpu_stat()
+    d = [b - a for a, b in zip(s0, s1)]
+    tot = sum(d) or 1
+    win = {nm: round(100 * v / tot, 1) for nm, v in zip(_CPU_FIELDS, d)}
+
+    turns = alone["turns"]
+    t_max = max(r["seconds"] for r in results)
+    rec = {
+        "mode": "independent",
+        "k": k,
+        "cores_per_job": cores,
+        "turns": turns,
+        "alone_seconds": alone["seconds"],
+        "concurrent_seconds": sorted(r["seconds"] for r in results),
+        "per_job_efficiency": round(alone["seconds"] / t_max, 3),
+        "aggregate_turns_per_sec": round(k * turns / t_max, 1),
+        "alone_turns_per_sec": round(turns / alone["seconds"], 1),
+        "hostcpu": win,
+        "ts": int(time.time()),
+        "source": f"probe-{int(time.time())}",
+    }
+    with open(HISTORY, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

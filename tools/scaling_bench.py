@@ -172,7 +172,10 @@ def _label(r: dict) -> str:
 
 
 def write_report() -> None:
-    runs = _load_history()
+    # mode="independent" records come from tools/concurrent_probe.py (the
+    # host-ceiling attribution probe) — summarized in prose, not the tables
+    probes = [r for r in _load_history() if r.get("mode") == "independent"]
+    runs = [r for r in _load_history() if r.get("mode") != "independent"]
     # key: (turns, workers, cores) — workers=0 is single-JVM local mode
     corpora: dict[int, dict[tuple[int, int], list[dict]]] = {}
     for r in runs:
@@ -267,6 +270,16 @@ def write_report() -> None:
                 f"Within-round (same host window, no floor argument) "
                 f"{sl}→{bl} efficiencies: {pairs}.\n\n"
             )
+    for p in probes:
+        lines.append(
+            f"**Host-ceiling attribution probe** (`tools/concurrent_probe.py`, "
+            f"{p['turns']:,} turns): {p['k']} fully INDEPENDENT {p['cores_per_job']}-core "
+            f"single-JVM jobs run concurrently (zero engine coordination) vs one "
+            f"alone. Alone: {p['alone_seconds']}s ({p['alone_turns_per_sec']}/s); "
+            f"concurrent: {p['concurrent_seconds']} s → per-job efficiency "
+            f"{p['per_job_efficiency']}, aggregate {p['aggregate_turns_per_sec']}/s. "
+            f"Host window: {p['hostcpu']}.\n\n"
+        )
     lines.append(
         "What it took to make this measurable on a shared microVM (round 2):\n"
         "the guest kernel was burning >60% of ALL cpu in page-fault handling\n"
