@@ -21,7 +21,10 @@ layout, and the 8->32-core efficiency ceiling is the host's, not the
 engine's. Results are printed as one JSON line and appended to
 BENCH/scaling_runs.jsonl with mode="independent" for the report.
 
-Usage: python tools/concurrent_probe.py [n_convs] [K] [cores_per_job]
+Usage: python tools/concurrent_probe.py [n_convs] [K] [cores_per_job] [alone_seconds]
+       (alone_seconds: reuse a recorded warm floor for the alone reference
+        instead of re-measuring it — e.g. the per-level best from
+        BENCH/scaling_runs.jsonl)
 """
 
 from __future__ import annotations
@@ -99,8 +102,12 @@ def main() -> None:
         raise SystemExit(f"corpus missing: {src} (generate via scaling_bench)")
     os.makedirs(os.path.join(SHM, "localdir"), exist_ok=True)
 
-    # phase 1: one job alone (the contention-free reference)
-    alone = _collect([_spawn("alone", cores, src)])[0]
+    # phase 1: one job alone (the contention-free reference) — or a
+    # recorded warm floor passed on the command line
+    if len(sys.argv) > 4:
+        alone = {"turns": None, "seconds": float(sys.argv[4])}
+    else:
+        alone = _collect([_spawn("alone", cores, src)])[0]
 
     # phase 2: K independent jobs simultaneously
     s0 = _cpu_stat()
@@ -111,7 +118,7 @@ def main() -> None:
     tot = sum(d) or 1
     win = {nm: round(100 * v / tot, 1) for nm, v in zip(_CPU_FIELDS, d)}
 
-    turns = alone["turns"]
+    turns = alone["turns"] or results[0]["turns"]
     t_max = max(r["seconds"] for r in results)
     rec = {
         "mode": "independent",

@@ -118,6 +118,8 @@ def run(cores: int, src: str, source: str, workers: int = 0) -> dict:
     (local-cluster) — each record is stamped with the invocation id
     (``source``) so the report's same-host-window pairing only matches
     runs from one interleaved invocation."""
+    # 16g pretouched executor heaps measured best on this box (10g +
+    # sized pools A/B'd worse: more frequent GC at equal pause width)
     exec_mem_mb = int(os.environ.get("TERA_SPARK_EXEC_MEM_MB", "16384"))
     code = _CHILD.format(
         repo=REPO, cores=cores, workers=workers, src=src, shm=SHM,
@@ -173,9 +175,12 @@ def _label(r: dict) -> str:
 
 def write_report() -> None:
     # mode="independent" records come from tools/concurrent_probe.py (the
-    # host-ceiling attribution probe) — summarized in prose, not the tables
-    probes = [r for r in _load_history() if r.get("mode") == "independent"]
-    runs = [r for r in _load_history() if r.get("mode") != "independent"]
+    # host-ceiling attribution probe); mode="spark-submit" from
+    # tools/submit_demo.py — both summarized in prose, not the tables
+    history = _load_history()
+    probes = [r for r in history if r.get("mode") == "independent"]
+    submits = [r for r in history if r.get("mode") == "spark-submit"]
+    runs = [r for r in history if r.get("mode") is None]
     # key: (turns, workers, cores) — workers=0 is single-JVM local mode
     corpora: dict[int, dict[tuple[int, int], list[dict]]] = {}
     for r in runs:
@@ -200,6 +205,9 @@ def write_report() -> None:
         "is 10^12 turns, and a bigger input amortizes the fixed per-job\n"
         "driver/scheduler component exactly as a real cluster run would.\n\n"
     ]
+    # collected for the data-driven attribution paragraph at the end:
+    # {(turns, cores_per_executor): multi-JVM 1->4 pair efficiency}
+    cluster_effs: dict[tuple[int, int], float] = {}
     for turns in sorted(corpora, reverse=True):
         by_cfg = corpora[turns]
         levels = sorted(by_cfg)
@@ -230,6 +238,7 @@ def write_report() -> None:
             s, b = best(small), best(big)
             eff = (b["turns_per_sec"] / s["turns_per_sec"]) / 4
             if sw:
+                cluster_effs[(turns, sc)] = eff
                 note = (
                     " — **the north-rule shape: N vs 4N separate executor "
                     "JVMs (target ≥ 0.8)**"
@@ -270,6 +279,28 @@ def write_report() -> None:
                 f"Within-round (same host window, no floor argument) "
                 f"{sl}→{bl} efficiencies: {pairs}.\n\n"
             )
+    if submits:
+        by_w: dict[int, dict] = {}
+        for s in submits:
+            w = int(s["workers"])
+            if w not in by_w or s["seconds"] < by_w[w]["seconds"]:
+                by_w[w] = s
+        pair = ""
+        if 1 in by_w and 4 in by_w:
+            eff = (by_w[4]["turns_per_sec"] / by_w[1]["turns_per_sec"]) / 4
+            pair = f" Pair efficiency (best per size): **{eff:.3f}**."
+        rows = "; ".join(
+            f"local-cluster[{w},8] {by_w[w]['seconds']}s "
+            f"({by_w[w]['turns_per_sec']}/s)" for w in sorted(by_w)
+        )
+        lines.append(
+            "**`spark-submit --py-files` parity** (`tools/submit_demo.py`, the\n"
+            "north rule's literal execution shape: the dist zip submitted onto\n"
+            "N=1 and 4N=4 executor-JVM masters; single submission per run, so\n"
+            "cold python workers are included — the scaling tables above use\n"
+            f"warm-run discipline): {rows}.{pair}\n\n"
+        )
+    probe_by_cores: dict[int, dict] = {}
     for p in probes:
         lines.append(
             f"**Host-ceiling attribution probe** (`tools/concurrent_probe.py`, "
@@ -279,6 +310,30 @@ def write_report() -> None:
             f"concurrent: {p['concurrent_seconds']} s → per-job efficiency "
             f"{p['per_job_efficiency']}, aggregate {p['aggregate_turns_per_sec']}/s. "
             f"Host window: {p['hostcpu']}.\n\n"
+        )
+        c = int(p["cores_per_job"])
+        if c not in probe_by_cores or p["per_job_efficiency"] > probe_by_cores[c][
+            "per_job_efficiency"
+        ]:
+            probe_by_cores[c] = p
+    # attribution: for each multi-JVM 1->4 executor pair, the independent
+    # probe at the same per-executor core count is the zero-coordination
+    # ceiling — the share of it the coordinated engine extracts is the
+    # engine-owned number (coordination cost), the rest is the host's
+    for (turns, c), eff in sorted(cluster_effs.items(), reverse=True):
+        p = probe_by_cores.get(c)
+        if not p:
+            continue
+        ceiling = p["per_job_efficiency"]
+        share = eff / ceiling if ceiling else 0.0
+        lines.append(
+            f"**Attribution, local-cluster[1,{c}]→[4,{c}] at {turns:,} turns**: "
+            f"measured pair efficiency {eff:.3f}; the zero-coordination ceiling at "
+            f"the same 4×{c}-core shape (independent-jobs probe above) is "
+            f"{ceiling:.3f} — the coordinated engine extracts **{share:.0%}** of "
+            f"what the host gives ANY {4 * c}-core-in-4-JVMs layout; the "
+            f"remaining gap is host contention (shared memory bus / guest "
+            f"kernel), not engine coordination.\n\n"
         )
     lines.append(
         "What it took to make this measurable on a shared microVM (round 2):\n"
@@ -295,11 +350,15 @@ def write_report() -> None:
         "(tools/eventlog_probe.py): warm local[8] = 64.0s with 59.7s inside\n"
         "jobs and 6.8s of scheduler gaps across 78 jobs — i.e. driver gaps\n"
         "are ~10% of wall, vs 38% in round 1.\n\n"
-        "Residual ceiling, local[8]→local[32]: single-JVM memory-bandwidth\n"
-        "saturation of string/hash-heavy JVM stages on this box (~10-12\n"
-        "threads); pure-CPU 32-process python scales near-linearly (probe in\n"
-        "git history), so the 2→8 pair is the honest core-scaling signal and\n"
-        "the 8→32 pair is reported for transparency.\n\n"
+        "Reading the attribution lines above: an 'independent-jobs' probe\n"
+        "runs K copies of the SAME job with ZERO engine coordination\n"
+        "(separate processes, sessions, shuffles) — any slowdown vs one job\n"
+        "alone is pure host contention, so its per-job efficiency is the\n"
+        "ceiling the host grants ANY layout of that shape, engine\n"
+        "regardless. The share of that ceiling the coordinated\n"
+        "local-cluster run extracts is the engine-owned number — the part\n"
+        "that transfers to a real cluster where each executor owns its own\n"
+        "memory bus and the host ceiling does not apply.\n\n"
         f"All runs (each with its /proc/stat host window): `BENCH/scaling_runs.jsonl`.\n"
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -1,0 +1,112 @@
+"""Literal north-rule execution shape: `spark-submit --py-files` of the
+packaged engine onto a multi-executor master at TWO cluster sizes (N=1 and
+4N=4 executor JVMs), same input, reporting turns/sec at both + efficiency.
+
+This is the packaging/submission parity check — it proves the engine runs
+from the dist zip under spark-submit exactly as it does in-process (same
+pipeline, same session factory, which defers to spark-submit's --master).
+The headline scaling numbers live in scaling_runs.jsonl from
+tools/scaling_bench.py (same master shapes, tighter warm-run discipline);
+these submissions are recorded alongside with submit=true.
+
+Usage: python tools/submit_demo.py [n_convs] [runs_per_size]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SHM = "/dev/shm/tera_scaling"
+HISTORY = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+PIN = "-Xms16g -XX:+AlwaysPreTouch -XX:-ShrinkHeapInSteps"
+
+
+def _spark_submit() -> str:
+    import pyspark
+
+    return os.path.join(pyspark.__path__[0], "bin", "spark-submit")
+
+
+def submit(workers: int, cores_per: int, src: str, out: str) -> dict:
+    zip_path = os.path.join(REPO, "dist", "tera_spark.zip")
+    cmd = [
+        _spark_submit(),
+        "--master", f"local-cluster[{workers},{cores_per},16384]",
+        "--driver-memory", "16g",
+        "--conf", f"spark.driver.extraJavaOptions={PIN}",
+        "--conf", "spark.executor.memory=16g",
+        "--conf", f"spark.executor.extraJavaOptions={PIN}",
+        # the zip itself serves as the executor-side PYTHONPATH entry so the
+        # warm python daemon module resolves at daemon boot (py-files are
+        # appended per-task, which is too late for spark.python.daemon.module)
+        "--conf", f"spark.executorEnv.PYTHONPATH={zip_path}",
+        "--py-files", zip_path,
+        os.path.join(REPO, "tera_spark", "pipeline", "driver.py"),
+        "--transcripts", src,
+        "--out", out,
+        "--cores", str(workers * cores_per),
+        "--force",
+    ]
+    env = dict(
+        os.environ,
+        SPARK_HOME=__import__("pyspark").__path__[0],
+        SPARK_LOCAL_DIRS=os.path.join(SHM, "localdir"),
+        PYSPARK_PYTHON=sys.executable,
+    )
+    t0 = time.time()
+    out_p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
+    lines = [l for l in out_p.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        print(out_p.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(f"spark-submit failed (rc={out_p.returncode})")
+    rec = json.loads(lines[-1])
+    rec["submit_wall"] = round(time.time() - t0, 2)
+    return rec
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 600000
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    src = os.path.join(SHM, f"transcripts_{n_convs}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        raise SystemExit(f"corpus missing: {src} (generate via scaling_bench)")
+    os.makedirs(os.path.join(SHM, "localdir"), exist_ok=True)
+    subprocess.run([sys.executable, os.path.join(REPO, "tools", "make_pyfiles.py")],
+                   check=True)
+
+    source = f"submit-{int(time.time())}"
+    best: dict[int, dict] = {}
+    for w in (1, 4):
+        for i in range(runs):
+            out_dir = os.path.join(SHM, f"submit_out_{w}_{i}")
+            subprocess.run(["rm", "-rf", out_dir])
+            rec = submit(w, 8, src, out_dir)
+            subprocess.run(["rm", "-rf", out_dir])
+            row = {
+                "mode": "spark-submit", "cores": w * 8, "workers": w,
+                "turns": rec["turns"], "seconds": rec["seconds"],
+                "turns_per_sec": rec["turns_per_sec"],
+                "ts": int(time.time()), "source": source,
+            }
+            with open(HISTORY, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            print(json.dumps(row), flush=True)
+            if w not in best or row["seconds"] < best[w]["seconds"]:
+                best[w] = row
+    eff = (best[4]["turns_per_sec"] / best[1]["turns_per_sec"]) / 4
+    print(json.dumps({
+        "spark_submit_pair": {
+            "n_executors": best[1]["turns_per_sec"],
+            "4n_executors": best[4]["turns_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+    }))
+
+
+if __name__ == "__main__":
+    main()
