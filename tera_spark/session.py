@@ -23,12 +23,17 @@ def _mem_available_gb() -> float:
     return 1e9  # unknown → assume plenty (non-Linux dev box)
 
 
-def _pin_opts(heap: str) -> str:
-    """Heap-pinning JVM flags (Xms=Xmx + AlwaysPreTouch): commits every heap
-    page at JVM startup. Without it, G1 grows/uncommits the heap continuously
-    and every (re)committed page faults on first touch — measured on this
-    microVM host as >60% of ALL cpu burned in kernel time during 32-thread
-    runs. Gated: TERA_SPARK_PIN_HEAP=0 disables, and the pin is skipped
+def _pin_opts(heap: str, pretouch: bool = True) -> str:
+    """Heap-pinning JVM flags. ``Xms=Xmx -XX:-ShrinkHeapInSteps`` stops G1
+    from growing/uncommitting the heap continuously — the round-2 measured
+    pathology where every re-committed page faults on first touch (>60% of
+    ALL cpu in kernel time during 32-thread runs). ``AlwaysPreTouch``
+    additionally zeroes the whole heap at JVM startup: right for one
+    long-lived driver JVM and — measured both ways in round 3 — also right
+    for executors on this guest: skipping executor pretouch moved the
+    page-zeroing cost INTO the measured runs (warm runs went kernel-bound,
+    0.8 cores user vs 5.5 system), strictly worse than paying it once at
+    launch. Gated: TERA_SPARK_PIN_HEAP=0 disables, and the pin is skipped
     automatically when the host lacks 1.25× the heap in MemAvailable (a full
     upfront commit on a tight host would OOM where lazy commit survives)."""
     if os.environ.get("TERA_SPARK_PIN_HEAP", "1") == "0":
@@ -36,7 +41,8 @@ def _pin_opts(heap: str) -> str:
     gb = float(heap.rstrip("gG")) if heap.lower().endswith("g") else 8.0
     if _mem_available_gb() < 1.25 * gb:
         return ""
-    return f"-Xms{heap} -XX:+AlwaysPreTouch -XX:-ShrinkHeapInSteps"
+    pt = " -XX:+AlwaysPreTouch" if pretouch else ""
+    return f"-Xms{heap}{pt} -XX:-ShrinkHeapInSteps"
 
 
 def get_spark(
@@ -113,9 +119,41 @@ def get_spark(
         # driver is pinned (workers inherit this env via the launched JVMs).
         exec_mem = os.environ.get("TERA_SPARK_EXECUTOR_MEM", "4g")
         builder = builder.config("spark.executor.memory", exec_mem)
-        exec_pin = _pin_opts(exec_mem)
+        # Optional per-executor thread-pool sizing (GC/JIT/netty pools down
+        # from box-width to executor-core-width), the standard knob when
+        # packing executors on shared nodes. Measured OFF as the better
+        # default on THIS box (A/B at 5.7M turns: [1,8] 217s vs 175s,
+        # [4,8] 173s vs 82s with full pools) — with 32 vCPUs and staggered
+        # pauses, box-wide GC bursts borrow idle cores profitably. On real
+        # multi-tenant nodes turn it on: TERA_SPARK_SIZE_EXEC_POOLS=1.
+        exec_jvm = ""
+        if os.environ.get("TERA_SPARK_SIZE_EXEC_POOLS", "0") == "1":
+            try:
+                per_cores = int(master.split("[", 1)[1].split(",")[1])
+            except (IndexError, ValueError):
+                per_cores = max(2, cores)
+            gc_threads = max(2, per_cores)
+            io_threads = max(2, per_cores)
+            exec_jvm = (
+                f"-XX:ParallelGCThreads={gc_threads} "
+                f"-XX:ConcGCThreads={max(1, gc_threads // 2)} "
+                f"-XX:CICompilerCount={max(2, min(4, per_cores))}"
+            )
+            builder = (
+                builder.config("spark.shuffle.io.serverThreads", str(io_threads))
+                .config("spark.shuffle.io.clientThreads", str(io_threads))
+            )
+        # Executors pin WITH pretouch: on this guest every lazy first-touch
+        # page fault is expensive (round-2 measurement), and removing
+        # pretouch moved that cost into the measured runs (re-measured in
+        # round 3: warm runs went kernel-bound, 0.8 cores user vs 5.5
+        # system). Startup pretouch happens before any job runs and is
+        # outside the bench's timed region.
+        exec_pin = _pin_opts(exec_mem, pretouch=True)
         if exec_pin:
-            builder = builder.config("spark.executor.extraJavaOptions", exec_pin)
+            exec_jvm = (exec_pin + " " + exec_jvm).strip()
+        if exec_jvm:
+            builder = builder.config("spark.executor.extraJavaOptions", exec_jvm)
         # executors are separate JVMs — they resolve python workers + the
         # warm daemon through this path
         builder = builder.config(

@@ -105,9 +105,15 @@ def main() -> None:
     # phase 1: one job alone (the contention-free reference) — or a
     # recorded warm floor passed on the command line
     if len(sys.argv) > 4:
-        alone = {"turns": None, "seconds": float(sys.argv[4])}
+        # floor-based alone reference: conservative ONLY in a window at
+        # least as clean as the floor's — in a degraded window it understates
+        # per-job efficiency (the floor was faster than an alone run HERE
+        # would be), so the record is labeled and the report reads it as a
+        # lower bound
+        alone = {"turns": None, "seconds": float(sys.argv[4]), "ref": "floor"}
     else:
         alone = _collect([_spawn("alone", cores, src)])[0]
+        alone["ref"] = "same-window"
 
     # phase 2: K independent jobs simultaneously
     s0 = _cpu_stat()
@@ -130,6 +136,7 @@ def main() -> None:
         "per_job_efficiency": round(alone["seconds"] / t_max, 3),
         "aggregate_turns_per_sec": round(k * turns / t_max, 1),
         "alone_turns_per_sec": round(turns / alone["seconds"], 1),
+        "alone_ref": alone["ref"],
         "hostcpu": win,
         "ts": int(time.time()),
         "source": f"probe-{int(time.time())}",

@@ -302,19 +302,31 @@ def write_report() -> None:
         )
     probe_by_cores: dict[int, dict] = {}
     for p in probes:
+        ref = p.get("alone_ref", "same-window")
+        note = (
+            ""
+            if ref == "same-window"
+            else " (alone is the recorded warm FLOOR, not a same-window run — "
+            "in a degraded window this understates per-job efficiency, so "
+            "read it as a lower bound)"
+        )
         lines.append(
             f"**Host-ceiling attribution probe** (`tools/concurrent_probe.py`, "
             f"{p['turns']:,} turns): {p['k']} fully INDEPENDENT {p['cores_per_job']}-core "
             f"single-JVM jobs run concurrently (zero engine coordination) vs one "
-            f"alone. Alone: {p['alone_seconds']}s ({p['alone_turns_per_sec']}/s); "
+            f"alone. Alone ({ref}): {p['alone_seconds']}s ({p['alone_turns_per_sec']}/s); "
             f"concurrent: {p['concurrent_seconds']} s → per-job efficiency "
-            f"{p['per_job_efficiency']}, aggregate {p['aggregate_turns_per_sec']}/s. "
-            f"Host window: {p['hostcpu']}.\n\n"
+            f"{p['per_job_efficiency']}{note}, aggregate "
+            f"{p['aggregate_turns_per_sec']}/s. Host window: {p['hostcpu']}.\n\n"
         )
         c = int(p["cores_per_job"])
-        if c not in probe_by_cores or p["per_job_efficiency"] > probe_by_cores[c][
-            "per_job_efficiency"
-        ]:
+        # prefer same-window probes; among equals keep the highest ceiling
+        cur = probe_by_cores.get(c)
+        better = cur is None or (
+            (cur.get("alone_ref") != "same-window", -cur["per_job_efficiency"])
+            > (ref != "same-window", -p["per_job_efficiency"])
+        )
+        if better:
             probe_by_cores[c] = p
     # attribution: for each multi-JVM 1->4 executor pair, the independent
     # probe at the same per-executor core count is the zero-coordination
@@ -325,16 +337,40 @@ def write_report() -> None:
         if not p:
             continue
         ceiling = p["per_job_efficiency"]
-        share = eff / ceiling if ceiling else 0.0
-        lines.append(
-            f"**Attribution, local-cluster[1,{c}]→[4,{c}] at {turns:,} turns**: "
-            f"measured pair efficiency {eff:.3f}; the zero-coordination ceiling at "
-            f"the same 4×{c}-core shape (independent-jobs probe above) is "
-            f"{ceiling:.3f} — the coordinated engine extracts **{share:.0%}** of "
-            f"what the host gives ANY {4 * c}-core-in-4-JVMs layout; the "
-            f"remaining gap is host contention (shared memory bus / guest "
-            f"kernel), not engine coordination.\n\n"
-        )
+        cluster_rate = None
+        for r in runs:
+            if (
+                int(r["turns"]) == turns
+                and int(r.get("workers") or 0) == 4
+                and int(r["cores"]) == 4 * c
+            ):
+                cluster_rate = max(cluster_rate or 0, r["turns_per_sec"])
+        agg = p["aggregate_turns_per_sec"]
+        if cluster_rate is not None and cluster_rate >= agg:
+            lines.append(
+                f"**Attribution, local-cluster[1,{c}]→[4,{c}] at {turns:,} turns**: "
+                f"measured pair efficiency {eff:.3f}; the coordinated engine's "
+                f"{cluster_rate}/s MATCHES OR BEATS the zero-coordination "
+                f"aggregate of 4 independent {c}-core JVMs ({agg}/s) — engine "
+                f"coordination (shuffle, scheduler) costs nothing here; the "
+                f"entire sub-linear residual is what this guest charges ANY "
+                f"{4 * c}-core-across-4-JVMs layout (shared memory bus / guest "
+                f"kernel), which a real cluster with one executor per node "
+                f"does not share. (Coordinated and probe runs are from "
+                f"different host windows — each run's window is in the log.)\n\n"
+            )
+        elif ceiling:
+            share = eff / ceiling
+            lines.append(
+                f"**Attribution, local-cluster[1,{c}]→[4,{c}] at {turns:,} turns**: "
+                f"measured pair efficiency {eff:.3f}; the zero-coordination ceiling at "
+                f"the same 4×{c}-core shape (independent-jobs probe above) is "
+                f"{ceiling:.3f} — the coordinated engine extracts **{share:.0%}** of "
+                f"what the host gives ANY {4 * c}-core-in-4-JVMs layout "
+                f"({cluster_rate}/s coordinated vs {agg}/s zero-coordination "
+                f"aggregate); the remaining gap is host contention (shared "
+                f"memory bus / guest kernel), not engine coordination.\n\n"
+            )
     lines.append(
         "What it took to make this measurable on a shared microVM (round 2):\n"
         "the guest kernel was burning >60% of ALL cpu in page-fault handling\n"
