@@ -73,6 +73,24 @@ if workers:
     master = f"local-cluster[{{workers}},{{per}},{{mem_mb}}]"
 spark = get_spark("scaling_bench", cores=cores, shuffle_partitions=cores,
                   master=master)
+if workers:
+    # Registration barrier: executor JVMs pretouch their pinned heaps at
+    # startup (AlwaysPreTouch) — on this guest page faults are so expensive
+    # that the zeroing of W concurrent heaps is a minutes-scale kernel-time
+    # storm at 16g/executor (round-3 probe: ~31 cores of pure system time,
+    # zero user). An executor does not register until its JVM finishes heap
+    # init, so polling registered-executor count pins the storm OUTSIDE the
+    # timed region deterministically instead of hoping count() absorbs it.
+    sc = spark.sparkContext
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        # block-manager count includes the driver → workers + 1 when all up
+        if sc._jsc.sc().getExecutorMemoryStatus().size() >= workers + 1:
+            break
+        time.sleep(1)
+    # one full-width job so every executor has run a task (JIT, python
+    # daemon fork, shuffle service touch) before anything is timed
+    spark.range(0, cores * 1000, 1, cores * 2).selectExpr("sum(id)").collect()
 transcripts = spark.read.parquet({src!r})
 n_turns = transcripts.count()
 lexicon = lexicon_spark_df(spark)
@@ -118,9 +136,16 @@ def run(cores: int, src: str, source: str, workers: int = 0) -> dict:
     (local-cluster) — each record is stamped with the invocation id
     (``source``) so the report's same-host-window pairing only matches
     runs from one interleaved invocation."""
-    # 16g pretouched executor heaps measured best on this box (10g +
-    # sized pools A/B'd worse: more frequent GC at equal pause width)
-    exec_mem_mb = int(os.environ.get("TERA_SPARK_EXEC_MEM_MB", "16384"))
+    # Right-sized 4g executor heaps: the earlier "16g measured best" A/B was
+    # confounded by WHERE the AlwaysPreTouch page-fault storm landed — a
+    # round-3 per-process probe caught 4×16g executor pretouch burning ~31
+    # cores of pure kernel time for minutes (guest page faults are
+    # pathologically slow), bleeding into the timed region whenever the
+    # storm outlived session-create + count(). A 4g heap per 8-core
+    # executor holds the whole per-executor working set of this job (input
+    # is ~100 MB parquet; spills go to tmpfs) and shrinks the storm 4×;
+    # the registration barrier in _CHILD pins the rest outside the timing.
+    exec_mem_mb = int(os.environ.get("TERA_SPARK_EXEC_MEM_MB", "4096"))
     code = _CHILD.format(
         repo=REPO, cores=cores, workers=workers, src=src, shm=SHM,
         exec_mem_mb=exec_mem_mb,
@@ -180,6 +205,7 @@ def write_report() -> None:
     history = _load_history()
     probes = [r for r in history if r.get("mode") == "independent"]
     submits = [r for r in history if r.get("mode") == "spark-submit"]
+    membw = [r for r in history if r.get("mode") == "membw"]
     runs = [r for r in history if r.get("mode") is None]
     # key: (turns, workers, cores) — workers=0 is single-JVM local mode
     corpora: dict[int, dict[tuple[int, int], list[dict]]] = {}
@@ -371,6 +397,34 @@ def write_report() -> None:
                 f"aggregate); the remaining gap is host contention (shared "
                 f"memory bus / guest kernel), not engine coordination.\n\n"
             )
+    if membw:
+        # per K keep the MAX aggregate (cleanest window — contention noise
+        # only ever lowers bandwidth, so max is the stable estimator)
+        by_k: dict[int, dict] = {}
+        for m in membw:
+            k = int(m["k"])
+            if k not in by_k or m["aggregate_gibps"] > by_k[k]["aggregate_gibps"]:
+                by_k[k] = m
+        ks = sorted(by_k)
+        row = ", ".join(
+            f"K={k}: {by_k[k]['aggregate_gibps']} GiB/s aggregate "
+            f"({min(by_k[k]['per_child_gibps'])}–{max(by_k[k]['per_child_gibps'])} per process)"
+            for k in ks
+        )
+        base = by_k[ks[0]]["aggregate_gibps"] / ks[0]
+        sat = max(by_k[k]["aggregate_gibps"] for k in ks)
+        lines.append(
+            "**Raw memory-bandwidth ceiling** (`tools/membw_probe.py` — ZERO\n"
+            "Spark/JVM: K independent single-threaded numpy STREAM-copy\n"
+            "processes, 256 MiB arrays, synchronized start; copied-bytes\n"
+            f"convention, bus traffic ≈ 2×): {row}. One process moves\n"
+            f"{base:.1f} GiB/s; the box saturates at ≈{sat:.0f} GiB/s aggregate —\n"
+            f"{sat / base:.1f} processes' worth shared by all 32 vCPUs. Any\n"
+            "memory-heavy 4N-core layout on this guest (engine regardless)\n"
+            "divides that constant; a real cluster has one memory bus PER\n"
+            "executor node, so the ceiling does not transfer to the\n"
+            "north-rule's actual deployment shape.\n\n"
+        )
     lines.append(
         "What it took to make this measurable on a shared microVM (round 2):\n"
         "the guest kernel was burning >60% of ALL cpu in page-fault handling\n"
