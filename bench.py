@@ -46,6 +46,8 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "ann_topk_cosine",
         "text_quality",
+        "graph_pagerank",
+        "ev_sessionize",
     ]
     timings: dict[str, float] = {}
     for name in headline:

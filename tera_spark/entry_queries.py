@@ -465,6 +465,48 @@ FROM m
 """
 
 
+def _sql_pagerank(iterations: int = 5, damping: float = 0.85) -> str:
+    """PageRank oracle: replays the SAME fixed power iterations as
+    ``graph_metrics.pagerank`` (uniform init, uniform dangling-mass
+    redistribution) as a chained-CTE program over the supplier→nation ∪
+    nation→region edge graph. Deterministic because the iteration count is
+    fixed; float fuzz from summation order is absorbed by round(…, 6) on
+    both sides."""
+    d = repr(damping)
+    parts = [
+        """
+WITH edges AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT 's:'||cast(s_suppkey AS varchar) AS u, 'n:'||cast(s_nationkey AS varchar) AS v FROM supplier
+    UNION ALL
+    SELECT 'n:'||cast(n_nationkey AS varchar), 'r:'||cast(n_regionkey AS varchar) FROM nation
+  ) WHERE u <> v
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+deg AS (SELECT u, cast(count(*) AS DOUBLE) AS d FROM edges GROUP BY u),
+nn AS (SELECT cast(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+d{k} AS (SELECT coalesce(sum(r.rank), 0) AS mass
+         FROM r{p} r LEFT JOIN deg ON r.node = deg.u WHERE deg.u IS NULL),
+c{k} AS (SELECT e.v AS node, sum(r.rank / deg.d) AS contrib
+         FROM edges e JOIN r{p} r ON e.u = r.node JOIN deg ON deg.u = e.u
+         GROUP BY e.v),
+r{k} AS (SELECT n.node,
+         (1 - {d})/(SELECT n FROM nn)
+           + {d} * (coalesce(c.contrib, 0) + (SELECT mass FROM d{k})/(SELECT n FROM nn)) AS rank
+         FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)"""
+        )
+    parts.append(
+        f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}\n"
+    )
+    return "".join(parts)
+
+
 def _kg_fixture_sql_cte() -> str:
     """The deterministic 20-conv transcript corpus as a VALUES CTE — the
     oracle's INPUT data (same bytes the Spark entries generate), so DuckDB
@@ -787,6 +829,25 @@ def _queries() -> dict:
 
     q["cc_components"] = cc
 
+    def pr(spark, sf):
+        from tera_spark.operators.graph_metrics import pagerank
+
+        supplier = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        edges = supplier.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("u"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("v"),
+        ).unionByName(
+            nation.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("u"),
+                F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("v"),
+            )
+        )
+        ranks = pagerank(edges, iterations=5, damping=0.85)
+        return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+    q["graph_pagerank"] = pr
+
     # --- mapping / conversion ------------------------------------------------
     def j2(spark, sf):
         nation = _t(spark, sf, "nation")
@@ -863,6 +924,30 @@ def _queries() -> dict:
         )
 
     q["w1_first_per_key"] = w1
+
+    def asof(spark, sf):
+        from tera_spark.operators.events import asof_join
+
+        ev = _t(spark, sf, "events")
+        left = ev.filter(F.col("event_type") != "error").select("event_id", "user_id", "ts")
+        right = (
+            ev.filter(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("last_error_value"))
+        )
+        joined = asof_join(left, right, on="user_id", ts="ts")
+        return joined.select("event_id", "user_id", "last_error_value")
+
+    q["ev_asof_join"] = asof
+
+    def sessions(spark, sf):
+        from tera_spark.operators.events import sessionize
+
+        ev = _t(spark, sf, "events")
+        out = sessionize(ev, gap_seconds=3600, tiebreak="event_id")
+        return out.select("event_id", "user_id", "session_idx", "session_id")
+
+    q["ev_sessionize"] = sessions
 
     def q1(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -1298,6 +1383,34 @@ LEFT JOIN mapping mo ON g.object = mo.old AND NOT g.obj_is_literal
 SELECT 's:'||cast(s_suppkey AS varchar) AS node, 'n:'||cast(s_nationkey AS varchar) AS component FROM supplier
 UNION
 SELECT DISTINCT 'n:'||cast(s_nationkey AS varchar), 'n:'||cast(s_nationkey AS varchar) FROM supplier
+"""
+    o["graph_pagerank"] = _sql_pagerank(iterations=5, damping=0.85)
+
+    # DuckDB's native ASOF JOIN is the independent check of the union+window
+    # formulation (same `l.ts >= r.ts` inclusive-backward semantics).
+    o["ev_asof_join"] = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'),
+r AS (SELECT user_id, ts, max(value) AS last_error_value
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, r.last_error_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+    o["ev_sessionize"] = """
+SELECT event_id, user_id, session_idx,
+       cast(user_id AS varchar) || ':' || cast(session_idx AS varchar) AS session_id
+FROM (
+  SELECT event_id, user_id,
+    cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM (
+    SELECT event_id, user_id, ts,
+      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                > 3600000000::BIGINT
+           THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+)
 """
 
     o["j2_convert_ids"] = """

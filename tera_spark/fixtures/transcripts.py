@@ -109,20 +109,26 @@ def gen_lexicons() -> tuple[pd.DataFrame, pd.DataFrame]:
     return pd.DataFrame(chem), pd.DataFrame(spec)
 
 
-def _turn_content(rng: random.Random, ti: int) -> tuple[str, str | None, str]:
-    """(role, tool, text) for one turn — shared by the sequential and
-    distributed generators (identical rng call order keeps the sequential
-    output byte-stable vs round 1)."""
+def _turn_content(
+    rng: random.Random, ti: int
+) -> tuple[str, str | None, str, list[tuple[str, bool]]]:
+    """(role, tool, text, truth) for one turn — shared by the sequential
+    and distributed generators (identical rng call order keeps the
+    sequential output byte-stable vs round 1). ``truth`` lists the planted
+    (entity_id, verbatim) pairs — verbatim=False when the surface form was
+    misspelled — the ground truth the pipeline P/R test scores against."""
     role = ROLES[ti % 3]
     tool = rng.choice(TOOLS) if role == "tool" else None
     parts = [rng.choice(_FILLER)]
+    truth: list[tuple[str, bool]] = []
     r = rng.random()
     if r < 0.35:  # chemical mention (sometimes misspelled)
         cas, names = rng.choice(CHEMICALS)
-        name = rng.choice(names)
+        name = orig = rng.choice(names)
         if rng.random() < 0.25:
             name = _misspell(rng, name)
         parts.append(name)
+        truth.append(("cas:" + cas, name == orig))
         if rng.random() < 0.6:  # endpoint + concentration
             parts.append(
                 f"{rng.choice(ENDPOINTS)} at "
@@ -131,15 +137,17 @@ def _turn_content(rng: random.Random, ti: int) -> tuple[str, str | None, str]:
             )
     elif r < 0.65:  # species mention
         sid, latin, common = rng.choice(SPECIES)
-        name = latin if rng.random() < 0.6 else common
+        name = orig = latin if rng.random() < 0.6 else common
         if rng.random() < 0.2:
             name = _misspell(rng, name)
         parts.append(name)
+        truth.append(("taxon:" + sid, name == orig))
         if rng.random() < 0.3:
             cas, names = rng.choice(CHEMICALS)
             parts.append("exposed to " + rng.choice(names))
+            truth.append(("cas:" + cas, True))
     # else: junk turn, no mentions
-    return role, tool, " ".join(parts)
+    return role, tool, " ".join(parts), truth
 
 
 def gen_transcripts(
@@ -148,12 +156,15 @@ def gen_transcripts(
     hot_convs: int = 2,
     hot_factor: int = 100,
     seed: int = 42,
-) -> pd.DataFrame:
+    return_truth: bool = False,
+) -> pd.DataFrame | tuple[pd.DataFrame, pd.DataFrame]:
     """Deterministic transcript table. ``hot_convs`` conversations get
     ``hot_factor``× the turns — the skew the partitioning strategy must
-    absorb."""
+    absorb. With ``return_truth`` also returns the planted-mention ground
+    truth (conv_id, turn_idx, entity, verbatim) for P/R scoring."""
     rng = random.Random(seed)
     rows = []
+    truth_rows = []
     global_turn = 0
     for ci in range(n_convs):
         conv_id = f"conv{ci:06d}"
@@ -161,7 +172,7 @@ def gen_transcripts(
         if ci < hot_convs:
             n_turns *= hot_factor
         for ti in range(n_turns):
-            role, tool, text = _turn_content(rng, ti)
+            role, tool, text, truth = _turn_content(rng, ti)
             rows.append(
                 {
                     "conv_id": conv_id,
@@ -172,8 +183,15 @@ def gen_transcripts(
                     "ts": EPOCH + timedelta(minutes=global_turn),
                 }
             )
+            truth_rows.extend(
+                {"conv_id": conv_id, "turn_idx": ti, "entity": e, "verbatim": v}
+                for e, v in truth
+            )
             global_turn += 1
-    return pd.DataFrame(rows)
+    df = pd.DataFrame(rows)
+    if not return_truth:
+        return df
+    return df, pd.DataFrame(truth_rows)
 
 
 def transcripts_spark_df(spark, **kwargs):
@@ -218,7 +236,7 @@ def transcripts_spark_df_dist(
                     n_turns *= hot_factor
                 ts0 = EPOCH + timedelta(minutes=ci * (avg_turns + 3))
                 for ti in range(n_turns):
-                    role, tool, text = _turn_content(rng, ti)
+                    role, tool, text, _truth = _turn_content(rng, ti)
                     recs.append(
                         (f"conv{ci:06d}", ti, role, text, tool, ts0 + timedelta(minutes=ti))
                     )

@@ -62,3 +62,65 @@ def test_salted_rewrite_equals_broadcast(spark):
     a = {tuple(r) for r in replace_entities(g, mapping).collect()}
     b = {tuple(r) for r in replace_entities_salted(g, mapping, salts=4).collect()}
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# PageRank (operators/graph_metrics.py)
+# --------------------------------------------------------------------------
+def _numpy_pagerank(edge_list, iterations=5, damping=0.85):
+    """Reference dense power iteration with uniform dangling redistribution."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    idx = {nm: i for i, nm in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for u, v in set(edge_list):
+        if u != v:
+            out.setdefault(u, []).append(v)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dangling = sum(r[idx[nm]] for nm in nodes if nm not in out)
+        nxt += damping * dangling / n
+        for u, vs in out.items():
+            share = damping * r[idx[u]] / len(vs)
+            for v in vs:
+                nxt[idx[v]] += share
+        r = nxt
+    return {nm: r[idx[nm]] for nm in nodes}
+
+
+def test_pagerank_matches_dense_reference(spark):
+    from tera_spark.operators.graph_metrics import pagerank
+
+    # chain into a hub, a cycle, a dangling sink, a duplicate edge + self-loop
+    edge_list = [
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "sink"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("a", "hub"),  # duplicate — must not double-count
+        ("w", "w"),    # self-loop only — dropped entirely
+        ("sink2", "a"),
+    ]
+    df = spark.createDataFrame(edge_list, "u string, v string")
+    got = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    want = _numpy_pagerank([e for e in edge_list if e[0] != e[1]])
+    assert set(got) == set(want)
+    for nm in want:
+        assert abs(got[nm] - want[nm]) < 1e-12, nm
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conservation
+    # the dangling sink receives the hub's whole mass each round → tops the
+    # ranking; hub (3 in-edges) still far outranks its leaf sources
+    assert got["sink"] == max(got.values())
+    assert got["hub"] > 3 * got["b"]
+
+
+def test_pagerank_empty_and_trivial(spark):
+    from tera_spark.operators.graph_metrics import pagerank
+
+    empty = spark.createDataFrame([], "u string, v string")
+    assert pagerank(empty).count() == 0
+    pair = spark.createDataFrame([("a", "b")], "u string, v string")
+    got = {r.node: r.rank for r in pagerank(pair, iterations=3).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["b"] > got["a"]

@@ -1,0 +1,64 @@
+"""as-of join + sessionization (operators/events.py)."""
+
+import datetime as dt
+
+import pytest
+
+from tera_spark.operators.events import asof_join, sessionize
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(5), "a"), ("u1", _ts(10), "b"), ("u1", _ts(2), "c"), ("u2", _ts(7), "d")],
+        "k string, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(3), 30.0), ("u1", _ts(10), 100.0), ("u2", _ts(8), 80.0)],
+        "k string, ts timestamp, snap double",
+    )
+    got = {
+        r.tag: r.snap
+        for r in asof_join(left, right, on="k", ts="ts").collect()
+    }
+    assert got["c"] is None          # before any right row
+    assert got["a"] == 30.0          # latest ≤ 5 is ts=3
+    assert got["b"] == 100.0         # equal ts matches (inclusive)
+    assert got["d"] is None          # right row is in the future
+
+
+def test_asof_join_rejects_column_clash(spark):
+    df = spark.createDataFrame([("u1", _ts(0), 1.0)], "k string, ts timestamp, x double")
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(df, df, on="k", ts="ts")
+
+
+def test_sessionize_gaps_and_ties(spark):
+    rows = [
+        # u1: two sessions split by a >60s gap; a same-ts tie ordered by id
+        (1, "u1", _ts(0)), (2, "u1", _ts(30)), (3, "u1", _ts(30)), (4, "u1", _ts(200)),
+        # u2: sub-second gaps stay one session (microsecond math, not seconds)
+        (5, "u2", _ts(0)), (6, "u2", dt.datetime(2024, 1, 1, 0, 0, 0, 500000)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    out = {
+        r.event_id: (r.session_idx, r.session_id)
+        for r in sessionize(df, gap_seconds=60, tiebreak="event_id").collect()
+    }
+    assert out[1] == (1, "u1:1") and out[2] == (1, "u1:1") and out[3] == (1, "u1:1")
+    assert out[4] == (2, "u1:2")
+    assert out[5] == (1, "u2:1") and out[6] == (1, "u2:1")
+
+
+def test_sessionize_subsecond_gap_splits(spark):
+    # gap_seconds=0 → any positive gap (even 1 µs) starts a new session
+    rows = [
+        (1, "u", dt.datetime(2024, 1, 1, 0, 0, 0, 0)),
+        (2, "u", dt.datetime(2024, 1, 1, 0, 0, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    out = {r.event_id: r.session_idx for r in sessionize(df, gap_seconds=0).collect()}
+    assert out == {1: 1, 2: 2}

@@ -169,3 +169,58 @@ def test_per_turn_text_equality_invariant(spark, transcripts):
     ).select("conv_id", F.col("t.turn_idx").alias("turn_idx"), F.col("t.text").alias("text"))
     diff = transcripts.select("conv_id", "turn_idx", "text").exceptAll(back)
     assert diff.isEmpty()
+
+
+def test_triple_pr_against_planted_truth(spark, lexicon):
+    """The north-rule headline metric: emitted mention triples vs the
+    generator's planted ground truth at P/R >= 0.95. Scores the FULL chain
+    (extract -> link -> triples -> canonical rewrite): a planted entity
+    counts as recalled only if the final graph contains
+    (turn, kg:mentions, <lexicon entity>) after provisional mentions have
+    been CC-merged back onto their lexicon ids; any extra cas:/taxon:
+    mention triple is a precision error. Corpus includes misspellings
+    (fuzzy band), merge-band provisionals, and the 100x hot conversations."""
+    from tera_spark.operators.canonical import canonical_mapping
+    from tera_spark.operators.triples import replace_entities
+    from tera_spark.pipeline.kg import build_triples
+
+    pdf, truth_pdf = gen_transcripts(n_convs=400, return_truth=True)
+    transcripts = spark.createDataFrame(pdf).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    )
+    mentions = extract_mentions(transcripts)
+    linked, alias_edges = link_mentions(mentions, lexicon)
+    triples = replace_entities(
+        build_triples(transcripts, linked), canonical_mapping(alias_edges)
+    )
+    pred_rows = (
+        triples.filter(
+            (F.col("predicate") == NS_KG + "mentions")
+            & (F.col("object").startswith("cas:") | F.col("object").startswith("taxon:"))
+        )
+        .select("subject", "object")
+        .distinct()
+        .collect()
+    )
+    prefix = NS_KG + "turn/"
+    pred = set()
+    for r in pred_rows:
+        conv, idx = r.subject[len(prefix):].rsplit("/", 1)
+        pred.add((conv, int(idx), r.object))
+    truth = {
+        (r.conv_id, int(r.turn_idx), r.entity) for r in truth_pdf.itertuples()
+    }
+    tp = len(pred & truth)
+    precision = tp / len(pred)
+    recall = tp / len(truth)
+    print(f"planted-truth P/R: precision={precision:.4f} recall={recall:.4f} "
+          f"(pred={len(pred)} truth={len(truth)})")
+    assert precision >= 0.95, (precision, len(pred), tp)
+    assert recall >= 0.95, (recall, len(truth), tp)
+    # verbatim (non-misspelled) plants must be essentially perfectly recalled
+    verbatim = {
+        (r.conv_id, int(r.turn_idx), r.entity)
+        for r in truth_pdf.itertuples()
+        if r.verbatim
+    }
+    assert len(pred & verbatim) / len(verbatim) >= 0.99

@@ -96,3 +96,46 @@ def test_stage_dedup_rides_bucket_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert out.drop("_bucket").distinct().count() == out.count()
+
+
+def test_sessionize_is_one_sort_stage(spark):
+    """Both windows (lag detection + running session sum) share one
+    (key, ts) ordering → Catalyst plans a single shuffle, not two."""
+    from tera_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sessionize(ev, gap_seconds=3600, tiebreak="event_id")
+    assert count_exchanges(out) == 1
+
+
+def test_asof_join_is_one_shuffle_no_rangeprobe(spark):
+    """The union+window as-of formulation: one hash exchange on the key,
+    and no nested-loop/cartesian range probe anywhere in the plan."""
+    from tera_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.filter(F.col("event_type") != "error").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_error_value"))
+    )
+    out = asof_join(left, right, on="user_id", ts="ts")
+    plan = explain_str(out, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # left-side scan feeds the window exchange; right side adds its own
+    # aggregation exchange on the same key — but never a per-row join probe
+    assert count_exchanges(out) <= 3
+
+
+def test_pagerank_plan_stays_bounded(spark):
+    """Iteration hygiene: the per-iteration localCheckpoint must keep the
+    plan constant-size — 10 iterations may not grow the plan over 3."""
+    from tera_spark.operators.graph_metrics import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 20}") for i in range(20)], "u string, v string"
+    )
+    p3 = len(explain_str(pagerank(edges, iterations=3), "simple"))
+    p10 = len(explain_str(pagerank(edges, iterations=10), "simple"))
+    assert p10 < 3 * p3  # linear lineage growth would blow far past this

@@ -24,6 +24,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHM = "/dev/shm/tera_scaling"
 HISTORY = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 PIN = "-Xms16g -XX:+AlwaysPreTouch -XX:-ShrinkHeapInSteps"
+# 4g executors: the round-3 A/B (BENCH/scaling_runs.jsonl, 16384 vs 4096
+# exec_mem) showed the job needs <4g/executor and 4x16g pinned heaps cost a
+# minutes-scale page-fault storm at JVM boot on this guest
+EXEC_PIN = "-Xms4g -XX:+AlwaysPreTouch -XX:-ShrinkHeapInSteps"
 
 
 def _spark_submit() -> str:
@@ -36,11 +40,11 @@ def submit(workers: int, cores_per: int, src: str, out: str) -> dict:
     zip_path = os.path.join(REPO, "dist", "tera_spark.zip")
     cmd = [
         _spark_submit(),
-        "--master", f"local-cluster[{workers},{cores_per},16384]",
+        "--master", f"local-cluster[{workers},{cores_per},4096]",
         "--driver-memory", "16g",
         "--conf", f"spark.driver.extraJavaOptions={PIN}",
-        "--conf", "spark.executor.memory=16g",
-        "--conf", f"spark.executor.extraJavaOptions={PIN}",
+        "--conf", "spark.executor.memory=4g",
+        "--conf", f"spark.executor.extraJavaOptions={EXEC_PIN}",
         # the zip itself serves as the executor-side PYTHONPATH entry so the
         # warm python daemon module resolves at daemon boot (py-files are
         # appended per-task, which is too late for spark.python.daemon.module)
