@@ -23,6 +23,18 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def _cpu_window(a: list[int], b: list[int]) -> dict:
+    names = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d) or 1
+    return {n: round(100 * v / tot, 1) for n, v in zip(names, d)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -32,6 +44,7 @@ def main() -> None:
     from tera_spark.session import get_spark
 
     spark = get_spark("tera_spark_bench", cores=cores, shuffle_partitions=cores)
+    stat0 = _cpu_stat()
 
     headline = [
         "t9_tests_triples",
@@ -89,6 +102,11 @@ def main() -> None:
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / kg_secs, 1) if kg_secs else None,
                 "cores": cores,
+                # /proc/stat window over the whole bench: this shared microVM
+                # swings identical runs 2x between host windows (see
+                # BENCH/BASELINE.md) — idle%/steal% here says which kind of
+                # window THIS run landed in
+                "hostcpu": _cpu_window(stat0, _cpu_stat()),
             }
         )
     )
