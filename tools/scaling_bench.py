@@ -418,9 +418,11 @@ def write_report() -> None:
         lines.append(
             "**`spark-submit --py-files` parity** (`tools/submit_demo.py`, the\n"
             "north rule's literal execution shape: the dist zip submitted onto\n"
-            "N=1 and 4N=4 executor-JVM masters; single submission per run, so\n"
-            "cold python workers are included — the scaling tables above use\n"
-            f"warm-run discipline): {rows}.{pair}\n\n"
+            "N=1 and 4N=4 executor-JVM masters; driver.py applies the same\n"
+            "steady-state discipline as the tables above — registration\n"
+            "barrier, full-width warm job, fastest of two pipeline runs —\n"
+            "so this checks the PACKAGING path, the headline numbers stay\n"
+            f"with the in-process tables): {rows}.{pair}\n\n"
         )
     probe_by_cores: dict[int, dict] = {}
     for p in probes:

@@ -9,7 +9,9 @@ The headline scaling numbers live in scaling_runs.jsonl from
 tools/scaling_bench.py (same master shapes, tighter warm-run discipline);
 these submissions are recorded alongside with submit=true.
 
-Usage: python tools/submit_demo.py [n_convs] [runs_per_size]
+Usage: python tools/submit_demo.py [n_convs] [runs_per_size] [workers_csv]
+(workers_csv defaults to "1,4"; pass e.g. "4" to re-run one size — the
+pair efficiency is recomputed from the full history by the report)
 """
 
 from __future__ import annotations
@@ -55,6 +57,9 @@ def submit(workers: int, cores_per: int, src: str, out: str) -> dict:
         "--out", out,
         "--cores", str(workers * cores_per),
         "--force",
+        # fastest of two warm runs inside one submission (same discipline as
+        # scaling_bench: steady-state rate, boot/JIT excluded)
+        "--repeat", "2",
     ]
     env = dict(
         os.environ,
@@ -76,6 +81,9 @@ def submit(workers: int, cores_per: int, src: str, out: str) -> dict:
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 600000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sizes = tuple(
+        int(w) for w in (sys.argv[3].split(",") if len(sys.argv) > 3 else ("1", "4"))
+    )
     src = os.path.join(SHM, f"transcripts_{n_convs}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         raise SystemExit(f"corpus missing: {src} (generate via scaling_bench)")
@@ -85,7 +93,7 @@ def main() -> None:
 
     source = f"submit-{int(time.time())}"
     best: dict[int, dict] = {}
-    for w in (1, 4):
+    for w in sizes:
         for i in range(runs):
             out_dir = os.path.join(SHM, f"submit_out_{w}_{i}")
             subprocess.run(["rm", "-rf", out_dir])
@@ -102,14 +110,15 @@ def main() -> None:
             print(json.dumps(row), flush=True)
             if w not in best or row["seconds"] < best[w]["seconds"]:
                 best[w] = row
-    eff = (best[4]["turns_per_sec"] / best[1]["turns_per_sec"]) / 4
-    print(json.dumps({
-        "spark_submit_pair": {
-            "n_executors": best[1]["turns_per_sec"],
-            "4n_executors": best[4]["turns_per_sec"],
-            "efficiency": round(eff, 3),
-        }
-    }))
+    if 1 in best and 4 in best:
+        eff = (best[4]["turns_per_sec"] / best[1]["turns_per_sec"]) / 4
+        print(json.dumps({
+            "spark_submit_pair": {
+                "n_executors": best[1]["turns_per_sec"],
+                "4n_executors": best[4]["turns_per_sec"],
+                "efficiency": round(eff, 3),
+            }
+        }))
 
 
 if __name__ == "__main__":
