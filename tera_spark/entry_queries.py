@@ -616,8 +616,9 @@ SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
 """
 
 
-_SQL_WINNOW_MD5 = r"""
-WITH tk AS (
+# winnow CTE chain (tk → kg → wins), shared by the fingerprint oracle and
+# the containment-pairs oracle
+_SQL_WINNOW_CTES = r"""tk AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
   FROM documents
 ),
@@ -635,7 +636,10 @@ wins AS (
       list_transform(generate_series(1, len(kgs)-3), j -> list_min(kgs[j:j+3]))
     ELSE [list_min(kgs)] END AS ws
   FROM kg
-)
+)"""
+
+_SQL_WINNOW_MD5 = f"""
+WITH {_SQL_WINNOW_CTES}
 SELECT DISTINCT doc_id, unnest(ws) AS fp FROM wins
 """
 
@@ -1134,6 +1138,50 @@ def _queries() -> dict:
 
     q["text_fingerprint_md5"] = fp
 
+    def repetition(spark, sf):
+        from tera_spark.operators.textops import with_repetition_stats
+
+        docs = _t(spark, sf, "documents")
+        return with_repetition_stats(docs).select(
+            "doc_id", "n_3grams", "dup_3gram_ratio", "n_lines", "dup_line_ratio"
+        )
+
+    q["text_repetition"] = repetition
+
+    def pii(spark, sf):
+        from tera_spark.operators.textops import with_pii_scrub
+
+        docs = _t(spark, sf, "documents")
+        return with_pii_scrub(docs).select("doc_id", "n_emails", "n_phones", "redacted_md5")
+
+    q["text_pii_scrub"] = pii
+
+    def urls(spark, sf):
+        from tera_spark.operators.textops import with_url_stats
+
+        docs = _t(spark, sf, "documents")
+        return with_url_stats(docs).select(
+            "doc_id", "n_urls", "n_hosts", F.array_join("hosts", "|").alias("hosts")
+        )
+
+    q["text_url_stats"] = urls
+
+    def lm(spark, sf):
+        from tera_spark.operators.corpus import bigram_lm_scores
+
+        docs = _t(spark, sf, "documents")
+        return bigram_lm_scores(docs)
+
+    q["text_bigram_lm"] = lm
+
+    def containment(spark, sf):
+        from tera_spark.operators.corpus import winnow_containment_pairs
+
+        docs = _t(spark, sf, "documents")
+        return winnow_containment_pairs(docs, threshold=0.5, portable=True)
+
+    q["dedup_winnow_containment"] = containment
+
     def winnow(spark, sf):
         # portable (md5-prefix) k-gram hash so every winnow value is
         # oracle-checked; the xxhash64 default stays the scale path
@@ -1566,6 +1614,80 @@ FROM (
 SELECT doc_id, md5({_SQL_NORMTEXT}) AS fp_md5 FROM documents
 """
     o["text_winnow_fingerprint"] = _SQL_WINNOW_MD5
+
+    o["text_repetition"] = r"""
+SELECT doc_id,
+  len(grams)::BIGINT AS n_3grams,
+  round(CASE WHEN len(grams) > 0 THEN (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams) ELSE 0 END, 6) AS dup_3gram_ratio,
+  len(lines)::BIGINT AS n_lines,
+  round(CASE WHEN len(lines) > 0 THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines) ELSE 0 END, 6) AS dup_line_ratio
+FROM (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [] END AS grams,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines
+  FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents)
+)
+"""
+    # same RE2∩Java patterns as textops.PII_EMAIL_RE / PII_PHONE_RE / URL_RE
+    _email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _phone = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+    _url = r"https?://[A-Za-z0-9._~:/?#@!$&''*+,;=%()\[\]-]+"  # '' = SQL-escaped quote
+    o["text_pii_scrub"] = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_email}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{_phone}'))::BIGINT AS n_phones,
+  md5(regexp_replace(regexp_replace(text, '{_email}', '<EMAIL>', 'g'), '{_phone}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+"""
+    o["text_url_stats"] = f"""
+SELECT doc_id,
+  len(urls)::BIGINT AS n_urls,
+  len(hosts)::BIGINT AS n_hosts,
+  coalesce(array_to_string(hosts, '|'), '') AS hosts  -- DuckDB: join of [] is NULL, Spark: ''
+FROM (
+  SELECT doc_id, urls,
+    list_sort(list_distinct(list_transform(urls, u -> lower(regexp_extract(u, 'https?://([^/?#:]+)', 1))))) AS hosts
+  FROM (SELECT doc_id, regexp_extract_all(text, '{_url}') AS urls FROM documents)
+)
+"""
+    o["text_bigram_lm"] = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM tk WHERE len(toks) >= 2)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM tk)),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(ln((c12.c12 + 1) * 1.0 / (c1.c1 + v.v))), 6) AS avg_logprob
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, s.avg_logprob
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+    o["dedup_winnow_containment"] = f"""
+WITH {_SQL_WINNOW_CTES},
+fp AS (SELECT DISTINCT doc_id, unnest(ws) AS fp FROM wins),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 200),
+fpc AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot)),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(inter * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS containment
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+WHERE inter * 1.0 / least(sa.n_fp, sb.n_fp) >= 0.5
+"""
 
     o["dedup_exact"] = f"""
 WITH keyed AS (SELECT doc_id, md5({_SQL_NORMTEXT}) AS k FROM documents)

@@ -1,0 +1,139 @@
+"""Corpus-level curation operators: statistical LM quality scoring and
+fingerprint-containment near-dup detection.
+
+These are the two training-data ops whose state is the CORPUS, not the
+row: the bigram model's counts and the winnow inverted index are both
+distributed tables, so each op is a fixed number of shuffles regardless
+of corpus size (no driver-side model, no collect). No reference
+counterpart — these extend the engine for LLM-data curation at the
+100 TB design point (SURVEY.md §2 "beyond the reference" block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tera_spark.operators.textops import _tokens, with_fingerprint
+
+
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Count-based bigram language-model scoring (the KenLM-style quality
+    signal used by CCNet/Gopher to rank web documents): train add-one-
+    smoothed bigram counts over the WHOLE corpus, then score every doc by
+    its mean log-probability.
+
+        p(w2 | w1) = (c(w1, w2) + 1) / (c(w1) + V)
+
+    where c(w1) counts w1 as a bigram context and V is the corpus unigram
+    vocabulary size. Self-trained on the scored corpus — deterministic,
+    no external model — which is exactly the CCNet trick of ranking each
+    document against the corpus's own statistics.
+
+    Scale shape: one groupBy for bigram counts (map-side partial agg on
+    zipfian keys), context counts derived from it (no second scan), V as
+    a scalar join, then a re-join of the exploded bigrams against the
+    count table (the count side is zipf-small relative to the corpus and
+    AQE broadcast-joins it when it fits). Everything is JVM expressions;
+    the mean is rounded to 6dp so the double-summation order can't leak
+    into comparisons.
+
+    Returns (doc_id, n_bigrams, avg_logprob); docs with < 2 tokens get
+    n_bigrams = 0 and NULL avg_logprob.
+    """
+    toks = _tokens(F.col(text_col))
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    n = F.size("_t")
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),  # F.get is 0-based
+            lambda i: F.struct(
+                F.get(F.col("_t"), i).alias("w1"),
+                F.get(F.col("_t"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = t.select("doc_id", F.explode(grams).alias("_g")).select(
+        "doc_id", F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2")
+    )
+
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_n = (
+        t.select(F.explode("_t").alias("w")).agg(F.countDistinct("w").alias("v"))
+    )
+
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn("_lp", F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v"))))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        )
+    )
+    # left join back so <2-token docs appear with n_bigrams = 0
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        "avg_logprob",
+    )
+
+
+def winnow_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fp_freq: int = 200,
+    portable: bool = False,
+) -> DataFrame:
+    """Partial-duplication pairs by winnowing-fingerprint CONTAINMENT:
+    |fp(a) ∩ fp(b)| / min(|fp(a)|, |fp(b)|) ≥ threshold. Jaccard misses
+    a short doc embedded in a long one (the union dilutes it); containment
+    is the standard detector for quote/boilerplate inclusion (Broder 1997's
+    second resemblance measure, over Schleimer et al. 2003 winnow sketches).
+
+    Same blocking scale-shape as ``ngram_jaccard_pairs``: explode the
+    per-doc winnow set into an inverted index, drop fingerprints shared by
+    > max_fp_freq docs (boilerplate/skew cap — the trade is recall on
+    corpus-wide templates, documented here), self-join on fingerprint,
+    group-count = |∩|. ``portable=True`` uses the md5-prefix gram hash so
+    the DuckDB oracle replays the fingerprints value-for-value.
+    """
+    fp = with_fingerprint(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        portable=portable,
+    ).select("doc_id", F.explode("fp_winnow").alias("fp"))
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    hot = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_fp_freq)
+        .select("fp")
+    )
+    fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+
+    a = fp.select(F.col("doc_id").alias("a"), "fp")
+    b = fp.select(F.col("doc_id").alias("b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_fp").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("containment", F.col("inter") / F.least("na", "nb"))
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", F.round("containment", 6).alias("containment"))
+    )

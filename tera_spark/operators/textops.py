@@ -82,6 +82,92 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", best)
 
 
+def with_repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters,
+    Rae et al. 2021 §A1.1): the fraction of duplicate token 3-grams and the
+    fraction of duplicate lines. High values flag boilerplate / degenerate
+    generations that slip past length and punctuation heuristics. Pure JVM
+    array expressions — no shuffle, no UDF — so the filter runs at scan
+    speed on a 100 TB corpus and is replayable by the DuckDB oracle.
+
+    Columns added: ``n_3grams``, ``dup_3gram_ratio``, ``n_lines``,
+    ``dup_line_ratio`` (ratios rounded to 6dp for engine portability).
+    """
+    toks = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i, 3), " "),
+        ),
+    ).otherwise(F.array())
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_g = F.size(grams)
+    n_l = F.size(lines)
+    dup_g = F.when(n_g > 0, (n_g - F.size(F.array_distinct(grams))) / n_g).otherwise(F.lit(0.0))
+    dup_l = F.when(n_l > 0, (n_l - F.size(F.array_distinct(lines))) / n_l).otherwise(F.lit(0.0))
+    return (
+        docs.withColumn("n_3grams", n_g.cast("long"))
+        .withColumn("dup_3gram_ratio", F.round(dup_g, 6))
+        .withColumn("n_lines", n_l.cast("long"))
+        .withColumn("dup_line_ratio", F.round(dup_l, 6))
+    )
+
+
+# PII patterns chosen from the Java-regex ∩ RE2 subset (no lookarounds) so
+# the DuckDB oracle replays them verbatim. \b is an ASCII word boundary in
+# both engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+URL_RE = r"https?://[A-Za-z0-9._~:/?#@!$&'*+,;=%()\[\]-]+"
+
+
+def with_pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction for training-data release: counts of
+    email / US-phone shaped spans and the text with each span replaced by a
+    typed placeholder. Runs as two regexp passes per row, JVM-side.
+
+    Columns added: ``n_emails``, ``n_phones``, ``redacted_md5`` (md5 of the
+    redacted text — the full redacted column exists mid-plan; the hash keeps
+    driver-contract results small while still pinning byte equality).
+    """
+    txt = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(txt, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long")
+        )
+        .withColumn(
+            "n_phones", F.size(F.regexp_extract_all(txt, F.lit(PII_PHONE_RE), F.lit(0))).cast("long")
+        )
+        .withColumn("redacted_md5", F.md5(redacted))
+    )
+
+
+def with_url_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """URL extraction for provenance / domain-mix curation: per-doc URL
+    count, distinct registrable-host count, and the sorted distinct host
+    list (the group-by-domain input for corpus-level domain quotas).
+
+    Columns added: ``n_urls``, ``n_hosts``, ``hosts`` (array<string>,
+    sorted for deterministic comparison).
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))
+    hosts = F.transform(
+        urls, lambda u: F.lower(F.regexp_extract(u, r"https?://([^/?#:]+)", 1))
+    )
+    return (
+        docs.withColumn("n_urls", F.size(urls).cast("long"))
+        .withColumn("hosts", F.array_sort(F.array_distinct(hosts)))
+        .withColumn("n_hosts", F.size(F.array_sort(F.array_distinct(hosts))).cast("long"))
+    )
+
+
 def with_fingerprint(
     docs: DataFrame, text_col: str = "text", portable: bool = False
 ) -> DataFrame:

@@ -188,3 +188,120 @@ def test_kmeans_bounded_plan_and_ivf_recall(spark):
     approx = {(r.query_id, r.nn_id) for r in ivf_topk(emb, queries, k=1, n_centroids=4, n_probe=4).collect()}
     # probing every list makes IVF exact — recall check of the plumbing
     assert exact == approx
+
+
+# --- round-3 curation ops ---------------------------------------------------
+
+REP_DOCS = [
+    (1, "spam spam spam spam spam spam spam spam"),  # one distinct 3-gram
+    (2, "a fresh sentence with entirely distinct words throughout here"),
+    (3, "line one\nline one\nline two\n\n  \nline one"),
+    (4, "x"),  # <3 tokens → no 3-grams
+]
+
+PII_DOCS = [
+    (1, "contact alice@example.com or bob.smith+tag@mail.co.uk today"),
+    (2, "call 555-123-4567 or 555 987 6543 now"),
+    (3, "no pii here at all"),
+]
+
+URL_DOCS = [
+    (1, "see https://example.com/a and http://example.com/b?q=1 plus https://other.org"),
+    (2, "no links here"),
+]
+
+
+def test_repetition_stats(spark):
+    from tera_spark.operators.textops import with_repetition_stats
+
+    docs = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_repetition_stats(docs).collect()}
+    # doc 1: 6 3-grams, all identical → 5/6 duplicated
+    assert out[1].n_3grams == 6 and out[1].dup_3gram_ratio == round(5 / 6, 6)
+    assert out[2].dup_3gram_ratio == 0.0
+    # doc 3: 4 non-blank lines, "line one" ×3 → 2/4 duplicated
+    assert out[3].n_lines == 4 and out[3].dup_line_ratio == 0.5
+    assert out[4].n_3grams == 0 and out[4].dup_3gram_ratio == 0.0
+
+
+def test_pii_scrub(spark):
+    from tera_spark.operators.textops import with_pii_scrub
+
+    docs = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_pii_scrub(docs).collect()}
+    assert out[1].n_emails == 2 and out[1].n_phones == 0
+    assert out[2].n_phones == 2 and out[2].n_emails == 0
+    assert out[3].n_emails == 0 and out[3].n_phones == 0
+    # redaction changes the hash iff something was redacted
+    import hashlib
+
+    assert out[3].redacted_md5 == hashlib.md5(PII_DOCS[2][1].encode()).hexdigest()
+    assert out[1].redacted_md5 == hashlib.md5(
+        b"contact <EMAIL> or <EMAIL> today"
+    ).hexdigest()
+
+
+def test_url_stats(spark):
+    from tera_spark.operators.textops import with_url_stats
+
+    docs = spark.createDataFrame(URL_DOCS, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_url_stats(docs).collect()}
+    assert out[1].n_urls == 3
+    assert out[1].hosts == ["example.com", "other.org"] and out[1].n_hosts == 2
+    assert out[2].n_urls == 0 and out[2].hosts == []
+
+
+def test_bigram_lm_scores(spark):
+    from tera_spark.operators.corpus import bigram_lm_scores
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "the cat sat on the mat"),
+        (4, "zq zx qv xw wq"),  # all-rare bigrams → much lower logprob
+        (5, "x"),  # <2 tokens
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_scores(docs).collect()}
+    assert out[5].n_bigrams == 0 and out[5].avg_logprob is None
+    assert out[1].n_bigrams == 5
+    assert out[1].avg_logprob == out[3].avg_logprob  # identical docs
+    assert out[4].avg_logprob < out[1].avg_logprob  # rare bigrams score worse
+    # hand-check one probability: corpus has V distinct tokens; c("the","cat")=3,
+    # c1("the") = bigrams starting with "the" = 3*2 ("the cat"/"the mat" x docs 1,3 + "the cat"/"the hat" doc 2)
+    import math
+
+    toks = [t for _, s in corpus for t in s.lower().split()]
+    V = len(set(toks))
+    # doc 1 bigrams: (the,cat) c=3, (cat,sat) c=3, (sat,on) c=3, (on,the) c=3, (the,mat) c=2
+    c1_the = 6  # "the X" bigrams: 3x(the,cat) + 2x(the,mat) + 1x(the,hat)
+    c1_cat, c1_sat, c1_on = 3, 3, 3
+    expect = (
+        math.log((3 + 1) / (c1_the + V))
+        + math.log((3 + 1) / (c1_cat + V))
+        + math.log((3 + 1) / (c1_sat + V))
+        + math.log((3 + 1) / (c1_on + V))
+        + math.log((2 + 1) / (c1_the + V))
+    ) / 5
+    assert abs(out[1].avg_logprob - expect) < 1e-6
+
+
+def test_winnow_containment(spark):
+    from tera_spark.operators.corpus import winnow_containment_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    corpus = [
+        (1, base),
+        (2, base + " phi chi psi omega extra trailing words appended here now"),  # contains doc 1
+        (3, "totally unrelated text about spark shuffles and parquet row groups going on"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    pairs = {(r.a, r.b): r.containment for r in winnow_containment_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.9  # near-total containment
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)
+    # portable mode finds the same pairs
+    p2 = {(r.a, r.b) for r in winnow_containment_pairs(docs, threshold=0.5, portable=True).collect()}
+    assert set(pairs) == p2
