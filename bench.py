@@ -40,10 +40,30 @@ def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    from pyspark.sql import functions as F
+
     from tera_spark.entry_queries import QUERIES
     from tera_spark.session import get_spark
 
     spark = get_spark("tera_spark_bench", cores=cores, shuffle_partitions=cores)
+
+    # Steady-state discipline (same as BENCH/BASELINE.md's scaling runs):
+    # one full-width warm-up job before the timed region so JVM/codegen/
+    # python-daemon startup is paid once, outside every query's timing.
+    spark.range(0, 10_000_000, 1, cores).select(F.sum("id")).collect()
+
+    # q14_endpoint_star times the READ path over the materialized graph
+    # (construct-once / query-many — the design the entry documents). The
+    # construction itself is timed here explicitly and reported as
+    # graph_materialize_sec instead of silently riding whichever query
+    # first misses the cache; the emission cost also shows up in the
+    # headline as t9/t10.
+    from tera_spark.entry_queries import materialized_effects
+
+    t0 = time.time()
+    materialized_effects(spark, sf_dir)
+    mat_secs = round(time.time() - t0, 3)
+
     stat0 = _cpu_stat()
 
     headline = [
@@ -59,6 +79,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "ann_topk_cosine",
         "text_quality",
+        "text_bigram_lm",
         "graph_pagerank",
         "ev_sessionize",
     ]
@@ -102,6 +123,7 @@ def main() -> None:
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / kg_secs, 1) if kg_secs else None,
                 "cores": cores,
+                "graph_materialize_sec": mat_secs,
                 # /proc/stat window over the whole bench: this shared microVM
                 # swings identical runs 2x between host windows (see
                 # BENCH/BASELINE.md) — idle%/steal% here says which kind of

@@ -58,13 +58,16 @@ def as_graph(df: DataFrame) -> DataFrame:
     return df.select(*TRIPLE_COLS)
 
 
-def union_graphs(*graphs: DataFrame) -> DataFrame:
+def union_graphs(*graphs: DataFrame, set_semantics: bool = True) -> DataFrame:
     """Graph union with set semantics (``DataObject.__add__``,
-    DataAggregation.py:37-40)."""
+    DataAggregation.py:37-40). ``set_semantics=False`` returns the raw
+    multiset union for callers that fold the A1 dedup into a downstream
+    shuffle (``materialize_graph(fused_dedup=True)``) — semantics are
+    unchanged, the distinct just rides a later exchange."""
     out = graphs[0]
     for g in graphs[1:]:
         out = out.unionByName(as_graph(g))
-    return dedup(out)
+    return dedup(out) if set_semantics else out
 
 
 def dedup(graph: DataFrame) -> DataFrame:

@@ -69,13 +69,33 @@ def write_table(
         df.write.mode(mode).parquet(path_or_table)
 
 
-def materialize_graph(graph: DataFrame, path: str) -> None:
+def materialize_graph(graph: DataFrame, path: str, fused_dedup: bool = False) -> None:
     """Materialize a triples DataFrame partitioned BY PREDICATE — the
     layout the read path wants: every Q1-Q14 pattern starts by slicing on
     ``predicate`` (SURVEY.md §2.8), so each edge-table scan becomes a
     partition-pruned read instead of a full-graph filter. Predicate
     cardinality is small (schema-sized), so this creates dozens of
-    partitions, not millions."""
+    partitions, not millions.
+
+    ``fused_dedup=True``: the input still needs set-semantics dedup (A1) —
+    fold it into THIS write's shuffle instead of paying a separate
+    hash(s,p,o) exchange upstream (same trick as the pipeline stage write,
+    run.py): cluster by (predicate, _b) where ``_b = hash(s,p,o) % n`` is
+    functionally determined by the dedup keys, then dropDuplicates with
+    the cluster columns prefixed onto the keys so Catalyst reuses the
+    exchange. One shuffle total, and every output task holds few
+    predicates, so the file count is ~(tasks-per-predicate), not
+    (tasks × predicates)."""
+    if fused_dedup:
+        n = graph.sparkSession.sparkContext.defaultParallelism
+        g = graph.withColumn(
+            "_b",
+            F.pmod(F.xxhash64("subject", "predicate", "object"), F.lit(n)).cast("int"),
+        )
+        g = g.repartition(n, "predicate", "_b")
+        g = g.dropDuplicates(["predicate", "_b", "subject", "object"]).drop("_b")
+        g.write.mode("overwrite").partitionBy("predicate").parquet(path)
+        return
     graph.write.mode("overwrite").partitionBy("predicate").parquet(path)
 
 
