@@ -765,6 +765,43 @@ def _queries() -> dict:
         materialized_effects(spark, sf), ECO
     )
 
+    def q15_sparql(spark, sf):
+        # Q15 raw SPARQL passthrough: the flagship query EXACTLY as the
+        # reference writes it (DataAccess.py:978-992), compiled by the
+        # BGP→DataFrame mini-compiler and run over the same materialized
+        # graph — shares q14's DuckDB oracle, so the compiler itself is
+        # oracle-checked end to end.
+        from tera_spark.constants import NS_UNIT
+        from tera_spark.operators.sparql import query_graph
+
+        sparql = """
+            SELECT ?c ?s ?cc ?cu ?ep ?ef ?sd ?sdu WHERE {
+                ?test rdf:type ns:Test ;
+                  ns:chemical ?c ;
+                   ns:species ?s ;
+                   ns:hasResult [
+                   ns:endpoint ?ep ;
+                   ns:effect ?ef ;
+                   ns:concentration [rdf:value ?cc ;
+                                        unit:units ?cu] ] .
+
+                OPTIONAL {
+                    ?test ns:studyDuration [rdf:value ?sd ;
+                                            unit:units ?sdu] .
+                }
+            }"""
+        return query_graph(
+            materialized_effects(spark, sf),
+            sparql,
+            prefixes={
+                "ns": ECO,
+                "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+                "unit": NS_UNIT,
+            },
+        )
+
+    q["q15_sparql_endpoint"] = q15_sparql
+
     def q14_pairs(spark, sf):
         # J9: the reference's per-(chemical, species) query loop
         # (DataAccess.py:995-1022, O(|c|·|s|) full-graph SPARQL) as ONE
@@ -1191,6 +1228,15 @@ def _queries() -> dict:
 
     q["dedup_winnow_containment"] = containment
 
+    def quota(spark, sf):
+        from tera_spark.operators.corpus import quota_sample
+        from tera_spark.operators.textops import with_lang_id
+
+        docs = with_lang_id(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
+        return quota_sample(docs, "lang_pred", 20)
+
+    q["curation_quota_sample"] = quota
+
     def winnow(spark, sf):
         # portable (md5-prefix) k-gram hash so every winnow value is
         # oracle-checked; the xxhash64 default stays the scale path
@@ -1378,6 +1424,7 @@ def _oracle_sql() -> dict:
     o["t9_tests_triples"] = _sql_t9()
     o["t10_results_triples"] = _sql_t10()
     o["q14_endpoint_star"] = _sql_q14()
+    o["q15_sparql_endpoint"] = _sql_q14()  # same flagship semantics, via SPARQL
     o["q14_endpoint_relational"] = _sql_q14()  # same answer, two physical paths
     o["q14_endpoint_pairs"] = _sql_q14_pairs()
     o["q13_get_chemicals"] = f"""
@@ -1599,7 +1646,7 @@ FROM (
   FROM documents
 )
 """
-    o["text_lang_id"] = r"""
+    _sql_lang_id = r"""
 SELECT doc_id,
   -- replicate the strictly-greater running-argmax over [de, en, es, fr]:
   -- earlier language wins ties
@@ -1618,6 +1665,19 @@ FROM (
     len(list_filter(toks, x -> x IN ('el','la','los','que','de','es','una','por'))) AS es
   FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents)
 )
+"""
+    o["text_lang_id"] = _sql_lang_id
+    o["curation_quota_sample"] = f"""
+WITH langed AS ({_sql_lang_id}),
+r AS (
+  SELECT doc_id, lang_pred,
+         row_number() OVER (
+           PARTITION BY lang_pred
+           ORDER BY md5(lang_pred || '|' || doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM langed
+)
+SELECT doc_id, lang_pred FROM r WHERE rn <= 20
 """
     o["text_fingerprint_md5"] = f"""
 SELECT doc_id, md5({_SQL_NORMTEXT}) AS fp_md5 FROM documents

@@ -11,7 +11,7 @@ counterpart — these extend the engine for LLM-data curation at the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tera_spark.operators.textops import _tokens, with_fingerprint
@@ -83,6 +83,37 @@ def bigram_lm_scores(
         "doc_id",
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
         "avg_logprob",
+    )
+
+
+def quota_sample(
+    docs: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum quota sampling — the domain-mix rebalance
+    step of a training-data pipeline (cap each domain/language/source at k
+    docs). Selection order is md5(stratum || id): a fixed pseudo-random
+    permutation, so the sample is reproducible across runs/engines and
+    adding documents never evicts a previously-chosen one unless they
+    hash earlier (stable under append, unlike rand()-based sampling).
+
+    One shuffle (hash by stratum) + per-partition top-k. Skew note: a
+    stratum's rows all land on one reducer; at 100 TB with a dominant
+    domain, prefilter with a hash threshold first (keep md5 < k/est_count
+    × safety, computed from a count agg) so the windowed sort only sees
+    ~k×safety rows per stratum — same result, bounded reducer. The plain
+    form here is the small/medium-stratum path.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
 
 

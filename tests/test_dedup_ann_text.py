@@ -305,3 +305,23 @@ def test_winnow_containment(spark):
     # portable mode finds the same pairs
     p2 = {(r.a, r.b) for r in winnow_containment_pairs(docs, threshold=0.5, portable=True).collect()}
     assert set(pairs) == p2
+
+
+def test_quota_sample(spark):
+    from tera_spark.operators.corpus import quota_sample
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(1, 61)]
+    docs = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = quota_sample(docs, "stratum", 5, id_col="doc_id").collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, set()).add(r.doc_id)
+    assert len(by_stratum["en"]) == 5 and len(by_stratum["de"]) == 5
+    # deterministic: same selection on re-run
+    out2 = quota_sample(docs, "stratum", 5, id_col="doc_id").collect()
+    assert {(r.stratum, r.doc_id) for r in out} == {(r.stratum, r.doc_id) for r in out2}
+    # stable under append: adding new docs never evicts a chosen one
+    # unless the newcomer hashes earlier — check chosen ⊇ survivors
+    more = docs.union(spark.createDataFrame([(100 + i, "en") for i in range(5)], "doc_id long, stratum string"))
+    out3 = {(r.stratum, r.doc_id) for r in quota_sample(more, "stratum", 5, id_col="doc_id").collect()}
+    assert {(s, d) for s, d in out3 if s == "de"} == {(s, d) for s, d in {(r.stratum, r.doc_id) for r in out} if s == "de"}

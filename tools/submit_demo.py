@@ -39,7 +39,11 @@ def _spark_submit() -> str:
 
 
 def submit(workers: int, cores_per: int, src: str, out: str) -> dict:
-    zip_path = os.path.join(REPO, "dist", "tera_spark.zip")
+    # rebuild the zip so a submission can never ship stale code
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_pyfiles
+
+    zip_path = make_pyfiles.main()
     cmd = [
         _spark_submit(),
         "--master", f"local-cluster[{workers},{cores_per},4096]",
