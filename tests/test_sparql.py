@@ -118,3 +118,22 @@ def test_select_star_excludes_bnode_vars(graph):
     q = "PREFIX t: <urn:t:> SELECT * WHERE { ?s t:result [ ?p ?v ] . }"
     rows = query_graph(graph, q).collect()
     assert set(rows[0].asDict()) == {"s", "p", "v"}
+
+
+def test_bnode_chain_plan_all_equijoins(spark, graph):
+    # the flagship shape: bnode chain written properties-first — the
+    # compiler must greedy-order joins so no step is a cross join
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?c ?v WHERE {
+            ?test a t:Test ;
+              t:chemical ?c ;
+              t:result [ <http://www.w3.org/1999/02/22-rdf-syntax-ns#value> ?v ] .
+        }"""
+    from tera_spark.operators.sparql import query_graph
+
+    df = query_graph(graph, q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert [(r.c, r.v) for r in df.collect()] == [(NS + "c1", "42")]
