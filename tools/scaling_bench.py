@@ -263,6 +263,28 @@ def write_report() -> None:
             f"offers ~linear memory bandwidth (see the membw sweep below), so "
             f"the engine — not the host — is what's being measured.\n\n"
         )
+        # most recent interleaved invocation of the pair = the re-validation
+        # on the current tree (within one window, no floor argument)
+        last_src = max(
+            (r["source"] for r in corpora[t_head].get((0, 8), []) if r.get("source")),
+            key=lambda s: max(
+                r["ts"] for r in corpora[t_head][(0, 8)] if r.get("source") == s
+            ),
+            default=None,
+        )
+        if last_src:
+            la = [r for r in corpora[t_head].get((0, 2), []) if r.get("source") == last_src]
+            lb = [r for r in corpora[t_head].get((0, 8), []) if r.get("source") == last_src]
+            pairs = [
+                f"{(b['turns_per_sec'] / a['turns_per_sec']) / 4:.3f}"
+                for a, b in zip(sorted(la, key=lambda r: r["ts"]), sorted(lb, key=lambda r: r["ts"]))
+            ]
+            if pairs:
+                crit.append(
+                    f"Most recent interleaved invocation of the criterion pair "
+                    f"(re-validation on the current tree, same-window A/B): "
+                    f"efficiencies {', '.join(pairs)}.\n\n"
+                )
     t_clus = _largest_with((1, 8), (4, 32))
     c18 = _best_rate(t_clus, 1, 8) if t_clus else None
     c48 = _best_rate(t_clus, 4, 32) if t_clus else None
