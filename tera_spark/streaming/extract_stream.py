@@ -92,6 +92,35 @@ def conversation_progress(stream: DataFrame):
     )
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for a document/turn stream: content is keyed by
+    ``md5(text)`` (same key as the batch ``dedup.exact_duplicates``, so a
+    stream-then-batch pipeline dedups consistently) and duplicates are
+    dropped with ``dropDuplicatesWithinWatermark`` — the state store keeps
+    one entry per content hash only until the event-time watermark passes
+    it, so state is bounded by (arrival rate × watermark) instead of
+    growing with the corpus forever. At 100 TB/day ingest this is the only
+    viable streaming dedup shape: exact global dedup needs an external
+    keyed store, while within-watermark dedup handles the dominant
+    duplicate mode (re-crawls / re-sends arriving close together) with
+    bounded RocksDB state.
+
+    Rows with NULL text pass through unexamined (a NULL hash never matches
+    another row, matching the batch operator's treatment).
+    """
+    keyed = stream.withColumn("_content_key", F.md5(F.col(text_col)))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_key"])
+        .drop("_content_key")
+    )
+
+
 def windowed_mention_rate(
     spark: SparkSession, input_dir: str, window: str = "10 minutes"
 ) -> DataFrame:

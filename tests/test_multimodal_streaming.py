@@ -1,3 +1,4 @@
+import datetime
 import os
 
 import pytest
@@ -245,3 +246,41 @@ def test_streaming_windowed_rate(spark, tmp_path):
     rows = spark.sql("select * from mention_rate").collect()
     assert len(rows) > 0
     assert {r.kind for r in rows} <= {"term", "code", "quantity"}
+
+
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Duplicate texts arriving within the watermark collapse to one row;
+    distinct texts all survive; the helper _content_key column is dropped."""
+    from tera_spark.streaming.extract_stream import TRANSCRIPT_SCHEMA, stream_dedup_exact
+
+    in_dir = str(tmp_path / "dd_in")
+    rows = []
+    for i in range(20):
+        rows.append(
+            (
+                f"c{i}",
+                0,
+                "user",
+                f"unique text {i}" if i < 10 else "the same boilerplate line",
+                None,
+                datetime.datetime(2026, 1, 1, 12, 0, i),
+            )
+        )
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(in_dir)
+    deduped = stream_dedup_exact(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = spark.sql("select * from dd_out").collect()
+    texts = [r.text for r in out]
+    assert len(out) == 11  # 10 unique + 1 survivor of the 10 duplicates
+    assert texts.count("the same boilerplate line") == 1
+    assert "_content_key" not in out[0].asDict()
