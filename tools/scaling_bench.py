@@ -221,13 +221,15 @@ def write_report() -> None:
         "graph materialization with stage checkpoints, `pipeline/run.py`),\n"
         "identical deterministic parquet input per corpus, separate JVMs per\n"
         "parallelism level (north_rule criterion; sandbox stand-in for N vs\n"
-        "4N executors). Runs interleaved A/B/A/B; per level the reported\n"
-        "figure is the fastest WARM run over the whole recorded history\n"
-        "(`BENCH/scaling_runs.jsonl`, every run + its host-CPU window),\n"
-        "because host CPU-steal on this shared microVM swings identical runs\n"
-        "by 2x within an hour — the floor is the only stable estimator of\n"
-        "the steal-free rate, and it is applied symmetrically to both\n"
-        "levels. The larger corpus is the headline: the rule's design point\n"
+        "4N executors). Runs interleaved A/B/A/B. Host CPU-steal on this\n"
+        "shared microVM swings identical runs by 2x between windows, so the\n"
+        "criterion verdict uses the MEDIAN of same-window interleaved A/B\n"
+        "pairs (each pair shares one invocation's host window — no\n"
+        "cross-window comparison at all); the per-level tables additionally\n"
+        "report the fastest WARM run over the whole recorded history\n"
+        "(`BENCH/scaling_runs.jsonl`, every run + its host-CPU window) as\n"
+        "the best estimate of each level's steal-free rate.\n"
+        "The larger corpus is the headline: the rule's design point\n"
         "is 10^12 turns, and a bigger input amortizes the fixed per-job\n"
         "driver/scheduler component exactly as a real cluster run would.\n\n"
     ]
@@ -250,19 +252,55 @@ def write_report() -> None:
         ok = [t for t in corpora if all(c in corpora[t] for c in cfgs)]
         return max(ok) if ok else None
 
+    def _same_window_pairs(turns: int, small: tuple[int, int]) -> list[float]:
+        """Consecutive (N, 4N) runs sharing one invocation's `source` stamp
+        — same host window, no floor argument needed."""
+        big = (small[0] * 4, small[1] * 4) if small[0] else (0, small[1] * 4)
+        seq = [r for r in runs if int(r["turns"]) == turns]
+        out = []
+        for a, b in zip(seq, seq[1:]):
+            if (
+                (int(a.get("workers") or 0), int(a["cores"])) == small
+                and (int(b.get("workers") or 0), int(b["cores"])) == big
+                and a.get("source") is not None
+                and a.get("source") == b.get("source")
+            ):
+                out.append(round((b["turns_per_sec"] / a["turns_per_sec"]) / 4, 3))
+        return out
+
     crit = []
     t_head = _largest_with((0, 2), (0, 8))
     r2 = _best_rate(t_head, 0, 2) if t_head else None
     r8 = _best_rate(t_head, 0, 8) if t_head else None
     if r2 and r8:
-        crit.append(
-            f"## Criterion verdict (corpus {t_head:,} turns)\n\n"
-            f"**The sandbox criterion pair is `local[2]` → `local[8]` — N vs 4N "
-            f"cores on the same input — and it measures {(r8 / r2) / 4:.3f} "
-            f"(target ≥ 0.8): PASS.** This is the pair where the guest still "
-            f"offers ~linear memory bandwidth (see the membw sweep below), so "
-            f"the engine — not the host — is what's being measured.\n\n"
-        )
+        sw_pairs = _same_window_pairs(t_head, (0, 2))
+        if sw_pairs:
+            med = sorted(sw_pairs)[len(sw_pairs) // 2]
+            verdict = "PASS" if med >= 0.8 else "BELOW TARGET"
+            crit.append(
+                f"## Criterion verdict (corpus {t_head:,} turns)\n\n"
+                f"**The sandbox criterion pair is `local[2]` → `local[8]` — N vs "
+                f"4N cores on the same input. Median over the {len(sw_pairs)} "
+                f"same-host-window interleaved A/B pairs recorded: "
+                f"{med:.3f} (range {min(sw_pairs):.3f}–{max(sw_pairs):.3f}; "
+                f"target ≥ 0.8): {verdict}.** The same-window median is the "
+                f"headline estimator because each pair needs no floor "
+                f"argument; the cross-history floor ratio (best warm rate per "
+                f"level, {(r8 / r2) / 4:.3f} here) pairs rates from DIFFERENT "
+                f"host windows, which biases it in whichever direction the "
+                f"cleaner window happened to land. This is the pair where the "
+                f"guest still offers ~linear memory bandwidth (see the membw "
+                f"sweep below), so the engine — not the host — is what's "
+                f"being measured.\n\n"
+            )
+        else:
+            crit.append(
+                f"## Criterion verdict (corpus {t_head:,} turns)\n\n"
+                f"**Floor-ratio of the criterion pair `local[2]` → `local[8]`: "
+                f"{(r8 / r2) / 4:.3f} (target ≥ 0.8)** — no same-window pairs "
+                f"recorded yet; rerun tools/scaling_bench.py for the "
+                f"no-floor-argument estimate.\n\n"
+            )
         # most recent interleaved invocation of the pair = the re-validation
         # on the current tree (within one window, no floor argument)
         last_src = max(
@@ -332,6 +370,11 @@ def write_report() -> None:
                 f"RISES {big[1] / small[1]:.1f}× (fixed per-job cost "
                 f"amortizes; partitions fatten toward their efficient size)"
             )
+            conclusion = (
+                ", i.e. the engine is input-bound, not state-bound (no "
+                "super-linear blowup in linking/CC as the vocabulary and "
+                "graph grow)"
+            )
         elif ratio >= 0.7:
             held = (
                 f"holds to within this host's window-to-window swing "
@@ -340,14 +383,26 @@ def write_report() -> None:
                 f"the floor discipline above shows 2× swings at fixed "
                 f"config)"
             )
+            conclusion = (
+                ", i.e. the engine is input-bound, not state-bound (no "
+                "super-linear blowup in linking/CC as the vocabulary and "
+                "graph grow)"
+            )
         else:
-            held = f"degrades ({ratio:.2f}×)"
+            n_big = len(corpora.get(big[0], {}).get((0, cores), []))
+            held = f"drops to {ratio:.2f}× of the best recorded rate"
+            conclusion = (
+                " — the largest-size figure is a single cross-window run "
+                "on a host whose windows swing 2× at fixed config, so this "
+                "is within measurement noise; more same-window runs at the "
+                "largest size would settle it"
+                if n_big <= 1
+                else " — a real drop worth profiling at the largest size"
+            )
         crit.append(
             f"**Corpus-growth soak (same `local[{cores}]`, best warm run "
             f"per size):** {row} — throughput {held} as the input grows "
-            f"{big[0] / small[0]:.0f}×, i.e. the engine is input-bound, "
-            f"not state-bound (no super-linear blowup in linking/CC as the "
-            f"vocabulary and graph grow).\n\n"
+            f"{big[0] / small[0]:.0f}×{conclusion}.\n\n"
         )
     lines.extend(crit)
 
