@@ -27,6 +27,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--fuzzy-threshold", type=float, default=88.0)
     ap.add_argument("--force", action="store_true")
     ap.add_argument(
+        "--append", action="store_true",
+        help="treat --transcripts as a NEW batch to merge into the existing "
+        "pipeline output at --out (incremental maintenance: per-turn stages "
+        "run only on the batch; canonical merges rewrite only the touched "
+        "buckets). Already-seen conversations are dropped.",
+    )
+    ap.add_argument(
         "--repeat", type=int, default=1,
         help="pipeline runs; reports the fastest (steady-state timing — a "
         "long-lived production job pays JIT/python-worker spawn once)",
@@ -73,6 +80,32 @@ def main(argv: list[str] | None = None) -> None:
     width = sc.defaultParallelism
     spark.range(0, width * 1000, 1, width * 2).selectExpr("sum(id)").collect()
     n_turns = transcripts.count()
+
+    if args.append:
+        from tera_spark.pipeline.incremental import run_pipeline_incremental
+
+        t0 = time.time()
+        res = run_pipeline_incremental(
+            spark,
+            transcripts,
+            lexicon,
+            args.out,
+            fuzzy_threshold=args.fuzzy_threshold,
+        )
+        wall = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "turns": n_turns,
+                    "seconds": round(wall, 2),
+                    "turns_per_sec": round(n_turns / wall, 1),
+                    "stages_run": res.stages_run,
+                    "stages_skipped": res.stages_skipped,
+                    "metrics": res.metrics,
+                }
+            )
+        )
+        return
 
     best = None
     for i in range(max(1, args.repeat)):
