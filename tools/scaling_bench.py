@@ -101,18 +101,20 @@ def once(i):
     out = {shm!r} + f"/out_{cores}_{workers}_{{i}}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    run_pipeline(spark, transcripts, lexicon, out)
+    res = run_pipeline(spark, transcripts, lexicon, out)
     secs = time.time() - t0
     shutil.rmtree(out, ignore_errors=True)
-    return secs
+    return secs, res.metrics
 
 # the real pipeline (stage-checkpointed writes) — warm second run, faster of
 # the two (first run also pays python-worker spawn, which a long-lived
-# production job pays once)
-secs = min(once(0), once(1))
+# production job pays once). Per-stage seconds of the faster run ride along
+# so N vs 4N records decompose the scaling residual by stage.
+secs, mets = min(once(0), once(1), key=lambda x: x[0])
 print(json.dumps({{"cores": cores, "workers": workers, "turns": n_turns,
                   "seconds": round(secs, 2),
-                  "turns_per_sec": round(n_turns / secs, 1)}}))
+                  "turns_per_sec": round(n_turns / secs, 1),
+                  "stage_metrics": mets}}))
 spark.stop()
 """
 
@@ -323,6 +325,23 @@ def write_report() -> None:
                     f"(re-validation on the current tree, same-window A/B): "
                     f"efficiencies {', '.join(pairs)}.\n\n"
                 )
+            # per-stage decomposition, when both sides of a same-window pair
+            # recorded stage seconds: WHERE does the sub-linearity live?
+            for a, b in zip(sorted(la, key=lambda r: r["ts"]), sorted(lb, key=lambda r: r["ts"])):
+                ma = {m["stage"]: m["seconds"] for m in a.get("stage_metrics") or []}
+                mb = {m["stage"]: m["seconds"] for m in b.get("stage_metrics") or []}
+                if ma and mb:
+                    per = "; ".join(
+                        f"{s} {ma[s] / mb[s] / 4:.2f}" for s in ma if s in mb and mb[s]
+                    )
+                    crit.append(
+                        f"Per-stage N→4N efficiency of that pair (same window, "
+                        f"stage wall seconds from the pipeline's own metrics): "
+                        f"{per} — values >1 mean the 2-core run under-fed the "
+                        f"stage (e.g. Arrow/python-worker pipelining stalls at "
+                        f"2 threads), <1 is the stage's own sub-linearity.\n\n"
+                    )
+                    break
     t_clus = _largest_with((1, 8), (4, 32))
     c18 = _best_rate(t_clus, 1, 8) if t_clus else None
     c48 = _best_rate(t_clus, 4, 32) if t_clus else None
