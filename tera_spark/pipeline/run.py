@@ -152,6 +152,13 @@ def run_pipeline(
         return read_table(spark, path)
 
     mentions = stage("mentions", "conv_id", lambda: extract_mentions(transcripts))
+    if "mentions" in res.stages_run:
+        # a fresh (non-resumed) base run invalidates any incremental-batch
+        # bookkeeping left in this directory (pipeline/incremental.py will
+        # re-bootstrap it from the new Conversation triples on next use)
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "convs_applied"), ignore_errors=True)
 
     def _link():
         linked, alias_edges = link_mentions(

@@ -265,3 +265,28 @@ def test_incremental_matches_full(spark, lexicon, tmp_path):
     metrics = spark.read.parquet(f"{inc_dir}/metrics")
     stages = {r.stage for r in metrics.collect()}
     assert "triples@b2" in stages and "mentions" in stages
+
+
+def test_incremental_mentionless_batch(spark, lexicon, tmp_path):
+    """A batch whose turns yield zero mentions still applies (structure
+    triples only; empty mention/linked/alias deltas must not break the
+    bucket-overwrite writes) and is guarded as applied on resubmit."""
+    import datetime
+
+    from tera_spark.pipeline.incremental import run_pipeline_incremental
+    from tera_spark.streaming.extract_stream import TRANSCRIPT_SCHEMA
+
+    out = str(tmp_path / "mb")
+    run_pipeline(spark, transcripts_spark_df(spark, n_convs=8), lexicon, out)
+
+    rows = [("zz-conv-1", 0, "user", "ok go on", None, datetime.datetime(2026, 1, 1))]
+    batch = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    res = run_pipeline_incremental(spark, batch, lexicon, out, batch_id="mb")
+    assert "triples@mb" in res.stages_run
+
+    triples = spark.read.parquet(out + "/triples")
+    conv = triples.filter(F.col("subject") == NS_KG + "conv/zz-conv-1")
+    assert conv.count() > 0  # structure triples for the new conversation
+
+    res2 = run_pipeline_incremental(spark, batch, lexicon, out, batch_id="mb2")
+    assert res2.stages_run == []
