@@ -103,6 +103,13 @@ def get_spark(
         .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # zstd over the snappy default for every parquet write: measured on
+        # the 5.7M-turn pipeline (local[32], best-of-2 per codec) the
+        # triples stage is 43.9s/196MB with zstd vs 47.6s/345MB snappy vs
+        # 45.6s/1699MB uncompressed — no slower to write, 43% fewer bytes,
+        # and at the 100 TB design point the byte cut is downstream read
+        # bandwidth, not just storage. Overridable via extra_conf.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Fork UDF workers from a daemon that has pandas/pyarrow already
         # imported (COW-warm) — kills the per-worker cold-import stampede
         # on wide-parallelism UDF stages. See tera_spark/warm_daemon.py.
