@@ -210,6 +210,7 @@ def transcripts_spark_df_dist(
     hot_factor: int = 100,
     seed: int = 42,
     parts: int | None = None,
+    id_start: int = 0,
 ):
     """Distributed corpus generator for large benches: conversations are
     generated in parallel via ``mapInPandas``, each self-seeded by
@@ -244,7 +245,11 @@ def transcripts_spark_df_dist(
                 recs, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
             )
 
-    return spark.range(0, n_convs, 1, parts).mapInPandas(gen, schema)
+    # ``id_start`` shifts the conv-index range: conv content depends only on
+    # (seed, index), so range [K, K+n) yields a corpus DISJOINT from and
+    # consistent with range [0, K) — the delta-batch generator for
+    # incremental-maintenance benches.
+    return spark.range(id_start, id_start + n_convs, 1, parts).mapInPandas(gen, schema)
 
 
 def lexicon_spark_df(spark):

@@ -272,14 +272,33 @@ def run_pipeline_incremental(
         ["subject", "predicate", "object"],
     )
 
-    # ---- per-turn tables: merge the delta into its touched buckets.
-    # Full-row dedup makes a crash-replay byte-identical (rows are unique:
-    # `pos` disambiguates repeated surface forms within a turn).
+    # ---- per-turn tables: the guard guarantees the batch's conversations
+    # are unseen, so every delta row is new by construction — plain file
+    # APPEND into the bucket dirs (delta-sized write, old files untouched).
+    # The merge-overwrite path runs only when a crashed earlier attempt
+    # left partial rows for these conversations (detected with a cheap
+    # column-pruned semi-join), making retries byte-identical too.
+    delta_convs = F.broadcast(delta.select("conv_id").distinct())
     for name, d in (("mentions", m_delta), ("linked", linked_delta)):
-        tb = _distinct_buckets(d)
-        old = spark.read.parquet(paths[name]).filter(F.col("_bucket").isin(tb))
-        cols = [c for c in d.columns if c != "_bucket"]
-        stage(name, old.unionByName(d), paths[name], tb, N_BUCKETS, cols)
+        partial = (
+            spark.read.parquet(paths[name])
+            .join(delta_convs, "conv_id", "left_semi")
+            .limit(1)
+            .count()
+            > 0
+        )
+        if partial:
+            tb = _distinct_buckets(d)
+            old = spark.read.parquet(paths[name]).filter(F.col("_bucket").isin(tb))
+            cols = [c for c in d.columns if c != "_bucket"]
+            stage(name, old.unionByName(d), paths[name], tb, N_BUCKETS, cols)
+        else:
+            t0 = time.time()
+            obs = Observation()
+            d_obs = d.observe(obs, *_lineage_exprs())
+            d_obs.write.mode("append").partitionBy("_bucket").parquet(paths[name])
+            _record(out_dir, f"{name}@{batch_id}", obs.get, time.time() - t0, res)
+            res.stages_run.append(f"{name}@{batch_id}")
 
     e_delta_b = bucketize(edges_delta, 8, "u")
     tb = _distinct_buckets(e_delta_b)

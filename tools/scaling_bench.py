@@ -520,6 +520,33 @@ def write_report() -> None:
             "so this checks the PACKAGING path, the headline numbers stay\n"
             f"with the in-process tables): {rows}.{pair}\n\n"
         )
+    incs = [r for r in history if r.get("mode") == "incremental"]
+    if incs:
+        i = max(incs, key=lambda r: r["ts"])
+        speedup = i["full_recompute_seconds"] / i["incremental_seconds"]
+        lines.append(
+            "**Incremental maintenance** (`tools/incremental_probe.py`, "
+            "`pipeline/incremental.py`): applying a fresh "
+            f"{i['delta_turns']:,}-turn batch to a completed "
+            f"{i['base_turns']:,}-turn base took "
+            f"**{i['incremental_seconds']}s** vs "
+            f"**{i['full_recompute_seconds']}s** recomputing the union from "
+            f"scratch ({speedup:.1f}× less work; base build itself "
+            f"{i['base_seconds']}s at local[{i['cores']}]), with "
+            f"{'matching' if i['counts_match'] else 'MISMATCHED'} "
+            "triples/nodes/edges row counts vs the from-scratch run "
+            "(set-equality is pytest-asserted at fixture scale). Honest cost "
+            "split: the per-turn stages (extraction/linking — the bulk of a "
+            "full run) and the mention/linked writes are delta-sized "
+            "(appends), but a uniformly-hashed batch this large touches all "
+            "32 buckets, so the set-semantic merge of triples/nodes/edges "
+            "still rewrites those tables once — that merge is exactly what a "
+            "row-level-delete table format (Iceberg MERGE INTO, the "
+            "production writer this repo's writer dispatch targets) removes; "
+            "the parquet fallback's win therefore grows as the batch "
+            "shrinks relative to bucket granularity and is modest at a 10% "
+            "batch.\n\n"
+        )
     probe_by_cores: dict[int, dict] = {}
     for p in probes:
         ref = p.get("alone_ref", "same-window")
