@@ -101,7 +101,10 @@ def main() -> None:
         if second_pass:
             t0 = time.time()
             _noop(QUERIES[name](spark, sf_dir))
-            timings[name] = round(min(cold[name], time.time() - t0), 3)
+            # the warm (second) run IS the headline, even if the cold run
+            # happened to be faster — keeps the metric definition identical
+            # to its documentation and to BASELINE.md's "fastest WARM run"
+            timings[name] = round(time.time() - t0, 3)
         else:
             timings[name] = cold[name]
 
@@ -130,7 +133,7 @@ def main() -> None:
         return round(time.time() - t0, 3)
 
     cold["kg_pipeline"] = _kg_once()
-    kg_secs = min(cold["kg_pipeline"], _kg_once()) if second_pass else cold["kg_pipeline"]
+    kg_secs = _kg_once() if second_pass else cold["kg_pipeline"]
     timings["kg_pipeline"] = kg_secs
 
     total = round(sum(timings.values()), 3)

@@ -18,11 +18,23 @@ triples frame (subject, predicate, object, obj_is_literal):
 - ``OPTIONAL`` group → left join on the shared variables;
 - ``FILTER`` → column predicates (``isURI(?v)`` uses the captured
   ``obj_is_literal`` flag when ``?v`` was bound in object position);
+- ``{A} UNION {B}`` → branches compiled independently and unioned (the
+  scoped rule: all branches must bind the same variable set, so bindings
+  never go NULL and the surrounding joins stay exact equi-joins);
+- ``p*`` / ``p+`` property paths → iterative frontier closure (the same
+  checkpointed BFS as operators/query_api.subclass_closure, generalized
+  to any predicate): with one end constant it is a seeded reachability
+  scan, with both ends variable (``+`` only) a pairwise closure of the
+  predicate's edge slice — meant for schema-sized relations like
+  ``rdfs:subClassOf`` (the chains the reference builds textually,
+  DataAccess.py:187-201), never fact-sized ones;
 - result → DISTINCT over the projected variables (rdflib's
   ``query_graph`` wraps results in a set — DataAccess.py:103-105).
 
-Anything outside the fragment (property paths, UNION, subqueries,
-aggregates) raises ``SparqlUnsupported`` loudly rather than mis-answering.
+Anything outside the fragment (subqueries, aggregates, MINUS, ``||``,
+zero-length paths with both ends unbound, UNION branches with unequal
+variable sets) raises ``SparqlUnsupported`` loudly rather than
+mis-answering.
 """
 
 from __future__ import annotations
@@ -58,7 +70,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z_][\w-]*:[\w.-]*|:[\w.-]+)
   | (?P<word>[A-Za-z_]\w*)
   | (?P<num>\d+)
-  | (?P<punct>&&|\|\||[{}();,.=\[\]*])
+  | (?P<punct>&&|\|\||[{}();,.=\[\]*+])
 """,
     re.X,
 )
@@ -102,6 +114,7 @@ class Group:
     patterns: list = field(default_factory=list)  # [(s, p, o)]
     filters: list = field(default_factory=list)  # filter ASTs
     optionals: list = field(default_factory=list)  # [Group]
+    unions: list = field(default_factory=list)  # [[Group, Group, ...]]
 
 
 @dataclass
@@ -191,12 +204,22 @@ class _Parser:
             elif (k, v) == ("kw", "filter"):
                 self.next()
                 g.filters.extend(self.parse_filter())
-            elif k == "word" and v.lower() in ("union", "minus", "graph", "service", "bind", "values"):
+            elif k == "word" and v.lower() in ("minus", "graph", "service", "bind", "values"):
                 raise SparqlUnsupported(f"{v.upper()} is outside the supported fragment")
             elif (k, v) == ("punct", "{"):
-                raise SparqlUnsupported(
-                    "nested group (UNION / subquery syntax) is outside the supported fragment"
-                )
+                # { A } UNION { B } [UNION { C } ...] — a single braced
+                # group degenerates to a one-branch union (= plain join)
+                branches = []
+                while True:
+                    self.expect("punct", "{")
+                    branches.append(self.parse_group())
+                    self.expect("punct", "}")
+                    nk, nv = self.peek()
+                    if nk == "word" and nv.lower() == "union":
+                        self.next()
+                        continue
+                    break
+                g.unions.append(branches)
             else:
                 self.parse_statement(g)
             if self.peek() == ("punct", "."):
@@ -211,6 +234,12 @@ class _Parser:
             pred = self.parse_term(allow_a=True)
             if pred[0] == "lit":
                 raise SparqlSyntaxError("literal in predicate position")
+            k, v = self.peek()
+            if pred[0] == "iri" and (k, v) in (("punct", "*"), ("punct", "+")):
+                self.next()
+                pred = ("path", pred[1], v)  # p* / p+ property path
+            elif pred[0] == "var" and (k, v) in (("punct", "*"), ("punct", "+")):
+                raise SparqlUnsupported("property path over a variable predicate")
             while True:
                 obj = self.parse_term_or_bnode(g)
                 g.patterns.append((subj, pred, obj))
@@ -380,7 +409,143 @@ def _filter_col(df: DataFrame, cond) -> F.Column:
 
 
 def _pattern_vars(pat) -> set:
-    return {val for kind, val in pat if kind == "var"}
+    return {val for kind, *rest in pat if kind == "var" for val in rest[:1]}
+
+
+# ---- property paths -------------------------------------------------------
+
+
+def _path_edges(graph: DataFrame, pred: str) -> DataFrame:
+    """The predicate's edge slice (partition-pruned on the materialized
+    graph). Literal objects are terminal and can't continue a path; the
+    fragment's target relations (subClassOf-like hierarchies) are all
+    IRI→IRI, so they are excluded from the closure entirely."""
+    return (
+        graph.filter((F.col("predicate") == pred) & ~F.col("obj_is_literal"))
+        .select(F.col("subject").alias("_src"), F.col("object").alias("_dst"))
+        .distinct()
+    )
+
+
+def _reachable(edges: DataFrame, seeds: DataFrame, forward: bool, max_iter: int) -> DataFrame:
+    """Checkpointed frontier BFS (same shape as query_api.subclass_closure):
+    all nodes reachable from ``seeds`` (column ``_n``) following edges
+    forward (src→dst) or backward. Returns visited INCLUDING the seeds."""
+    a, b = ("_src", "_dst") if forward else ("_dst", "_src")
+    visited = seeds.select("_n").distinct().localCheckpoint()
+    frontier = visited
+    for _ in range(max_iter):
+        nxt = (
+            edges.join(frontier, edges[a] == frontier["_n"], "left_semi")
+            .select(F.col(b).alias("_n"))
+            .distinct()
+            .join(visited, "_n", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).distinct().localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def _pair_closure(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Transitive pairs (length ≥ 1) of an edge slice. Quadratic in the
+    relation's reach — correct for schema-sized relations (class/property
+    hierarchies); a fact-sized predicate here would be a design error."""
+    pairs = edges.localCheckpoint()
+    frontier = pairs
+    for _ in range(max_iter):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f._dst") == F.col("e._src"))
+            .select(F.col("f._src").alias("_src"), F.col("e._dst").alias("_dst"))
+            .distinct()
+            .join(pairs, ["_src", "_dst"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        pairs = pairs.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return pairs
+
+
+def _compile_path(graph: DataFrame, pat, max_iter: int = 32) -> DataFrame:
+    """One ``p*``/``p+`` pattern → a binding slice, joinable like any other
+    compiled pattern."""
+    s_term, (_, pred, mod), o_term = pat
+    edges = _path_edges(graph, pred)
+    spark = graph.sparkSession
+
+    def _const(term):
+        return spark.createDataFrame([(term[1],)], "_n string")
+
+    if s_term[0] != "var" and o_term[0] != "var":
+        raise SparqlUnsupported("property path with both ends constant")
+    if s_term[0] == "var" and o_term[0] == "var":
+        if mod == "*":
+            raise SparqlUnsupported(
+                "zero-length path with both ends unbound (unrestricted domain)"
+            )
+        if s_term[1] == o_term[1]:
+            raise SparqlUnsupported("p+ with the same variable at both ends")
+        pairs = _pair_closure(edges, max_iter)
+        return pairs.select(
+            F.col("_src").alias(s_term[1]),
+            F.lit(True).alias(f"__isuri_{s_term[1]}"),
+            F.col("_dst").alias(o_term[1]),
+            F.lit(True).alias(f"__isuri_{o_term[1]}"),
+        )
+    # one constant end: seeded reachability. (s p* o) means s reaches o
+    # going forward along p-edges, so a constant SUBJECT seeds a forward
+    # scan binding the object var, a constant OBJECT seeds a backward scan
+    # binding the subject var.
+    forward = s_term[0] != "var"
+    const_term, var_name = (s_term, o_term[1]) if forward else (o_term, s_term[1])
+    visited = _reachable(edges, _const(const_term), forward, max_iter)
+    if mod == "+":
+        # length ≥ 1: drop the seed unless it is reachable from itself in
+        # ≥1 hop (cycles — not the case for the acyclic hierarchies this
+        # fragment targets, but stay exact)
+        one_plus = (
+            edges.join(_const(const_term), edges["_src" if forward else "_dst"] == F.col("_n"), "left_semi")
+            .select(F.col("_dst" if forward else "_src").alias("_n"))
+            .distinct()
+        )
+        visited = visited.join(_const(const_term), "_n", "left_anti").unionByName(
+            _reachable(edges, one_plus, forward, max_iter)
+        ).distinct()
+    return visited.select(
+        F.col("_n").alias(var_name), F.lit(True).alias(f"__isuri_{var_name}")
+    )
+
+
+def _compile_union(graph: DataFrame, branches: list) -> DataFrame:
+    """{A} UNION {B} → branches compiled independently, then unioned.
+    Scoped rule: every branch must bind the SAME variable set — otherwise
+    a missing binding would have to become NULL, and NULL keys in the
+    surrounding equi-joins silently diverge from SPARQL's unbound-is-
+    compatible semantics. The fragment's real uses (alternate label
+    properties, alternate link predicates) all bind identical sets."""
+    dfs = [_compile_group(graph, br) for br in branches]
+    varsets = [
+        frozenset(c for c in d.columns if not c.startswith("__isuri_")) for d in dfs
+    ]
+    if len(set(varsets)) != 1:
+        raise SparqlUnsupported(
+            f"UNION branches bind different variable sets: "
+            f"{[sorted(v) for v in varsets]}"
+        )
+    cols = dfs[0].columns
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d.select(cols))
+    return out
+
+
+def _compile_pat_or_path(graph: DataFrame, pat) -> DataFrame:
+    return (_compile_path if pat[1][0] == "path" else _compile_pattern)(graph, pat)
 
 
 def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
@@ -391,23 +556,38 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
     flagship at sf0.001). Greedy connected ordering instead: always join
     the next pattern that shares a variable with the bound set — every
     join stays an equi-join; a genuine cross join only happens for a
-    genuinely disconnected BGP."""
-    if not g.patterns:
+    genuinely disconnected BGP. UNION blocks join the tree like one more
+    pattern (on their shared variables); property paths compile to
+    closure slices and join identically."""
+    if not g.patterns and not g.unions:
         raise SparqlUnsupported("group with no triple pattern")
-    remaining = list(g.patterns)
-    # start at the most-constant (most selective) pattern
-    remaining.sort(key=lambda p: sum(1 for k, _ in p if k != "var"), reverse=True)
-    first = remaining.pop(0)
-    df = _compile_pattern(graph, first)
-    bound = _pattern_vars(first)
-    while remaining:
-        i = next(
-            (j for j, p in enumerate(remaining) if _pattern_vars(p) & bound),
-            0,  # disconnected BGP: fall back to a real cross join
+    df = None
+    bound: set = set()
+    if g.patterns:
+        remaining = list(g.patterns)
+        # start at the most-constant (most selective) pattern; property
+        # paths count their constant ends but are costlier — tie-break last
+        remaining.sort(
+            key=lambda p: (
+                sum(1 for k, *_ in p if k != "var"),
+                p[1][0] != "path",
+            ),
+            reverse=True,
         )
-        pat = remaining.pop(i)
-        df = _merge(df, _compile_pattern(graph, pat))
-        bound |= _pattern_vars(pat)
+        first = remaining.pop(0)
+        df = _compile_pat_or_path(graph, first)
+        bound = _pattern_vars(first)
+        while remaining:
+            i = next(
+                (j for j, p in enumerate(remaining) if _pattern_vars(p) & bound),
+                0,  # disconnected BGP: fall back to a real cross join
+            )
+            pat = remaining.pop(i)
+            df = _merge(df, _compile_pat_or_path(graph, pat))
+            bound |= _pattern_vars(pat)
+    for branches in g.unions:
+        u = _compile_union(graph, branches)
+        df = u if df is None else _merge(df, u)
     for cond in g.filters:
         df = df.filter(_filter_col(df, cond))
     for opt in g.optionals:

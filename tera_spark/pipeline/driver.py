@@ -20,7 +20,7 @@ import time
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--transcripts", required=True)
+    ap.add_argument("--transcripts", default=None)
     ap.add_argument("--out", required=True)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--salts", type=int, default=None)
@@ -30,8 +30,19 @@ def main(argv: list[str] | None = None) -> None:
         "--append", action="store_true",
         help="treat --transcripts as a NEW batch to merge into the existing "
         "pipeline output at --out (incremental maintenance: per-turn stages "
-        "run only on the batch; canonical merges rewrite only the touched "
-        "buckets). Already-seen conversations are dropped.",
+        "run only on the batch; the batch commits as delta files, the base "
+        "is never rewritten). Already-seen conversations are dropped.",
+    )
+    ap.add_argument(
+        "--batch-id", default=None,
+        help="lineage/metrics scope for --append (<stage>@<batch-id>); "
+        "defaults to a content hash of the batch's conversation ids, so "
+        "distinct batches never collide and retries reuse the same id",
+    )
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="fold all committed delta batches into the base tables "
+        "(amortized rewrite; bounds merge-on-read cost), then exit",
     )
     ap.add_argument(
         "--repeat", type=int, default=1,
@@ -39,6 +50,18 @@ def main(argv: list[str] | None = None) -> None:
         "long-lived production job pays JIT/python-worker spawn once)",
     )
     args = ap.parse_args(argv)
+
+    if args.compact:
+        from tera_spark.pipeline.incremental import compact
+        from tera_spark.session import get_spark as _gs
+
+        spark = _gs("tera_spark_compact", cores=args.cores)
+        t0 = time.time()
+        tables = compact(spark, args.out)
+        print(json.dumps({"compacted": tables, "seconds": round(time.time() - t0, 2)}))
+        return
+    if not args.transcripts:
+        ap.error("--transcripts is required unless --compact")
 
     from tera_spark.fixtures.transcripts import (
         lexicon_spark_df,
@@ -91,6 +114,7 @@ def main(argv: list[str] | None = None) -> None:
             lexicon,
             args.out,
             fuzzy_threshold=args.fuzzy_threshold,
+            batch_id=args.batch_id,
         )
         wall = time.time() - t0
         print(

@@ -1,6 +1,7 @@
 """Incremental KG maintenance: apply a batch of NEW transcripts to an
 existing ``run_pipeline`` output without recomputing the per-turn stages
-over the old corpus.
+over the old corpus — with apply cost proportional to the BATCH, not the
+base (delta-log / merge-on-read layout).
 
 Why this exists: at the design-point corpus (10^12 turns) a full re-run per
 ingest batch is a non-starter — the per-turn stages (extraction, linking)
@@ -12,43 +13,72 @@ tables derived from it. The update exploits two structural facts:
 1. **Alias edges are append-only** (linking is a pure per-surface-form
    function of the lexicon — the same normalized mention always produces
    the same edge, new batches can only ADD edges), so canonical components
-   only ever MERGE. An id stored in the old triples table is by
-   construction its own old canonical representative; after the merge its
-   new representative is ``new_mapping[id]``. Hence the exact rewrite map
-   for STORED values is ``new_mapping`` minus keys the old mapping already
-   rewrote — delta-sized, broadcastable.
-2. **Every derived table is hash-bucketed by its subject-side key** with
-   the same ``pmod(xxhash64(key), N)`` function, so a triple, its node row
-   and its edge rows land in the SAME bucket id. Rewriting a bounded set
-   of buckets updates all three tables consistently, via Spark's dynamic
-   partition overwrite (only the touched ``_bucket=`` dirs are replaced —
-   the job commit swaps them atomically, so a crashed batch leaves the old
-   data and a retry is safe).
+   only ever MERGE and the representative of a component (its min id) only
+   ever DECREASES. Consequences used throughout: (a) an id stored in the
+   live triples is by construction its own canonical representative, so
+   the exact rewrite map for stored values is ``new_mapping`` minus keys
+   the old mapping already rewrote — delta-sized, broadcastable; (b) an id
+   that has been merged away can never become a representative again, so a
+   tombstoned triple/edge row can never be re-added — the read-time merge
+   is an order-insensitive anti-join, no sequencing needed.
+2. **Every table is hash-bucketed by its subject-side key** with the same
+   ``pmod(xxhash64(key), N)`` function, so add files written by a batch
+   use the same clustering as the base and a later ``compact()`` folds
+   them in without re-deriving anything.
 
-Cost model (per batch): per-turn stages O(|delta|); one map-side
-broadcast-probe scan of the old triples table to find rows whose canonical
-id changed (no shuffle, no index needed); then reads/writes proportional
-to the TOUCHED buckets only. Nothing scales with corpus size except the
-single probe scan — and on the Iceberg path that scan can additionally
-prune by a bloom filter on ``subject``/``object``.
+Storage layout (parquet fallback of the Iceberg design — adds ≈ data
+files of a new snapshot, dels ≈ equality-delete files, ``compact()`` ≈
+rewrite_data_files; Iceberg MERGE INTO gives all of this atomically and
+is what sources/writers.py targets in production)::
 
-Idempotency: a fully-applied batch re-submitted is dropped by the
-seen-conversation guard; a batch retried after a mid-run crash recomputes
-deterministically and every table update is a full-row (or natural-key)
-dedup-then-overwrite, so replays converge to the same bytes. Equivalence
-with a from-scratch run over (old ∪ delta) is asserted in
+    <out>/<table>/_bucket=b/...                      # base — NEVER mutated
+    <out>/_batches/b<seq>_<batch_id>/
+        <table>_adds/_bucket=b/...                   # delta-sized
+        <table>_dels/...                             # key rows (tombstones)
+        convs/                                       # this batch's conv_ids
+        _COMMITTED                                   # json marker, written LAST
+
+Read-time merge (``read_live``), all map-side — ZERO shuffles of the base:
+
+- append tables (mentions, linked): ``base ∪ adds`` (the seen-conversation
+  guard makes batches conv-disjoint from the base, so this is exact
+  multiset union).
+- set tables (triples, edges, alias_edges): ``(base ∪ adds) ⟕̸ dels`` —
+  adds are written already-deduplicated against the pre-batch live view
+  (probe below), so no read-time dropDuplicates; dels are delta-sized and
+  broadcast.
+- keyed table (nodes): upsert log — latest add per id wins over base;
+  del tombstones ids merged away. The log is delta-sized and sequenced by
+  batch seq.
+
+Cost model (per batch): per-turn stages O(|delta|); THREE map-side scans
+of the live triples (rewrite probe, add-dedup probe, node-recompute probe
+— the last two predicate/semi-join pruned), each shuffle-free with
+broadcast build sides; all writes delta-sized. Nothing shuffles or
+rewrites the base. Read cost grows with the number of uncompacted batches
+(a handful of extra file unions + a broadcast anti-join) — ``compact()``
+bounds it and amortizes the one full rewrite across many batches.
+
+Crash safety / idempotency: a batch's files all live under its own
+``_batches`` dir and become visible only with the ``_COMMITTED`` marker,
+written last — a crashed apply leaves the live view bit-identical to the
+pre-batch state, and the retry (which first sweeps uncommitted dirs)
+recomputes the same bytes from the same inputs. A fully-applied batch
+re-submitted is dropped by the seen-conversation guard (conv_ids are part
+of the committed batch dir, so the guard commits atomically WITH the
+data). ``batch_id`` defaults to a content hash of the batch's conv_ids, so
+lineage/metrics rows (``<stage>@<batch_id>``) never collide across
+batches; an explicit batch_id that was already committed raises.
+``compact()`` is a stop-the-world maintenance op in this parquet fallback
+(manifest-protected two-phase swap, self-recovering on retry); under
+Iceberg it is an atomic snapshot commit. Equivalence with a from-scratch
+run over (old ∪ delta) — before AND after compaction — is asserted in
 tests/test_pipeline.py.
-
-Sandbox note: before overwriting a table we also read from, the final
-contents are ``localCheckpoint``-ed to break the self-read (Spark refuses
-or corrupts overwrite-while-reading on file sources). The production
-target is Iceberg (sources/writers.py), whose snapshot isolation makes
-that checkpoint unnecessary — MERGE INTO / dynamic overwrite read the old
-snapshot while writing the new one.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -73,50 +103,170 @@ from tera_spark.sources.writers import bucketize
 
 TABLES = ("mentions", "linked", "alias_edges", "triples", "nodes", "edges")
 _TRIPLE_COLS = ["subject", "predicate", "object", "obj_is_literal"]
+_TRIPLE_KEY = ["subject", "predicate", "object"]
+_EDGE_KEY = ["src", "pred", "dst"]
+BATCHES_DIR = "_batches"
+_MANIFEST = "_compact_manifest.json"
 
 
 def _bucket_of(col: str, n: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
 
 
-def _overwrite_buckets(
-    spark: SparkSession,
+# ---------------------------------------------------------------------------
+# batch-dir bookkeeping
+
+
+def _batches_root(out_dir: str) -> str:
+    return os.path.join(out_dir, BATCHES_DIR)
+
+
+def committed_batches(out_dir: str) -> list[str]:
+    """Committed batch dirs in apply order (dir names are b<seq>_<id> with a
+    zero-padded seq, so lexicographic order IS apply order)."""
+    root = _batches_root(out_dir)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("b") and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+    )
+
+
+def _sweep_uncommitted(out_dir: str) -> None:
+    """Remove crashed-apply leftovers: batch dirs without a commit marker
+    are invisible to every reader and recomputed verbatim on retry."""
+    root = _batches_root(out_dir)
+    if not os.path.isdir(root):
+        return
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if d.startswith("b") and not os.path.exists(os.path.join(p, "_COMMITTED")):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    return spark.read.parquet(path) if os.path.exists(path) else None
+
+
+def _union_batch_parts(
+    spark: SparkSession, batches: list[str], suffix: str, with_seq: bool = False
+) -> DataFrame | None:
+    parts = []
+    for seq, b in enumerate(batches, start=1):
+        df = _read_if_exists(spark, os.path.join(b, suffix))
+        if df is not None:
+            parts.append(df.withColumn("_seq", F.lit(seq)) if with_seq else df)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read
+
+
+def read_live(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    """The live contents of ``table``: base merged with every COMMITTED
+    batch's delta files. Entirely map-side — append/set tables are a file
+    union plus (for set tables) a broadcast anti-join against the
+    delta-sized tombstones; the keyed nodes table resolves its (small)
+    upsert log with a window over the log only, never the base."""
+    base = spark.read.parquet(os.path.join(out_dir, table))
+    if "_bucket" in base.columns:
+        base = base.drop("_bucket")
+    batches = committed_batches(out_dir)
+    if not batches:
+        return base
+
+    if table == "nodes":
+        return _merge_nodes(spark, base, batches)
+
+    adds = _union_batch_parts(spark, batches, f"{table}_adds")
+    if adds is not None:
+        if "_bucket" in adds.columns:
+            adds = adds.drop("_bucket")
+        base = base.unionByName(adds.select(base.columns))
+    dels = _union_batch_parts(spark, batches, f"{table}_dels")
+    if dels is not None:
+        key = _TRIPLE_KEY if table == "triples" else _EDGE_KEY
+        base = base.join(F.broadcast(dels.select(key).distinct()), key, "left_anti")
+    return base
+
+
+def _merge_nodes(spark: SparkSession, base: DataFrame, batches: list[str]) -> DataFrame:
+    from pyspark.sql import Window
+
+    adds = _union_batch_parts(spark, batches, "nodes_adds", with_seq=True)
+    dels = _union_batch_parts(spark, batches, "nodes_dels", with_seq=True)
+    if adds is None and dels is None:
+        return base
+    cols = base.columns
+    log = None
+    if adds is not None:
+        log = adds.drop("_bucket").withColumn("_op", F.lit("add"))
+    if dels is not None:
+        d = dels.withColumn("_op", F.lit("del"))
+        for c in cols:
+            if c not in d.columns:
+                d = d.withColumn(c, F.lit(None).cast(base.schema[c].dataType))
+        d = d.select(*cols, "_seq", "_op")
+        log = d if log is None else log.select(*cols, "_seq", "_op").unionByName(d)
+    latest = (
+        log.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("id").orderBy(F.col("_seq").desc())),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+    )
+    keep = base.join(F.broadcast(latest.select("id")), "id", "left_anti")
+    return keep.unionByName(latest.filter(F.col("_op") == "add").select(cols))
+
+
+# ---------------------------------------------------------------------------
+# apply
+
+
+def _write_part(
+    out_dir: str,
+    batch_dir: str,
+    name: str,
     df: DataFrame,
-    path: str,
-    targets: list[int],
-    n: int,
-    dedup_cols: list[str] | None,
-) -> dict:
-    """Replace exactly the ``_bucket=`` partition dirs in ``targets`` with
-    ``df``'s contents (dynamic partition overwrite). ``df`` must carry a
-    ``_bucket`` column and cover every bucket whose contents changed.
-    Buckets in ``targets`` that receive ZERO rows are deleted afterwards
-    (dynamic overwrite only replaces partitions it writes — a bucket whose
-    rows all moved elsewhere would otherwise keep its stale files).
-    Returns the observed lineage values (rows + per-bucket counts)."""
-    assert n <= N_BUCKETS, "lineage expressions cover up to N_BUCKETS buckets"
-    # break the self-read before overwriting (see module docstring)
-    df = df.repartition(max(1, len(targets)), "_bucket")
-    if dedup_cols:
-        df = df.dropDuplicates(["_bucket", *dedup_cols])
-    df = df.localCheckpoint(eager=True)
+    *,
+    batch_tag: str,
+    res: PipelineResult,
+    record: bool,
+    t0: float,
+    partitioned: bool = True,
+) -> None:
+    """Write one delta file set under the (uncommitted) batch dir. Adds are
+    bucket-partitioned with the table's own clustering so compact() can
+    fold them straight in; tombstone/key files are small single-dir
+    parquet. Lineage counts ride the write via observe()."""
+    path = os.path.join(batch_dir, name)
     obs = Observation()
-    df = df.observe(obs, *_lineage_exprs())
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    if partitioned:
+        df = df.repartition(F.col("_bucket"))
+        df = df.observe(obs, *_lineage_exprs())
         df.write.mode("overwrite").partitionBy("_bucket").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    vals = obs.get
-    for b in targets:
-        if int(vals[f"b{b}"]) == 0:
-            shutil.rmtree(os.path.join(path, f"_bucket={b}"), ignore_errors=True)
-    return vals
-
-
-def _distinct_buckets(df: DataFrame, col: str = "_bucket") -> list[int]:
-    return sorted(int(r[0]) for r in df.select(col).distinct().collect())
+        vals = obs.get
+    else:
+        df = df.coalesce(4).observe(obs, F.count(F.lit(1)).alias("rows"))
+        df.write.mode("overwrite").parquet(path)
+        vals = {"rows": obs.get["rows"], **{f"b{i}": 0 for i in range(N_BUCKETS)}}
+    if record:
+        _record(out_dir, batch_tag, vals, time.time() - t0, res)
+        res.stages_run.append(batch_tag)
+    if int(vals["rows"]) == 0:
+        # an empty delta part is correct but unreadable (parquet schema
+        # inference fails on a fileless dir) — drop it; its absence means
+        # the same thing to the read-time merge
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def run_pipeline_incremental(
@@ -125,17 +275,19 @@ def run_pipeline_incremental(
     lexicon: DataFrame,
     out_dir: str,
     fuzzy_threshold: float = 88.0,
-    batch_id: str = "delta",
+    batch_id: str | None = None,
     guard_seen_convs: bool = True,
 ) -> PipelineResult:
     """Apply ``new_transcripts`` to the completed pipeline output at
-    ``out_dir``. Result tables are equal (set-wise, and bit-identical
-    after ordering) to a from-scratch ``run_pipeline`` over old ∪ new.
+    ``out_dir`` as one atomic delta batch. ``read_live`` tables are equal
+    (set-wise) to a from-scratch ``run_pipeline`` over old ∪ new.
 
-    ``guard_seen_convs``: drop conversations already applied (tracked in
-    the small ``convs_applied`` table) — makes re-submitting an applied
-    batch a no-op. ``batch_id`` scopes the lineage/metrics rows
-    (``<stage>@<batch_id>``)."""
+    ``guard_seen_convs``: drop conversations already applied (base
+    bootstrap table ∪ committed batches) — re-submitting an applied batch
+    is a no-op. ``batch_id`` scopes the lineage/metrics rows
+    (``<stage>@<batch_id>``); default is a content hash of the batch's
+    conv_ids, so retries reuse the same id and distinct batches never
+    collide."""
     res = PipelineResult(out_dir=out_dir)
     paths = {t: os.path.join(out_dir, t) for t in TABLES}
     missing = [t for t in TABLES if not _done(paths[t])]
@@ -144,13 +296,20 @@ def run_pipeline_incremental(
             f"incremental run needs a completed pipeline at {out_dir}; "
             f"missing stages: {missing}"
         )
+    if os.path.exists(os.path.join(out_dir, _MANIFEST)):
+        raise RuntimeError(
+            f"interrupted compact() at {out_dir}: run compact() to finish the swap"
+        )
+    _sweep_uncommitted(out_dir)
+    batches = committed_batches(out_dir)
+    seq = len(batches) + 1
 
     # Applied-conversation bookkeeping: a conversation with zero mentions
     # never reaches the mentions table, so the guard keys off a dedicated
-    # small table of applied conv_ids. Bootstrapped once from the base
-    # run's Conversation-type triples (every conversation emits one);
-    # updated LAST below, so a crashed batch leaves the guard conservative
-    # and the retry reconverges via the dedup-overwrite writes.
+    # small table of applied conv_ids, bootstrapped once from the base
+    # run's Conversation-type triples (every conversation emits one).
+    # Batch conv_ids live INSIDE the committed batch dir, so guard state
+    # commits atomically with the data.
     convs_path = os.path.join(out_dir, "convs_applied")
     if not _done(convs_path):
         prefix = NS_KG + "conv/"
@@ -170,23 +329,52 @@ def run_pipeline_incremental(
     delta = new_transcripts
     if guard_seen_convs:
         seen = spark.read.parquet(convs_path).select("conv_id")
+        extra = _union_batch_parts(spark, batches, "convs")
+        if extra is not None:
+            seen = seen.unionByName(extra.select("conv_id"))
         delta = delta.join(seen, "conv_id", "left_anti")
-    # checkpoint NOW: every downstream read of the old tables must see the
+    # checkpoint NOW: every downstream read of the live tables must see the
     # pre-batch state, and the guard's anti-join must run before any write
     delta = delta.localCheckpoint(eager=True)
     if delta.limit(1).count() == 0:
-        res.stages_skipped = [f"{t}@{batch_id}" for t in TABLES]
+        res.stages_skipped = [f"{t}@{batch_id or 'noop'}" for t in TABLES]
         return res
 
-    def stage(name: str, df: DataFrame, path: str, targets, n, dedup_cols):
-        t0 = time.time()
-        vals = _overwrite_buckets(spark, df, path, targets, n, dedup_cols)
-        _record(out_dir, f"{name}@{batch_id}", vals, time.time() - t0, res)
-        res.stages_run.append(f"{name}@{batch_id}")
+    if batch_id is None:
+        # content hash of the conv_id set: bit_xor is order-independent and
+        # can't overflow under ANSI mode (sum(xxhash64) would)
+        h = delta.select("conv_id").distinct().agg(
+            F.expr("bit_xor(xxhash64(conv_id))").alias("h")
+        ).collect()[0]["h"]
+        batch_id = f"{(int(h) & 0xFFFFFFFFFFFFFFFF):016x}"
+    elif any(b.split("_", 1)[1] == batch_id for b in (os.path.basename(x) for x in batches)):
+        raise ValueError(
+            f"batch_id {batch_id!r} was already committed at {out_dir}; "
+            "per-batch lineage would collide — pick a unique id"
+        )
+    batch_dir = os.path.join(_batches_root(out_dir), f"b{seq:06d}_{batch_id}")
+    shutil.rmtree(batch_dir, ignore_errors=True)
+    os.makedirs(batch_dir, exist_ok=True)
 
-    # ---- old canonical state, captured before anything is written
-    old_edges = spark.read.parquet(paths["alias_edges"]).select("u", "v")
+    def part(name: str, df: DataFrame, *, record: bool = True, partitioned: bool = True):
+        t0 = time.time()
+        table = name.rsplit("_", 1)[0]
+        _write_part(
+            out_dir,
+            batch_dir,
+            name,
+            df,
+            batch_tag=f"{table}@{batch_id}",
+            res=res,
+            record=record,
+            t0=t0,
+            partitioned=partitioned,
+        )
+
+    # ---- old (pre-batch) live state
+    old_edges = read_live(spark, out_dir, "alias_edges").select("u", "v")
     old_mapping = canonical_mapping(old_edges).localCheckpoint(eager=True)
+    old_t = read_live(spark, out_dir, "triples")
 
     # ---- per-turn delta stages (pure functions of the batch + lexicon)
     m_delta = bucketize(extract_mentions(delta), N_BUCKETS, "conv_id").localCheckpoint(
@@ -198,15 +386,25 @@ def run_pipeline_incremental(
     )
     linked_delta = bucketize(linked_raw, N_BUCKETS, "conv_id").localCheckpoint(eager=True)
     edges_delta = edges_delta.localCheckpoint(eager=True)
+    part("mentions_adds", m_delta)
+    part("linked_adds", linked_delta)
+
+    # alias-edge adds: new (u,v) pairs only (set semantics at write time —
+    # the live view is a plain union). The old edge table is
+    # vocabulary-sized, so this anti-join is small on both sides.
+    new_edges = edges_delta.join(old_edges, ["u", "v"], "left_anti").dropDuplicates(
+        ["u", "v"]
+    )
+    part("alias_edges_adds", bucketize(new_edges, 8, "u"))
 
     # ---- global step: components over the UNION of alias edges (small —
     # vocabulary-sized, not corpus-sized)
     new_mapping = canonical_mapping(
-        old_edges.unionByName(edges_delta)
+        old_edges.unionByName(edges_delta.select("u", "v"))
     ).localCheckpoint(eager=True)
     # stored-value rewrite map: ids the new mapping rewrites that the old
-    # one didn't (everything stored in the old triples is its own old
-    # canonical — see module docstring, fact 1)
+    # one didn't (everything stored live is its own old canonical — see
+    # module docstring, fact 1)
     stored_rewrite = new_mapping.join(
         old_mapping.select("old"), "old", "left_anti"
     ).localCheckpoint(eager=True)
@@ -216,12 +414,10 @@ def run_pipeline_incremental(
         build_triples(delta, linked_delta.drop("_bucket")),
         new_mapping,
         deduplicate=False,
-    ).withColumn("_bucket", _bucket_of("subject", N_BUCKETS))
+    ).dropDuplicates(_TRIPLE_KEY)
 
-    # ---- old rows whose canonical id changed: one map-side broadcast
-    # probe over the old triples (subject side always, object side only
-    # for non-literals), rewritten and re-bucketed by their new subject
-    old_t = spark.read.parquet(paths["triples"])
+    # ---- probe 1 (map-side broadcast scan of the live triples): rows whose
+    # canonical id changed — old form becomes a tombstone, new form an add
     sr_s = F.broadcast(
         stored_rewrite.select(F.col("old").alias("_s_old"), F.col("new").alias("_s_new"))
     )
@@ -235,108 +431,193 @@ def run_pipeline_incremental(
         )
 
     hit = F.col("_s_new").isNotNull() | F.col("_o_new").isNotNull()
-    rewritten = (
-        _probe(old_t)
-        .filter(hit)
-        .select(
-            F.coalesce("_s_new", "subject").alias("subject"),
-            F.col("predicate"),
-            F.coalesce("_o_new", "object").alias("object"),
-            F.col("obj_is_literal"),
-            F.col("_bucket").alias("_old_bucket"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    upd = (
-        rewritten.withColumn("_bucket", _bucket_of("subject", N_BUCKETS))
-        .select(*_TRIPLE_COLS, "_bucket")
-        .unionByName(t_delta.select(*_TRIPLE_COLS, "_bucket"))
-        .localCheckpoint(eager=True)
-    )
-    targets = sorted(
-        set(_distinct_buckets(rewritten, "_old_bucket")) | set(_distinct_buckets(upd))
+    hit_rows = _probe(old_t).filter(hit).localCheckpoint(eager=True)
+    dels_t = hit_rows.select(*_TRIPLE_KEY)
+    rewritten = hit_rows.select(
+        F.coalesce("_s_new", "subject").alias("subject"),
+        F.col("predicate"),
+        F.coalesce("_o_new", "object").alias("object"),
+        F.col("obj_is_literal"),
     )
 
-    # keep = untouched rows of the touched buckets (partition-pruned read)
-    keep = (
-        _probe(old_t.filter(F.col("_bucket").isin(targets)))
+    # candidate adds, deduplicated within the batch...
+    cand = rewritten.unionByName(t_delta.select(*_TRIPLE_COLS)).dropDuplicates(
+        _TRIPLE_KEY
+    ).localCheckpoint(eager=True)
+    # ...probe 2: and against the pre-batch live view, so the read-time
+    # merge never needs a dropDuplicates over the base. Semi-join with the
+    # delta-sized candidate keys as the broadcast build side — map-side.
+    dup_keys = (
+        old_t.join(F.broadcast(cand.select(*_TRIPLE_KEY)), _TRIPLE_KEY, "left_semi")
+        .select(*_TRIPLE_KEY)
+        .localCheckpoint(eager=True)
+    )
+    adds_t = cand.join(F.broadcast(dup_keys), _TRIPLE_KEY, "left_anti").withColumn(
+        "_bucket", _bucket_of("subject", N_BUCKETS)
+    ).localCheckpoint(eager=True)
+    part("triples_adds", adds_t)
+    part("triples_dels", dels_t, record=False, partitioned=False)
+
+    # ---- nodes: recompute the aggregate ONLY for affected ids — subjects
+    # that gained type/label rows (adds) or lost one to an object-side
+    # rewrite (dels whose subject itself survives; subject-merged dels are
+    # covered by the merged-away tombstones). Both sets are delta-sized.
+    is_tl = F.col("predicate").isin(RDF_TYPE, RDFS_LABEL)
+    merged_away = stored_rewrite.select(F.col("old").alias("subject")).distinct()
+    affected = (
+        adds_t.filter(is_tl)
+        .select("subject")
+        .unionByName(
+            hit_rows.filter(is_tl)
+            .select("subject")
+            .join(merged_away, "subject", "left_anti")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # probe 3: surviving pre-batch type/label rows of affected ids —
+    # predicate filter is pushed to the parquet scan, the semi-join build
+    # side is the delta-sized affected set
+    kept_tl = (
+        _probe(old_t.filter(is_tl))
         .filter(~hit)
-        .select(*_TRIPLE_COLS, "_bucket")
+        .join(F.broadcast(affected), "subject", "left_semi")
+        .select(*_TRIPLE_COLS)
     )
-    stage(
-        "triples",
-        keep.unionByName(upd),
-        paths["triples"],
-        targets,
-        N_BUCKETS,
-        ["subject", "predicate", "object"],
-    )
-
-    # ---- per-turn tables: the guard guarantees the batch's conversations
-    # are unseen, so every delta row is new by construction — plain file
-    # APPEND into the bucket dirs (delta-sized write, old files untouched).
-    # The merge-overwrite path runs only when a crashed earlier attempt
-    # left partial rows for these conversations (detected with a cheap
-    # column-pruned semi-join), making retries byte-identical too.
-    delta_convs = F.broadcast(delta.select("conv_id").distinct())
-    for name, d in (("mentions", m_delta), ("linked", linked_delta)):
-        partial = (
-            spark.read.parquet(paths[name])
-            .join(delta_convs, "conv_id", "left_semi")
-            .limit(1)
-            .count()
-            > 0
-        )
-        if partial:
-            tb = _distinct_buckets(d)
-            old = spark.read.parquet(paths[name]).filter(F.col("_bucket").isin(tb))
-            cols = [c for c in d.columns if c != "_bucket"]
-            stage(name, old.unionByName(d), paths[name], tb, N_BUCKETS, cols)
-        else:
-            t0 = time.time()
-            obs = Observation()
-            d_obs = d.observe(obs, *_lineage_exprs())
-            d_obs.write.mode("append").partitionBy("_bucket").parquet(paths[name])
-            _record(out_dir, f"{name}@{batch_id}", obs.get, time.time() - t0, res)
-            res.stages_run.append(f"{name}@{batch_id}")
-
-    e_delta_b = bucketize(edges_delta, 8, "u")
-    tb = _distinct_buckets(e_delta_b)
-    old_e_b = spark.read.parquet(paths["alias_edges"]).filter(F.col("_bucket").isin(tb))
-    stage("alias_edges", old_e_b.unionByName(e_delta_b), paths["alias_edges"], tb, 8, ["u", "v"])
-
-    # ---- derived tables: nodes/edges are keyed by the triple's subject,
-    # so bucket b of each derives exactly from triples bucket b — the
-    # touched triple buckets are recomputed whole (reads the just-updated
-    # triples, which is a different path from the table being written)
-    upd_t = spark.read.parquet(paths["triples"]).filter(F.col("_bucket").isin(targets))
-    types = upd_t.filter(F.col("predicate") == RDF_TYPE).select(
+    live_tl = kept_tl.unionByName(
+        adds_t.filter(is_tl).select(*_TRIPLE_COLS)
+    ).dropDuplicates(_TRIPLE_KEY)
+    types = live_tl.filter(F.col("predicate") == RDF_TYPE).select(
         F.col("subject").alias("id"), F.col("object").alias("kind")
     )
-    labels = upd_t.filter(F.col("predicate") == RDFS_LABEL).select(
+    labels = live_tl.filter(F.col("predicate") == RDFS_LABEL).select(
         F.col("subject").alias("id"), F.col("object").alias("label")
     )
-    nodes = (
+    nodes_adds = (
         types.join(labels, "id", "left")
         .groupBy("id")
         .agg(F.min("kind").alias("kind"), F.min("label").alias("label"))
         .withColumn("_bucket", _bucket_of("id", N_BUCKETS))
+        .localCheckpoint(eager=True)
     )
-    stage("nodes", nodes, paths["nodes"], targets, N_BUCKETS, None)
+    # tombstones: ids merged away, plus affected ids whose recompute
+    # produced no row (their last type triple was rewritten away — the
+    # upsert log must erase the stale base row, not leave it)
+    nodes_dels = (
+        merged_away.unionByName(
+            affected.join(nodes_adds.select(F.col("id").alias("subject")), "subject", "left_anti")
+        )
+        .select(F.col("subject").alias("id"))
+        .distinct()
+    )
+    part("nodes_adds", nodes_adds)
+    part("nodes_dels", nodes_dels, record=False, partitioned=False)
 
-    edges = upd_t.filter(~F.col("obj_is_literal")).select(
+    # ---- edges: 1:1 projection of non-literal triples, so its delta is
+    # exactly the triples delta projected — no extra probe
+    not_lit = ~F.col("obj_is_literal")
+    edge_adds = adds_t.filter(not_lit).select(
         F.col("subject").alias("src"),
         F.col("predicate").alias("pred"),
         F.col("object").alias("dst"),
         "_bucket",
     )
-    stage("edges", edges, paths["edges"], targets, N_BUCKETS, None)
-
-    # record the batch's conversations LAST (see bootstrap note above)
-    batch_convs = bucketize(delta.select("conv_id").distinct(), 8, "conv_id")
-    tb = _distinct_buckets(batch_convs)
-    old_c = spark.read.parquet(convs_path).filter(F.col("_bucket").isin(tb))
-    _overwrite_buckets(
-        spark, old_c.unionByName(batch_convs), convs_path, tb, 8, ["conv_id"]
+    # (a tombstone key can never reappear in adds: old forms always contain
+    # a merged-away id, new forms only current representatives — so no
+    # add/del contradiction is possible and no cross-filter is needed)
+    edge_dels = hit_rows.filter(not_lit).select(
+        F.col("subject").alias("src"),
+        F.col("predicate").alias("pred"),
+        F.col("object").alias("dst"),
     )
+    part("edges_adds", edge_adds)
+    part("edges_dels", edge_dels, record=False, partitioned=False)
+
+    # ---- this batch's conversations (guard state), then the atomic commit
+    part(
+        "convs",
+        delta.select("conv_id").distinct(),
+        record=False,
+        partitioned=False,
+    )
+    marker = {
+        "seq": seq,
+        "batch_id": batch_id,
+        "stages": res.stages_run,
+    }
+    tmp = os.path.join(batch_dir, "_COMMITTED.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(marker, fh)
+    os.rename(tmp, os.path.join(batch_dir, "_COMMITTED"))
     return res
+
+
+# ---------------------------------------------------------------------------
+# compaction
+
+
+def compact(spark: SparkSession, out_dir: str) -> list[str]:
+    """Fold every committed batch into the base tables (the amortized full
+    rewrite that apply no longer pays). Two-phase, self-recovering:
+
+    1. write the live view of every table to ``<table>__compact`` (base
+       untouched; a crash here leaves only ignorable tmp dirs);
+    2. write a manifest, then swap each tmp over its base dir, remove the
+       batch dirs, remove the manifest. A crash mid-swap is finished by the
+       next compact() call (the manifest says phase 1 completed; swapped
+       tables have no tmp left, unswapped ones do).
+
+    Stop-the-world in this parquet fallback (concurrent readers mid-swap
+    can see one table pre- and another post-compact); the Iceberg writer
+    this layout mirrors does the same fold as one atomic snapshot commit.
+    Returns the list of compacted table names."""
+    manifest_path = os.path.join(out_dir, _MANIFEST)
+    tables = [*TABLES, "convs_applied"]
+
+    def _tmp(t: str) -> str:
+        return os.path.join(out_dir, f"{t}__compact")
+
+    if not os.path.exists(manifest_path):
+        _sweep_uncommitted(out_dir)
+        batches = committed_batches(out_dir)
+        if not batches:
+            return []
+        # phase 1: full live snapshots to tmp dirs, clustered like the base
+        # (no checkpoint needed — tmp is a different path, the base is only
+        # read, never overwritten while being read)
+        for t in TABLES:
+            live = read_live(spark, out_dir, t)
+            key = {
+                "mentions": "conv_id",
+                "linked": "conv_id",
+                "alias_edges": "u",
+                "triples": "subject",
+                "nodes": "id",
+                "edges": "src",
+            }[t]
+            n = 8 if t == "alias_edges" else N_BUCKETS
+            bucketize(live, n, key).write.mode("overwrite").partitionBy(
+                "_bucket"
+            ).parquet(_tmp(t))
+        convs = spark.read.parquet(os.path.join(out_dir, "convs_applied")).select(
+            "conv_id"
+        )
+        extra = _union_batch_parts(spark, batches, "convs")
+        if extra is not None:
+            convs = convs.unionByName(extra.select("conv_id"))
+        bucketize(convs.dropDuplicates(["conv_id"]), 8, "conv_id").write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(_tmp("convs_applied"))
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"tables": tables, "batches": [os.path.basename(b) for b in batches]}, fh)
+        os.rename(tmp, manifest_path)
+
+    # phase 2 (also the recovery path): swap any table whose tmp survived
+    for t in tables:
+        if _done(_tmp(t)):
+            shutil.rmtree(os.path.join(out_dir, t), ignore_errors=True)
+            os.rename(_tmp(t), os.path.join(out_dir, t))
+    shutil.rmtree(_batches_root(out_dir), ignore_errors=True)
+    os.remove(manifest_path)
+    return tables

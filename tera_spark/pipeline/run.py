@@ -154,11 +154,13 @@ def run_pipeline(
     mentions = stage("mentions", "conv_id", lambda: extract_mentions(transcripts))
     if "mentions" in res.stages_run:
         # a fresh (non-resumed) base run invalidates any incremental-batch
-        # bookkeeping left in this directory (pipeline/incremental.py will
-        # re-bootstrap it from the new Conversation triples on next use)
+        # state left in this directory: delta batches belong to the OLD
+        # base, and the seen-conv table re-bootstraps from the new
+        # Conversation triples on next use (pipeline/incremental.py)
         import shutil
 
         shutil.rmtree(os.path.join(out_dir, "convs_applied"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "_batches"), ignore_errors=True)
 
     def _link():
         linked, alias_edges = link_mentions(

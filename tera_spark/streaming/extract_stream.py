@@ -99,9 +99,10 @@ def stream_dedup_exact(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming exact dedup for a document/turn stream: content is keyed by
-    ``md5(text)`` (same key as the batch ``dedup.exact_duplicates``, so a
-    stream-then-batch pipeline dedups consistently) and duplicates are
-    dropped with ``dropDuplicatesWithinWatermark`` — the state store keeps
+    ``md5(normalized text)`` — the SAME normalization (lowercase, collapse
+    whitespace, trim) and key as the batch ``dedup.exact_dedup``, so a
+    stream-then-batch pipeline dedups consistently — and duplicates are
+    dropped with ``dropDuplicatesWithinWatermark``: the state store keeps
     one entry per content hash only until the event-time watermark passes
     it, so state is bounded by (arrival rate × watermark) instead of
     growing with the corpus forever. At 100 TB/day ingest this is the only
@@ -110,10 +111,20 @@ def stream_dedup_exact(
     duplicate mode (re-crawls / re-sends arriving close together) with
     bounded RocksDB state.
 
-    Rows with NULL text pass through unexamined (a NULL hash never matches
-    another row, matching the batch operator's treatment).
+    Rows with NULL text pass through unexamined. ``md5(NULL)`` is NULL and
+    ``dropDuplicatesWithinWatermark`` groups NULL keys as equal (would
+    collapse distinct NULL-text rows), so the key is coalesced with a
+    per-row unique fallback that can never collide with an md5 hex digest.
     """
-    keyed = stream.withColumn("_content_key", F.md5(F.col(text_col)))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    keyed = stream.withColumn(
+        "_content_key",
+        F.coalesce(
+            F.md5(norm),
+            # unique per row, and ':' never appears in md5 hex output
+            F.concat_ws(":", F.lit("null-text"), F.col("conv_id"), F.col("turn_idx")),
+        ),
+    )
     return (
         keyed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_content_key"])

@@ -249,8 +249,11 @@ def test_streaming_windowed_rate(spark, tmp_path):
 
 
 def test_streaming_dedup_exact(spark, tmp_path):
-    """Duplicate texts arriving within the watermark collapse to one row;
-    distinct texts all survive; the helper _content_key column is dropped."""
+    """Duplicate texts arriving within the watermark collapse to one row —
+    INCLUDING case/whitespace variants, matching the batch exact_dedup's
+    normalized md5 key; distinct texts all survive; NULL-text rows pass
+    through unexamined (never collapse with each other); the helper
+    _content_key column is dropped."""
     from tera_spark.streaming.extract_stream import TRANSCRIPT_SCHEMA, stream_dedup_exact
 
     in_dir = str(tmp_path / "dd_in")
@@ -266,6 +269,15 @@ def test_streaming_dedup_exact(spark, tmp_path):
                 datetime.datetime(2026, 1, 1, 12, 0, i),
             )
         )
+    # case/whitespace variants of the boilerplate: batch exact_dedup keys on
+    # normalized text, so the stream must collapse these into the same group
+    rows.append(("cv1", 0, "user", "  The Same   Boilerplate LINE ", None,
+                 datetime.datetime(2026, 1, 1, 12, 0, 20)))
+    rows.append(("cv2", 0, "user", "THE SAME BOILERPLATE LINE", None,
+                 datetime.datetime(2026, 1, 1, 12, 0, 21)))
+    # two NULL-text rows: must BOTH survive (pass through unexamined)
+    rows.append(("cn1", 0, "user", None, None, datetime.datetime(2026, 1, 1, 12, 0, 22)))
+    rows.append(("cn2", 0, "user", None, None, datetime.datetime(2026, 1, 1, 12, 0, 23)))
     spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).write.parquet(in_dir)
 
     stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(in_dir)
@@ -281,6 +293,19 @@ def test_streaming_dedup_exact(spark, tmp_path):
     q.stop()
     out = spark.sql("select * from dd_out").collect()
     texts = [r.text for r in out]
-    assert len(out) == 11  # 10 unique + 1 survivor of the 10 duplicates
-    assert texts.count("the same boilerplate line") == 1
+    # 10 unique + 1 survivor of the 12 boilerplate variants + 2 NULLs
+    assert len(out) == 13
+    boiler = [t for t in texts if t and "boilerplate" in t.lower()]
+    assert len(boiler) == 1
+    assert texts.count(None) == 2
     assert "_content_key" not in out[0].asDict()
+
+    # parity check: the batch operator groups the same 12 rows together
+    from tera_spark.operators.dedup import exact_dedup
+
+    batch = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).withColumn(
+        "doc_id", F.concat_ws("#", "conv_id", "turn_idx")
+    )
+    kept = exact_dedup(batch.filter(F.col("text").isNotNull()))
+    n_groups = kept.select("keep_id").distinct().count()
+    assert n_groups == 11  # 10 unique + 1 boilerplate group

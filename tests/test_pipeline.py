@@ -226,17 +226,38 @@ def test_triple_pr_against_planted_truth(spark, lexicon):
     assert len(pred & verbatim) / len(verbatim) >= 0.99
 
 
+def _assert_tables_equal(spark, full_dir, inc_dir, read_live, via_live=True):
+    for table in ("triples", "nodes", "edges", "mentions", "linked", "alias_edges"):
+        fa = spark.read.parquet(f"{full_dir}/{table}").drop("_bucket")
+        fb = (
+            read_live(spark, inc_dir, table)
+            if via_live
+            else spark.read.parquet(f"{inc_dir}/{table}").drop("_bucket")
+        )
+        cols = sorted(fa.columns)
+        a = {tuple(r) for r in fa.select(cols).collect()}
+        b = {tuple(r) for r in fb.select(cols).collect()}
+        assert a == b, f"{table}: full {len(a)} rows vs incremental {len(b)}"
+
+
 def test_incremental_matches_full(spark, lexicon, tmp_path):
-    """Incremental maintenance equivalence: applying a second batch to a
-    completed run yields tables set-equal to a from-scratch run over the
-    union; re-applying the same batch is a no-op (seen-conversation guard)."""
-    from tera_spark.pipeline.incremental import run_pipeline_incremental
+    """Incremental maintenance equivalence: applying batches to a completed
+    run yields live tables set-equal to a from-scratch run over the union —
+    through the merge-on-read view AND, after compact(), through the plain
+    base files; re-applying an applied batch is a no-op (seen-conversation
+    guard)."""
+    from tera_spark.pipeline.incremental import (
+        compact,
+        read_live,
+        run_pipeline_incremental,
+    )
 
     t_all = transcripts_spark_df(spark, n_convs=40).cache()
     convs = sorted(r[0] for r in t_all.select("conv_id").distinct().collect())
     first = convs[:25]
     t1 = t_all.filter(F.col("conv_id").isin(first))
-    t2 = t_all.filter(~F.col("conv_id").isin(first))
+    t2 = t_all.filter(F.col("conv_id").isin(convs[25:33]))
+    t3 = t_all.filter(F.col("conv_id").isin(convs[33:]))
 
     full_dir = str(tmp_path / "full")
     inc_dir = str(tmp_path / "inc")
@@ -244,36 +265,55 @@ def test_incremental_matches_full(spark, lexicon, tmp_path):
     run_pipeline(spark, t1, lexicon, inc_dir)
     res = run_pipeline_incremental(spark, t2, lexicon, inc_dir, batch_id="b2")
     assert len(res.stages_run) == 6 and not res.stages_skipped
+    # second batch: exercises merge-on-read state as the apply input
+    res3 = run_pipeline_incremental(spark, t3, lexicon, inc_dir, batch_id="b3")
+    assert len(res3.stages_run) == 6
 
-    for table in ("triples", "nodes", "edges", "mentions", "linked", "alias_edges"):
-        fa = spark.read.parquet(f"{full_dir}/{table}").drop("_bucket")
-        fb = spark.read.parquet(f"{inc_dir}/{table}").drop("_bucket")
-        cols = sorted(fa.columns)
-        a = {tuple(r) for r in fa.select(cols).collect()}
-        b = {tuple(r) for r in fb.select(cols).collect()}
-        assert a == b, f"{table}: full {len(a)} rows vs incremental {len(b)}"
-
-    # the batch really contributed (not a trivially-empty delta)
+    # the base table files were NOT rewritten by apply (delta-sized cost):
+    # live view differs from the raw base for at least one table
     base_triples = spark.read.parquet(f"{inc_dir}/triples").count()
-    assert base_triples > 0
+    live_triples = read_live(spark, inc_dir, "triples").count()
+    assert live_triples > base_triples > 0
 
-    # idempotency: resubmitting the applied batch is a guarded no-op
+    _assert_tables_equal(spark, full_dir, inc_dir, read_live, via_live=True)
+
+    # idempotency: resubmitting an applied batch is a guarded no-op
     res2 = run_pipeline_incremental(spark, t2, lexicon, inc_dir, batch_id="b2-again")
     assert res2.stages_run == [] and len(res2.stages_skipped) == 6
 
     # batch-scoped lineage rows exist alongside the base run's
     metrics = spark.read.parquet(f"{inc_dir}/metrics")
     stages = {r.stage for r in metrics.collect()}
-    assert "triples@b2" in stages and "mentions" in stages
+    assert "triples@b2" in stages and "triples@b3" in stages and "mentions" in stages
+
+    # an explicitly reused batch_id refuses (lineage would collide)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already committed"):
+        # guard off so the delta is non-empty: the id check must fire
+        # BEFORE anything is written
+        run_pipeline_incremental(
+            spark, t2, lexicon, inc_dir, batch_id="b2", guard_seen_convs=False
+        )
+
+    # compaction folds the deltas into the base and preserves equality
+    compact(spark, inc_dir)
+    assert not spark.read.parquet(f"{inc_dir}/triples").isEmpty()
+    _assert_tables_equal(spark, full_dir, inc_dir, read_live, via_live=False)
+    # live view over a compacted dir is just the base
+    _assert_tables_equal(spark, full_dir, inc_dir, read_live, via_live=True)
+    # the guard still knows every conversation after compaction
+    res4 = run_pipeline_incremental(spark, t2, lexicon, inc_dir, batch_id="b2-postc")
+    assert res4.stages_run == []
 
 
 def test_incremental_mentionless_batch(spark, lexicon, tmp_path):
     """A batch whose turns yield zero mentions still applies (structure
-    triples only; empty mention/linked/alias deltas must not break the
-    bucket-overwrite writes) and is guarded as applied on resubmit."""
+    triples only; empty mention/linked/alias delta files are dropped, not
+    written unreadable) and is guarded as applied on resubmit."""
     import datetime
 
-    from tera_spark.pipeline.incremental import run_pipeline_incremental
+    from tera_spark.pipeline.incremental import read_live, run_pipeline_incremental
     from tera_spark.streaming.extract_stream import TRANSCRIPT_SCHEMA
 
     out = str(tmp_path / "mb")
@@ -284,9 +324,61 @@ def test_incremental_mentionless_batch(spark, lexicon, tmp_path):
     res = run_pipeline_incremental(spark, batch, lexicon, out, batch_id="mb")
     assert "triples@mb" in res.stages_run
 
-    triples = spark.read.parquet(out + "/triples")
+    triples = read_live(spark, out, "triples")
     conv = triples.filter(F.col("subject") == NS_KG + "conv/zz-conv-1")
     assert conv.count() > 0  # structure triples for the new conversation
+    # the other live views still read cleanly despite empty deltas
+    assert read_live(spark, out, "mentions").count() >= 0
+    assert read_live(spark, out, "alias_edges").count() > 0
 
     res2 = run_pipeline_incremental(spark, batch, lexicon, out, batch_id="mb2")
     assert res2.stages_run == []
+
+
+def test_incremental_crash_retry(spark, lexicon, tmp_path, monkeypatch):
+    """A crash mid-apply leaves the live view bit-identical to the
+    pre-batch state (uncommitted batch dirs are invisible), and the retry
+    converges to exactly the from-scratch result — including the derived
+    nodes/edges tables the old bucket-overwrite design could leave stale
+    (the round-3 ADVICE scenario)."""
+    import tera_spark.pipeline.incremental as inc
+
+    t_all = transcripts_spark_df(spark, n_convs=24).cache()
+    convs = sorted(r[0] for r in t_all.select("conv_id").distinct().collect())
+    t1 = t_all.filter(F.col("conv_id").isin(convs[:18]))
+    t2 = t_all.filter(~F.col("conv_id").isin(convs[:18]))
+
+    full_dir = str(tmp_path / "full")
+    inc_dir = str(tmp_path / "inc")
+    run_pipeline(spark, t_all, lexicon, full_dir)
+    run_pipeline(spark, t1, lexicon, inc_dir)
+
+    pre = {
+        t: inc.read_live(spark, inc_dir, t).count()
+        for t in ("triples", "nodes", "edges")
+    }
+
+    # crash AFTER the triples delta commits its files but BEFORE nodes —
+    # exactly the window that silently corrupted the overwrite design
+    real = inc._write_part
+
+    def boom(out_dir, batch_dir, name, df, **kw):
+        if name == "nodes_adds":
+            raise RuntimeError("injected crash before nodes write")
+        return real(out_dir, batch_dir, name, df, **kw)
+
+    monkeypatch.setattr(inc, "_write_part", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        inc.run_pipeline_incremental(spark, t2, lexicon, inc_dir, batch_id="cr")
+
+    # live view unchanged — the half-written batch is invisible
+    for t, n in pre.items():
+        assert inc.read_live(spark, inc_dir, t).count() == n, t
+
+    # retry (same batch) completes and matches the from-scratch run
+    monkeypatch.setattr(inc, "_write_part", real)
+    res = inc.run_pipeline_incremental(spark, t2, lexicon, inc_dir, batch_id="cr")
+    assert len(res.stages_run) == 6
+    _assert_tables_equal(spark, full_dir, inc_dir, inc.read_live, via_live=True)

@@ -107,11 +107,131 @@ def test_distinct_set_semantics(graph):
 
 def test_unsupported_constructs_raise(graph):
     with pytest.raises(SparqlUnsupported):
-        query_graph(graph, "SELECT ?s WHERE { { ?s ?p ?o } UNION { ?s ?p ?o } }")
+        query_graph(graph, "SELECT ?s WHERE { ?s ?p ?o MINUS { ?s ?p ?o } }")
     with pytest.raises((SparqlUnsupported, SparqlSyntaxError)):
         query_graph(graph, "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s > 3) }")
     with pytest.raises(SparqlSyntaxError):
         query_graph(graph, "SELECT ?s WHERE { ?s unknown:px ?o . }")
+    # UNION branches binding different variable sets would need NULL
+    # bindings — refused rather than mis-joined
+    with pytest.raises(SparqlUnsupported, match="different variable sets"):
+        query_graph(
+            graph,
+            "PREFIX t: <urn:t:> SELECT ?s WHERE "
+            "{ { ?s t:label ?l } UNION { ?s a t:Chem } }",
+        )
+    # zero-length path with both ends unbound has an unrestricted domain
+    with pytest.raises(SparqlUnsupported, match="unrestricted domain"):
+        query_graph(graph, "PREFIX t: <urn:t:> SELECT ?a ?b WHERE { ?a t:sub* ?b }")
+
+
+# ---------------------------------------------------------------------------
+# UNION and property paths
+
+
+def test_union_same_vars(graph):
+    # alternate predicates — the fragment's canonical UNION use
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s ?x WHERE {
+            { ?s t:label ?x } UNION { ?s t:ref ?x }
+        }"""
+    rows = {(r.s, r.x) for r in query_graph(graph, q).collect()}
+    assert rows == {
+        (NS + "c1", "copper"),
+        (NS + "c2", "zinc"),
+        (NS + "c2", NS + "c1"),
+    }
+
+
+def test_union_joined_with_outer_pattern(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s ?x WHERE {
+            ?s a t:Chem .
+            { ?s t:label ?x } UNION { ?s t:note ?x }
+        }"""
+    rows = {(r.s, r.x) for r in query_graph(graph, q).collect()}
+    assert rows == {
+        (NS + "c1", "copper"),
+        (NS + "c2", "zinc"),
+        (NS + "c2", NS + "c1"),  # the literal-typed note
+    }
+
+
+def test_union_three_branches_dedup(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE {
+            { ?s t:label "copper" } UNION { ?s t:label "zinc" } UNION { ?s a t:Chem }
+        }"""
+    assert {r.s for r in query_graph(graph, q).collect()} == {NS + "c1", NS + "c2"}
+
+
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    # a 4-deep subClassOf-style chain with a branch:
+    #   d1 -> c1 -> b1 -> a1 ;  d2 -> c1 ;  unrelated x1 -> x0
+    NSB = "urn:t:"
+    rows = [
+        (NSB + "d1", NSB + "sub", NSB + "c1", False),
+        (NSB + "d2", NSB + "sub", NSB + "c1", False),
+        (NSB + "c1", NSB + "sub", NSB + "b1", False),
+        (NSB + "b1", NSB + "sub", NSB + "a1", False),
+        (NSB + "x1", NSB + "sub", NSB + "x0", False),
+        (NSB + "d1", NSB + "label", "dee-one", True),
+    ]
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string, obj_is_literal boolean"
+    ).cache()
+
+
+def test_path_star_descendants(chain_graph):
+    # all classes under b1, b1 itself included (zero-length arm)
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { ?x t:sub* t:b1 }"
+    assert {r.x for r in query_graph(chain_graph, q).collect()} == {
+        NS + "b1",
+        NS + "c1",
+        NS + "d1",
+        NS + "d2",
+    }
+
+
+def test_path_plus_excludes_seed(chain_graph):
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { ?x t:sub+ t:b1 }"
+    assert {r.x for r in query_graph(chain_graph, q).collect()} == {
+        NS + "c1",
+        NS + "d1",
+        NS + "d2",
+    }
+
+
+def test_path_star_ancestors(chain_graph):
+    # constant subject, variable object: forward reachability
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { t:d1 t:sub* ?x }"
+    assert {r.x for r in query_graph(chain_graph, q).collect()} == {
+        NS + "d1",
+        NS + "c1",
+        NS + "b1",
+        NS + "a1",
+    }
+
+
+def test_path_plus_var_var_pairs(chain_graph):
+    q = "PREFIX t: <urn:t:> SELECT ?a ?b WHERE { ?a t:sub+ ?b }"
+    pairs = {(r.a, r.b) for r in query_graph(chain_graph, q).collect()}
+    assert (NS + "d1", NS + "a1") in pairs  # 3-hop transitivity
+    assert (NS + "x1", NS + "x0") in pairs
+    assert (NS + "d1", NS + "d2") not in pairs
+    assert len(pairs) == 10
+
+
+def test_path_joined_with_bgp(chain_graph):
+    # path slice participates in the join tree like any pattern
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?lab WHERE { ?x t:sub+ t:a1 . ?x t:label ?lab }"""
+    assert [r.lab for r in query_graph(chain_graph, q).collect()] == ["dee-one"]
 
 
 def test_select_star_excludes_bnode_vars(graph):
