@@ -579,13 +579,12 @@ SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
 """
 
 
-def _sql_kg_exact_link() -> str:
-    """Exact/rule-linked mention-triple replay (round-2 verdict next-round
-    #5): DuckDB re-runs term extraction (word regex + stopword filter +
-    1..3-gram over consecutive content words), code extraction, label
-    normalization, and the exact lexicon join from the RAW transcript text
-    — the unverified pipeline surface shrinks to exactly the fuzzy WRatio
-    band (Python difflib, rows-only by design)."""
+def _sql_kg_common_ctes() -> str:
+    """The shared KG-replay CTE block: raw transcripts, lexicon values,
+    normalized lexicon, term extraction (word regex + stopword filter +
+    1..3-gram over consecutive content words), exact lexicon join, code
+    extraction — used by the exact-link oracle AND the full portable-
+    pipeline oracle."""
     from tera_spark.fixtures.transcripts import gen_lexicons
     from tera_spark.pipeline.extract import STOPWORDS
 
@@ -597,8 +596,7 @@ def _sql_kg_exact_link() -> str:
         )
         for r in list(chem.itertuples()) + list(spec.itertuples())
     )
-    return f"""
-WITH {_kg_fixture_sql_cte()},
+    return f"""{_kg_fixture_sql_cte()},
 lexraw(entity, label, kind) AS (VALUES
   {lex_vals}
 ),
@@ -633,7 +631,16 @@ codes AS (
            unnest(regexp_extract_all(text, '\\b([A-Z]{{2,6}}[0-9]{{0,3}})\\b', 1)) AS m
     FROM transcripts
   )
-)
+)"""
+
+
+def _sql_kg_exact_link() -> str:
+    """Exact/rule-linked mention-triple replay (round-2 verdict next-round
+    #5): DuckDB re-runs term extraction, code extraction, label
+    normalization, and the exact lexicon join from the RAW transcript
+    text."""
+    return f"""
+WITH {_sql_kg_common_ctes()}
 SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
   SELECT {_SQL_KG_TURN} AS subject, 'urn:tera-kg:mentions' AS predicate,
          entity AS object, false AS obj_is_literal FROM ex
@@ -646,6 +653,172 @@ SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
   UNION ALL SELECT 'code:'||m, '{RDF_TYPE}', 'urn:tera-kg:Endpoint', false FROM codes
   UNION ALL SELECT 'code:'||m, '{RDFS_LABEL}', m, true FROM codes
 ) u
+"""
+
+
+def _sql_kg_pipeline_portable() -> str:
+    """FULL KG-pipeline replay with the portable fuzzy scorer — extraction,
+    exact/fuzzy/rule linking (3-gram shingle blocking, shared≥2 +
+    Jaccard≥0.25 prefilter, levenshtein+token-sort score, 88/80 bands),
+    quantity reification (regex + digit filter + unit parse + md5 bnodes),
+    per-turn chemical×species co-occurrence, and the canonicalization
+    rewrite — all from the RAW transcript text. With scorer="portable" the
+    pipeline has NO rows-only surface left.
+
+    Two replay shortcuts, both justified:
+    - the unit map is the F1 parser evaluated over the fixture's CLOSED
+      7-unit vocabulary (embedded like the lexicon VALUES; the parser
+      itself is independently oracle-checked by f1_unit_parse);
+    - alias components are STARS by construction (u = urn:mention:<norm>
+      is unique per edge via the pick-one window and never appears as v),
+      so the connected-components representative (lexicographic min,
+      operators/canonical.py) reduces to least(v, min(u)) per v — the
+      oracle computes that closed form; the Spark side still runs the real
+      large-star/small-star CC operator.
+    """
+    from tera_spark.functions.similarity import sql_portable_ratio
+    from tera_spark.functions.units import unit_parser
+    from tera_spark.fixtures.transcripts import UNITS
+
+    unit_case = " ".join(
+        f"WHEN '{u}' THEN '{unit_parser(u)}'" for u in UNITS
+    )
+    score = sql_portable_ratio("norm", "norm_label")
+    qpat = r"(?:^|\s)((?:[<>]\s*|ca\.\s*)?\d+(?:\.\d+)?)\s+([a-zA-Zµ%][\w/^%.-]*)"
+    sh = (
+        "list_distinct(list_transform(generate_series(1, len(' '||{c}||' ') - 2),"
+        " i -> substr(' '||{c}||' ', i, 3)))"
+    )
+    return f"""
+WITH {_sql_kg_common_ctes()},
+terms_norm AS (
+  SELECT conv_id, turn_idx, mention,
+         trim(regexp_replace(lower(mention), '\\s+', ' ', 'g')) AS norm
+  FROM grams
+),
+unlinked AS (
+  SELECT * FROM terms_norm WHERE norm NOT IN (SELECT norm_label FROM lex)
+),
+vocab AS (
+  SELECT DISTINCT norm FROM unlinked
+  WHERE len(norm) >= 5 AND len(string_split(norm, ' ')) <= 2
+),
+vtok AS (
+  SELECT norm, len(shs) AS m_n, unnest(shs) AS sh
+  FROM (SELECT norm, {sh.format(c='norm')} AS shs FROM vocab)
+),
+ltok0 AS (
+  SELECT entity, kind AS lex_kind, norm_label, len(shs) AS l_n, unnest(shs) AS sh
+  FROM (SELECT entity, kind, norm_label, {sh.format(c='norm_label')} AS shs FROM lex)
+),
+hot AS (SELECT sh FROM ltok0 GROUP BY sh HAVING count(*) > 2000),
+cand AS (
+  SELECT norm, m_n, entity, lex_kind, norm_label, l_n, count(*) AS shared
+  FROM (SELECT * FROM vtok WHERE sh NOT IN (SELECT sh FROM hot)) a
+  JOIN (SELECT * FROM ltok0 WHERE sh NOT IN (SELECT sh FROM hot)) b USING (sh)
+  GROUP BY 1, 2, 3, 4, 5, 6
+  HAVING count(*) >= 2 AND count(*) / (m_n + l_n - count(*)) >= 0.25
+),
+scored AS (
+  SELECT norm, entity, lex_kind, {score} AS score FROM cand
+  WHERE {score} >= 80.0
+),
+best_all AS (
+  SELECT norm, entity, lex_kind, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY score DESC, entity ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+fuzzy AS (
+  SELECT u.conv_id, u.turn_idx, u.mention, b.entity, b.lex_kind
+  FROM unlinked u JOIN best_all b USING (norm) WHERE b.score >= 88.0
+),
+prov AS (
+  SELECT DISTINCT u.conv_id, u.turn_idx, u.mention, 'urn:mention:'||u.norm AS entity
+  FROM unlinked u
+  WHERE u.norm NOT IN (SELECT norm FROM best_all WHERE score >= 88.0)
+),
+aliases AS (
+  SELECT 'urn:mention:'||norm AS u, entity AS v FROM best_all WHERE score < 88.0
+),
+quants AS (
+  SELECT conv_id, turn_idx, text,
+         trim(regexp_extract(text, '{qpat}', 0)) AS mention,
+         regexp_extract(text, '{qpat}', 1) AS val,
+         regexp_extract(text, '{qpat}', 2) AS unit
+  FROM transcripts
+  WHERE regexp_extract(text, '{qpat}', 0) <> ''
+),
+qb AS (
+  SELECT conv_id, turn_idx, mention,
+         regexp_replace(val, '[^0-9.]', '', 'g') AS digits,
+         CASE unit {unit_case} ELSE '' END AS pu,
+         'urn:tera-bnode:'||md5('kg-q'||chr(31)||conv_id||chr(31)||CAST(turn_idx AS VARCHAR)
+             ||chr(31)||CAST(strpos(text, mention) - 2 AS VARCHAR)||chr(31)||mention) AS bn
+  FROM quants
+  WHERE regexp_replace(val, '[^0-9.]', '', 'g') <> ''
+),
+ments AS (
+  SELECT conv_id, turn_idx, entity, kind AS ekind FROM ex
+  UNION ALL SELECT conv_id, turn_idx, entity, lex_kind FROM fuzzy
+),
+cooc AS (
+  SELECT DISTINCT c.conv_id, c.turn_idx, c.entity AS chem, s.entity AS spec,
+         'urn:tera-bnode:'||md5('cooc'||chr(31)||c.entity||chr(31)||s.entity) AS bn
+  FROM (SELECT * FROM ments WHERE ekind='chemical') c
+  JOIN (SELECT * FROM ments WHERE ekind='species') s USING (conv_id, turn_idx)
+),
+triples0 AS (
+  SELECT 'urn:tera-kg:conv/'||conv_id AS subject, '{RDF_TYPE}' AS predicate,
+         'urn:tera-kg:Conversation' AS object, false AS obj_is_literal FROM transcripts
+  UNION ALL SELECT {_SQL_KG_TURN}, '{RDF_TYPE}', 'urn:tera-kg:Turn', false FROM transcripts
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:partOf', 'urn:tera-kg:conv/'||conv_id, false FROM transcripts
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:role', role, true FROM transcripts
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:tool', tool, true FROM transcripts WHERE tool IS NOT NULL
+  -- exact links: mentions + type + label (label_ok)
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:mentions', entity, false FROM ex
+  UNION ALL SELECT entity, '{RDF_TYPE}',
+         CASE kind WHEN 'chemical' THEN 'urn:tera-kg:Chemical'
+                   WHEN 'species' THEN 'urn:tera-kg:Species'
+                   ELSE 'urn:tera-kg:Entity' END, false FROM ex
+  UNION ALL SELECT entity, '{RDFS_LABEL}', mention, true FROM ex
+  -- fuzzy links: mentions + type, NO label (misspellings stay off labels)
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:mentions', entity, false FROM fuzzy
+  UNION ALL SELECT entity, '{RDF_TYPE}',
+         CASE lex_kind WHEN 'chemical' THEN 'urn:tera-kg:Chemical'
+                       WHEN 'species' THEN 'urn:tera-kg:Species'
+                       ELSE 'urn:tera-kg:Entity' END, false FROM fuzzy
+  -- provisional: mentions + Entity type + surface label
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:mentions', entity, false FROM prov
+  UNION ALL SELECT entity, '{RDF_TYPE}', 'urn:tera-kg:Entity', false FROM prov
+  UNION ALL SELECT entity, '{RDFS_LABEL}', mention, true FROM prov
+  -- rule-linked codes
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:mentions', 'code:'||m, false FROM codes
+  UNION ALL SELECT 'code:'||m, '{RDF_TYPE}', 'urn:tera-kg:Endpoint', false FROM codes
+  UNION ALL SELECT 'code:'||m, '{RDFS_LABEL}', m, true FROM codes
+  -- quantity reification
+  UNION ALL SELECT bn, '{_RDF_VALUE}', digits, true FROM qb
+  UNION ALL SELECT bn, '{UNIT_NS}units', '{UNIT_NS}'||pu, false FROM qb WHERE pu <> ''
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:quantity', bn, false FROM qb
+  -- co-occurrence payload
+  UNION ALL SELECT chem, 'urn:tera-kg:cooccursWith', spec, false FROM cooc
+  UNION ALL SELECT {_SQL_KG_TURN}, 'urn:tera-kg:evidences', bn, false FROM cooc
+  UNION ALL SELECT bn, 'urn:tera-kg:chemical', chem, false FROM cooc
+  UNION ALL SELECT bn, 'urn:tera-kg:species', spec, false FROM cooc
+),
+stars AS (SELECT v, least(v, min(u)) AS rep FROM aliases GROUP BY v),
+cmap AS (
+  SELECT u AS old, rep AS new FROM aliases JOIN stars USING (v) WHERE u <> rep
+  UNION ALL SELECT v, rep FROM stars WHERE v <> rep
+)
+SELECT DISTINCT
+  coalesce(ms.new, t.subject) AS subject,
+  t.predicate,
+  CASE WHEN t.obj_is_literal THEN t.object ELSE coalesce(mo.new, t.object) END AS object,
+  t.obj_is_literal
+FROM triples0 t
+LEFT JOIN cmap ms ON t.subject = ms.old
+LEFT JOIN cmap mo ON t.object = mo.old AND NOT t.obj_is_literal
 """
 
 
@@ -713,6 +886,30 @@ def nations_graph(spark, sf_dir) -> DataFrame:
     return dedup_triples(
         region_triples.unionByName(nation_triples).unionByName(axiom).unionByName(cust_triples)
     )
+
+
+def taxo_graph(spark, sf_dir) -> DataFrame:
+    """A log-depth class hierarchy for path-closure queries: customer k is
+    a subclass of customer k//2 (binary tree rooted at cust/1), labels on
+    every class. Deterministic, derived from driver data only."""
+    customer = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    edges = customer.filter(ck >= 2).select(
+        F.concat(F.lit(NSX + "cust/"), ck.cast("string")).alias("subject"),
+        F.lit(RDFS_SUBCLASSOF).alias("predicate"),
+        F.concat(
+            F.lit(NSX + "cust/"),
+            F.expr("CAST(c_custkey AS BIGINT) DIV 2").cast("string"),
+        ).alias("object"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+    labels = customer.select(
+        F.concat(F.lit(NSX + "cust/"), ck.cast("string")).alias("subject"),
+        F.lit(RDFS_LABEL).alias("predicate"),
+        F.col("c_name").alias("object"),
+        F.lit(True).alias("obj_is_literal"),
+    )
+    return edges.unionByName(labels)
 
 
 _SQL_NGRAPH = f"""
@@ -801,6 +998,39 @@ def _queries() -> dict:
         )
 
     q["q15_sparql_endpoint"] = q15_sparql
+
+    def q16_paths(spark, sf):
+        # Q16: SPARQL property path (rdfs:subClassOf*) — the chains the
+        # reference builds textually as subClassOf{n} (DataAccess.py:187-201)
+        # become one closure pattern. Graph: a binary-tree class hierarchy
+        # over customers (cust/k subClassOf cust/(k//2)), ~log2(N) deep, so
+        # the transitive part is genuinely exercised. Oracle: DuckDB
+        # recursive CTE.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            taxo_graph(spark, sf),
+            f"SELECT ?s WHERE {{ ?s <{RDFS_SUBCLASSOF}>* <urn:x:cust/3> }}",
+        )
+
+    q["q16_sparql_paths"] = q16_paths
+
+    def q17_union(spark, sf):
+        # Q17: SPARQL UNION of alternate predicates, joined with an outer
+        # type pattern — the alternate-label shape rdflib users write.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            """
+            PREFIX x: <urn:x:>
+            SELECT ?s ?v WHERE {
+                ?s a x:Customer .
+                { ?s x:segment ?v } UNION { ?s x:nation ?v }
+            }""",
+        )
+
+    q["q17_sparql_union"] = q17_union
 
     def q14_pairs(spark, sf):
         # J9: the reference's per-(chemical, species) query loop
@@ -1369,6 +1599,23 @@ def _queries() -> dict:
 
     q["j6_string_matching"] = j6
 
+    def j6_portable(spark, sf):
+        # same fixture and blocking as j6, scored with the SQL-expressible
+        # portable scorer (levenshtein + token-sort) — fully oracle-checked
+        from tera_spark.operators.align import string_matching_mapping
+
+        part = _t(spark, sf, "part")
+        l1 = part.filter(F.col("p_partkey") < 150).select(
+            F.col("p_partkey").cast("string").alias("entity"), F.col("p_name").alias("label")
+        )
+        l2 = part.filter((F.col("p_partkey") >= 100) & (F.col("p_partkey") < 250)).select(
+            F.concat(F.lit("x"), F.col("p_partkey").cast("string")).alias("entity"),
+            F.upper(F.col("p_name")).alias("label"),
+        )
+        return string_matching_mapping(l1, l2, threshold=85, scorer="portable")
+
+    q["j6_string_matching_portable"] = j6_portable
+
     # --- transcript KG pipeline: SQL-oracled deterministic slices -------------------
     def _kg_fixture(spark):
         from tera_spark.fixtures.transcripts import transcripts_spark_df
@@ -1416,6 +1663,25 @@ def _queries() -> dict:
         return replace_entities(triples, canonical_mapping(alias_edges))
 
     q["kg_pipeline_triples"] = kg_triples
+
+    def kg_triples_portable(spark, sf):
+        # the SAME full pipeline (extraction → linking → triples → CC
+        # rewrite) with scorer="portable" — every stage DuckDB-replayed,
+        # zero rows-only surface (round-3 verdict next-round #4)
+        from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
+        from tera_spark.operators.canonical import canonical_mapping
+        from tera_spark.pipeline.extract import extract_mentions
+        from tera_spark.pipeline.kg import build_triples
+        from tera_spark.pipeline.link import link_mentions
+
+        transcripts = transcripts_spark_df(spark, n_convs=20, hot_convs=1, hot_factor=5)
+        lexicon = lexicon_spark_df(spark)
+        mentions = extract_mentions(transcripts)
+        linked, alias_edges = link_mentions(mentions, lexicon, scorer="portable")
+        triples = build_triples(transcripts, linked)
+        return replace_entities(triples, canonical_mapping(alias_edges))
+
+    q["kg_pipeline_triples_portable"] = kg_triples_portable
     return _rotate_registration(q)
 
 
@@ -1460,6 +1726,61 @@ def _oracle_sql() -> dict:
     o["t10_results_triples"] = _sql_t10()
     o["q14_endpoint_star"] = _sql_q14()
     o["q15_sparql_endpoint"] = _sql_q14()  # same flagship semantics, via SPARQL
+    # Q16: the SPARQL * path over the binary-tree hierarchy == a recursive
+    # CTE from the seed down (seed included — zero-length arm)
+    o["q16_sparql_paths"] = """
+WITH RECURSIVE d(s) AS (
+  SELECT 'urn:x:cust/3'
+  UNION
+  SELECT 'urn:x:cust/'||CAST(c.c_custkey AS VARCHAR)
+  FROM customer c JOIN d ON 'urn:x:cust/'||CAST(c.c_custkey//2 AS VARCHAR) = d.s
+  WHERE c.c_custkey >= 2
+)
+SELECT s FROM d
+"""
+    from tera_spark.functions.similarity import sql_portable_ratio
+
+    _j6p_score = sql_portable_ratio("label1", "label2")
+    o["j6_string_matching_portable"] = f"""
+WITH l1 AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS e1, p_name AS label1 FROM part WHERE p_partkey < 150
+),
+l2 AS (
+  SELECT 'x'||CAST(p_partkey AS VARCHAR) AS e2, upper(p_name) AS label2
+  FROM part WHERE p_partkey >= 100 AND p_partkey < 250
+),
+t1 AS (
+  SELECT e1, label1, unnest(list_distinct(list_filter(
+         regexp_split_to_array(lower(label1), '\\W+'), x -> len(x) >= 3))) AS tok FROM l1
+),
+t2 AS (
+  SELECT e2, label2, unnest(list_distinct(list_filter(
+         regexp_split_to_array(lower(label2), '\\W+'), x -> len(x) >= 3))) AS tok FROM l2
+),
+hot AS (SELECT tok FROM t2 GROUP BY tok HAVING count(*) > 1000),
+cands AS (
+  SELECT DISTINCT e1, label1, e2, label2
+  FROM (SELECT * FROM t1 WHERE tok NOT IN (SELECT tok FROM hot)) a
+  JOIN (SELECT * FROM t2 WHERE tok NOT IN (SELECT tok FROM hot)) b USING (tok)
+),
+best AS (
+  SELECT e1, e2, max({_j6p_score}) AS score FROM cands GROUP BY e1, e2
+  HAVING max({_j6p_score}) >= 85
+)
+SELECT e1 AS from_id, e2 AS to_id, score FROM (
+  SELECT e1, e2, score,
+         row_number() OVER (PARTITION BY e1 ORDER BY score DESC, e2 ASC) AS rn
+  FROM best
+) WHERE rn = 1
+"""
+    o["kg_pipeline_triples_portable"] = _sql_kg_pipeline_portable()
+    o["q17_sparql_union"] = """
+SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR) AS s, c_mktsegment AS v
+FROM customer
+UNION
+SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR), 'urn:x:nation/'||n_name
+FROM customer JOIN nation ON c_nationkey=n_nationkey
+"""
     o["q14_endpoint_relational"] = _sql_q14()  # same answer, two physical paths
     o["q14_endpoint_pairs"] = _sql_q14_pairs()
     o["q13_get_chemicals"] = f"""

@@ -83,6 +83,84 @@ def _wratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 wratio_udf = _wratio_udf.asNondeterministic()
 
 
+# --------------------------------------------------------------------------
+# Portable scorer — the SQL-expressible alternative to WRatio
+# --------------------------------------------------------------------------
+#
+# WRatio's difflib backend is Python-only, which makes every query using it
+# rows-only for the DuckDB oracle. The portable scorer trades WRatio's
+# partial-match heuristics for two primitives that exist verbatim in Spark
+# AND DuckDB (and every other SQL engine): levenshtein() and a token-sort.
+#
+#   lev_sim(x, y)  = 100 * (1 - levenshtein(x, y) / max(len(x), len(y)))
+#   portable(x, y) = greatest(lev_sim(x, y), lev_sim(tsort(x), tsort(y)))
+#
+# computed over fuzzywuzzy-processed strings (non-alphanumeric → space,
+# lower, collapse, trim — same preprocessing as WRatio). It is a pure
+# Column expression: JVM-side, whole-stage-codegen'd, ~no per-row Python —
+# so besides oracle-checkability it is also the *faster* scorer; WRatio
+# stays the default for reference parity (golden-tested), portable mode is
+# opt-in via scorer="portable".
+#
+# Bit-exactness across engines: levenshtein and length are integers; the
+# float ops are one division, one subtraction, one multiplication in fixed
+# order — IEEE-identical in both engines, so thresholds and hashes agree.
+
+
+def portable_process_col(c):
+    """fuzzywuzzy full_process as a Column: non-alphanumeric → space,
+    lower, collapse runs, trim. ASCII classes on purpose — identical
+    semantics in Java regex and DuckDB's RE2."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "), " +", " ")
+    )
+
+
+def _lev_sim_col(a, b):
+    m = F.greatest(F.length(a), F.length(b))
+    return F.when(m == 0, F.lit(100.0)).otherwise(
+        F.lit(100.0) * (F.lit(1.0) - F.levenshtein(a, b) / m)
+    )
+
+
+def portable_ratio_col(a, b, processed: bool = False):
+    """The portable fuzzy score as a Column (0-100 double). ``processed``:
+    inputs already went through ``portable_process_col``."""
+    if not processed:
+        a, b = portable_process_col(a), portable_process_col(b)
+
+    def tsort(c):
+        return F.array_join(F.array_sort(F.split(c, " ")), " ")
+
+    return F.greatest(_lev_sim_col(a, b), _lev_sim_col(tsort(a), tsort(b)))
+
+
+def sql_portable_ratio(a: str, b: str, processed: bool = False) -> str:
+    """The SAME scorer as an ANSI/DuckDB SQL expression string — the oracle
+    side of portable_ratio_col. Operation order matches the Column version
+    exactly so doubles are bit-identical."""
+
+    def proc(x: str) -> str:
+        return (
+            "trim(regexp_replace(regexp_replace(lower(" + x + "),"
+            " '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+        )
+
+    def tsort(x: str) -> str:
+        return f"array_to_string(list_sort(string_split({x}, ' ')), ' ')"
+
+    def lev(x: str, y: str) -> str:
+        m = f"greatest(len({x}), len({y}))"
+        return (
+            f"CASE WHEN {m} = 0 THEN 100.0 "
+            f"ELSE 100.0 * (1.0 - levenshtein({x}, {y}) / {m}) END"
+        )
+
+    if not processed:
+        a, b = proc(a), proc(b)
+    return f"greatest({lev(a, b)}, {lev(tsort(a), tsort(b))})"
+
+
 def jaccard_tokens(a: str, b: str) -> float:
     ta, tb = set(_process(a).split()), set(_process(b).split())
     if not ta and not tb:

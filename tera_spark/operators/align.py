@@ -111,6 +111,7 @@ def string_matching_mapping(
     threshold: float = 95.0,
     min_token_len: int = 3,
     max_candidates_per_token: int = 1000,
+    scorer: str = "wratio",
 ) -> DataFrame:
     """J6 — THE scaling-critical operator (SURVEY.md §7.3): fuzzy alignment
     of two label dictionaries, reference ``StringMatchingMapping.load``
@@ -130,7 +131,13 @@ def string_matching_mapping(
 
     Inputs: DataFrames ``(entity, label)`` (exploded label dictionaries,
     utils.py:384-402). Returns ``(from_id, to_id, score)``.
+
+    ``scorer``: ``"wratio"`` (default — fuzzywuzzy-parity, Python difflib)
+    or ``"portable"`` (levenshtein + token-sort, pure Column expression —
+    JVM-side AND SQL-oracle-checkable; see functions/similarity.py).
     """
+    if scorer not in ("wratio", "portable"):
+        raise ValueError(f"unknown scorer {scorer!r}")
 
     def tokens(df: DataFrame, side: str) -> DataFrame:
         return (
@@ -166,7 +173,14 @@ def string_matching_mapping(
         .select("e1", "label1", "e2", "label2")
         .dropDuplicates(["e1", "label1", "e2", "label2"])
     )
-    scored = cands.withColumn("score", wratio_udf(F.col("label1"), F.col("label2")))
+    if scorer == "portable":
+        from tera_spark.functions.similarity import portable_ratio_col
+
+        scored = cands.withColumn(
+            "score", portable_ratio_col(F.col("label1"), F.col("label2"))
+        )
+    else:
+        scored = cands.withColumn("score", wratio_udf(F.col("label1"), F.col("label2")))
     best = (
         scored.groupBy("e1", "e2")
         .agg(F.max("score").cast("double").alias("score"))

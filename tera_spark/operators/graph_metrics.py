@@ -60,23 +60,31 @@ def pagerank(
         .localCheckpoint()
     )
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # node count AND initial dangling count ride the checkpoint action as
+    # observe() metrics — setup is ONE job, same discipline as the
+    # per-iteration dangling-mass fuse below (round-3 verdict item 8)
+    obs0 = Observation()
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
         .join(deg.select(F.col("u").alias("node"), "d"), "node", "left")
         .select("node", F.col("d").isNull().alias("dangling"), "d")
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("dangling"), True)).alias("nd"),
+        )
         .localCheckpoint()
     )
-    n = nodes.count()
+    vals = obs0.get
+    n = int(vals["n"])
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
 
     ranks = nodes.select("node", "dangling", "d", F.lit(1.0 / n).alias("rank"))
     # mass currently sitting on dangling nodes (uniform start)
-    dangling_mass = (
-        nodes.filter("dangling").count() / n
-    )
+    dangling_mass = int(vals["nd"]) / n
     for _ in range(iterations):
         contribs = (
             e.join(

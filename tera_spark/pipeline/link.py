@@ -144,11 +144,17 @@ def link_mentions(
     fuzzy_threshold: float = 88.0,
     merge_floor: float = 80.0,
     max_shingle_freq: int = 2000,
+    scorer: str = "wratio",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (linked mentions, alias_edges).
 
     ``lexicon``: (entity, label, kind) — or a ``PreparedLexicon`` to skip
     the lexicon-side shingle/hot recompute. ``mentions``: stage-1 output.
+    ``scorer``: ``"wratio"`` (default — fuzzywuzzy parity via difflib) or
+    ``"portable"`` (levenshtein + token-sort as a pure Column expression:
+    JVM-side, whole-stage codegen, and replayable by the DuckDB oracle —
+    functions/similarity.py). Same blocking, same bands, only the pair
+    score differs.
 
     Confidence bands: score ≥ ``fuzzy_threshold`` links directly (the
     mention row carries the lexicon entity); scores in
@@ -233,10 +239,16 @@ def link_mentions(
     # coalescing and spreads the scoring across every core; the extra
     # shuffle moves only megabytes.
     cand = cand.repartition(par * 2, "norm")
+    if scorer == "portable":
+        from tera_spark.functions.similarity import portable_ratio_col
+
+        score_col = portable_ratio_col(F.col("norm"), F.col("norm_label"))
+    elif scorer == "wratio":
+        score_col = wratio_udf(F.col("norm"), F.col("norm_label")).cast("double")
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
     scored = (
-        cand.withColumn(
-            "link_score", wratio_udf(F.col("norm"), F.col("norm_label")).cast("double")
-        )
+        cand.withColumn("link_score", score_col)
         .filter(F.col("link_score") >= merge_floor)
         .select("norm", "entity", "lex_kind", "link_score")
     )

@@ -115,6 +115,31 @@ def test_pagerank_matches_dense_reference(spark):
     assert got["hub"] > 3 * got["b"]
 
 
+def test_pagerank_job_budget(spark):
+    """Setup is ONE job (node count + initial dangling mass ride the node
+    checkpoint via observe) on top of the edge checkpoint; each iteration
+    is ONE job (rank checkpoint carrying the dangling-mass observe). Total
+    for K iterations: 2 + K jobs, and the returned frame is already
+    materialized (collecting it adds exactly one more)."""
+    from tera_spark.operators.graph_metrics import pagerank
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edge_list, "u string, v string")
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    # AQE surfaces every materialized shuffle stage as its own tracker job
+    # (measured: 35 for this graph) — disable it so the tracker counts
+    # ACTIONS, the thing the one-job-per-iteration claim is about
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = len(tracker.getJobIdsForGroup(None))
+        pagerank(df, iterations=4)
+        after = len(tracker.getJobIdsForGroup(None))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert after - before == 2 + 4, f"pagerank ran {after - before} jobs, want 6"
+
+
 def test_pagerank_empty_and_trivial(spark):
     from tera_spark.operators.graph_metrics import pagerank
 

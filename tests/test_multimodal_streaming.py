@@ -127,6 +127,32 @@ def test_png_unfilter_all_filter_types():
     )
     out = decode_png(payload)
     assert np.array_equal(out, img.reshape(h, w, ch))
+    # the numpy fallback path must agree regardless of which path
+    # decode_png dispatched to (it prefers PIL when installed)
+    from tera_spark.operators.multimodal import _decode_png_numpy
+
+    assert np.array_equal(_decode_png_numpy(payload), img.reshape(h, w, ch))
+
+
+def test_png_pil_parity():
+    """When PIL is importable (production image), decode_png's PIL path and
+    the numpy fallback must produce identical pixels on an all-filters
+    image. Skipped in the stdlib-only sandbox."""
+    import numpy as np
+    import pytest as _pytest
+
+    from tera_spark.operators import multimodal as mm
+
+    if mm._PILImage is None:
+        _pytest.skip("PIL not installed (stdlib-only sandbox)")
+    import io as _io
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(31, 19, 3), dtype=np.uint8)
+    buf = _io.BytesIO()
+    mm._PILImage.fromarray(img, "RGB").save(buf, format="PNG")
+    payload = buf.getvalue()
+    assert np.array_equal(mm.decode_png(payload), mm._decode_png_numpy(payload))
 
 
 def test_multimodal_resize(spark):

@@ -37,7 +37,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df_dist
-    from tera_spark.pipeline.incremental import run_pipeline_incremental
+    from tera_spark.pipeline.incremental import compact, read_live, run_pipeline_incremental
     from tera_spark.pipeline.run import run_pipeline
     from tera_spark.session import get_spark
 
@@ -71,6 +71,11 @@ def main() -> None:
     run_pipeline_incremental(spark, delta, lex, out, batch_id="probe")
     inc_secs = time.time() - t0
 
+    # compaction: the amortized fold of the delta batch into the base
+    t0 = time.time()
+    compact(spark, out)
+    compact_secs = time.time() - t0
+
     # from-scratch recompute over the union — what the incremental path saves
     out_full = os.path.join(SHM, "inc_probe_full")
     shutil.rmtree(out_full, ignore_errors=True)
@@ -79,9 +84,11 @@ def main() -> None:
     full_secs = time.time() - t0
 
     # correctness spot-check: same table sizes as the from-scratch union run
+    # (read through the live view — exact pre-compact too; here post-compact
+    # it also proves the fold preserved the tables)
     counts = {}
     for t in ("triples", "nodes", "edges"):
-        a = spark.read.parquet(os.path.join(out, t)).count()
+        a = read_live(spark, out, t).count()
         b = spark.read.parquet(os.path.join(out_full, t)).count()
         counts[t] = (a, b)
     shutil.rmtree(out, ignore_errors=True)
@@ -94,6 +101,7 @@ def main() -> None:
         "delta_turns": n_delta,
         "base_seconds": round(base_secs, 2),
         "incremental_seconds": round(inc_secs, 2),
+        "compact_seconds": round(compact_secs, 2),
         "full_recompute_seconds": round(full_secs, 2),
         "counts_match": all(a == b for a, b in counts.values()),
         "counts": {t: list(v) for t, v in counts.items()},
