@@ -3,16 +3,16 @@
 ``entry`` runs the flagship Q14 endpoint star join (SURVEY.md §3.2) over
 the ECOTOX-shaped mapping of the driver tables at sf0.001. ``queries`` /
 ``oracle_sql`` pair every implemented SURVEY.md §2 operator with a DuckDB
-oracle (see tera_spark/entry_queries.py). Round 3 oracle upgrades: the
-IVF-ANN path (md5-portable k-means seeding; SQL replays seeding + Lloyd
-rounds + probe/rerank), the multimodal feature path (payload hex embedded,
-DuckDB recomputes byte counts + hashes), and the KG pipeline's
-deterministic slices (structure triples + exact/rule-linked mention
-triples, with term/code extraction and the exact lexicon join replayed in
-SQL from raw text). The only remaining rows-only entries are the fuzzy
-WRatio scorer (Python difflib, by design) and the end-to-end transcript
-KG pipeline whose only unverified band is that same scorer (golden-tested
-in pytest instead).
+oracle (see tera_spark/entry_queries.py). Round 4: registration is
+rotated so never-driver-sampled entries come first (the driver samples
+~50 of the 66); new oracle-checked entries are the SPARQL property-path
+and UNION compilers (q16/q17) and the PORTABLE fuzzy mode —
+``j6_string_matching_portable`` and ``kg_pipeline_triples_portable`` run
+the real linking/pipeline code with a levenshtein+token-sort scorer that
+DuckDB replays exactly, so the FULL transcript→KG pipeline is now
+hash-verified end to end. The only rows-only entries left are the two
+WRatio-default twins (Python difflib reference-parity mode, by design;
+golden-tested in pytest).
 """
 
 from __future__ import annotations

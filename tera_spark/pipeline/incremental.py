@@ -184,7 +184,9 @@ def read_live(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
         return base
 
     if table == "nodes":
-        return _merge_nodes(spark, base, batches)
+        return _merge_upsert(spark, base, batches, table, "id")
+    if table == "canonical_map":
+        return _merge_upsert(spark, base, batches, table, "old")
 
     adds = _union_batch_parts(spark, batches, f"{table}_adds")
     if adds is not None:
@@ -198,11 +200,16 @@ def read_live(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
     return base
 
 
-def _merge_nodes(spark: SparkSession, base: DataFrame, batches: list[str]) -> DataFrame:
+def _merge_upsert(
+    spark: SparkSession, base: DataFrame, batches: list[str], table: str, key: str
+) -> DataFrame:
+    """Keyed upsert log merge (nodes, canonical_map): the latest batch's
+    add wins per key; del tombstones erase the key. The log is delta-sized
+    (bounded by compaction) — only it is windowed, never the base."""
     from pyspark.sql import Window
 
-    adds = _union_batch_parts(spark, batches, "nodes_adds", with_seq=True)
-    dels = _union_batch_parts(spark, batches, "nodes_dels", with_seq=True)
+    adds = _union_batch_parts(spark, batches, f"{table}_adds", with_seq=True)
+    dels = _union_batch_parts(spark, batches, f"{table}_dels", with_seq=True)
     if adds is None and dels is None:
         return base
     cols = base.columns
@@ -219,12 +226,12 @@ def _merge_nodes(spark: SparkSession, base: DataFrame, batches: list[str]) -> Da
     latest = (
         log.withColumn(
             "_rn",
-            F.row_number().over(Window.partitionBy("id").orderBy(F.col("_seq").desc())),
+            F.row_number().over(Window.partitionBy(key).orderBy(F.col("_seq").desc())),
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_seq")
     )
-    keep = base.join(F.broadcast(latest.select("id")), "id", "left_anti")
+    keep = base.join(F.broadcast(latest.select(key)), key, "left_anti")
     return keep.unionByName(latest.filter(F.col("_op") == "add").select(cols))
 
 
@@ -371,12 +378,31 @@ def run_pipeline_incremental(
             partitioned=partitioned,
         )
 
-    # ---- old (pre-batch) live state
-    old_edges = read_live(spark, out_dir, "alias_edges").select("u", "v")
-    old_mapping = canonical_mapping(old_edges).localCheckpoint(eager=True)
+    def _phase(name: str, t0: float) -> None:
+        res.metrics.append(
+            {"stage": f"_{name}@{batch_id}", "rows_out": -1, "seconds": round(time.time() - t0, 3)}
+        )
+
+    # ---- old (pre-batch) live state. The canonical map is PERSISTED
+    # pipeline state (run.py writes it as a stage; each batch appends its
+    # upsert delta below), so apply never re-runs connected components over
+    # the whole alias universe — only over the batch's contracted edges.
+    t0 = time.time()
+    old_edges = read_live(spark, out_dir, "alias_edges").select("u", "v").localCheckpoint(
+        eager=True
+    )
+    cmap_path = os.path.join(out_dir, "canonical_map")
+    if not _done(cmap_path):
+        # legacy base dir (pre-round-4): bootstrap the map table once
+        bucketize(canonical_mapping(old_edges), N_BUCKETS, "old").write.mode(
+            "overwrite"
+        ).partitionBy("_bucket").parquet(cmap_path)
+    old_mapping = read_live(spark, out_dir, "canonical_map").localCheckpoint(eager=True)
+    _phase("old_mapping", t0)
     old_t = read_live(spark, out_dir, "triples")
 
     # ---- per-turn delta stages (pure functions of the batch + lexicon)
+    t0 = time.time()
     m_delta = bucketize(extract_mentions(delta), N_BUCKETS, "conv_id").localCheckpoint(
         eager=True
     )
@@ -386,28 +412,76 @@ def run_pipeline_incremental(
     )
     linked_delta = bucketize(linked_raw, N_BUCKETS, "conv_id").localCheckpoint(eager=True)
     edges_delta = edges_delta.localCheckpoint(eager=True)
+    _phase("per_turn_compute", t0)
     part("mentions_adds", m_delta)
     part("linked_adds", linked_delta)
 
     # alias-edge adds: new (u,v) pairs only (set semantics at write time —
     # the live view is a plain union). The old edge table is
     # vocabulary-sized, so this anti-join is small on both sides.
-    new_edges = edges_delta.join(old_edges, ["u", "v"], "left_anti").dropDuplicates(
-        ["u", "v"]
-    )
+    new_edges = edges_delta.select("u", "v").join(
+        old_edges, ["u", "v"], "left_anti"
+    ).dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
     part("alias_edges_adds", bucketize(new_edges, 8, "u"))
 
-    # ---- global step: components over the UNION of alias edges (small —
-    # vocabulary-sized, not corpus-sized)
-    new_mapping = canonical_mapping(
-        old_edges.unionByName(edges_delta.select("u", "v"))
+    # ---- global step: connected components over the CONTRACTED delta
+    # graph only. Components only merge and the representative is the
+    # component min, so contracting each new edge's endpoints through the
+    # old map and running CC on that (delta-sized) edge set yields exactly
+    # the representative moves; composing with the old map gives the full
+    # new mapping without ever touching the old alias universe.
+    t0 = time.time()
+    om_u = F.broadcast(
+        old_mapping.select(F.col("old").alias("u"), F.col("new").alias("_nu"))
+    )
+    om_v = F.broadcast(
+        old_mapping.select(F.col("old").alias("v"), F.col("new").alias("_nv"))
+    )
+    contracted = (
+        new_edges.join(om_u, "u", "left")
+        .join(om_v, "v", "left")
+        .select(
+            F.coalesce("_nu", "u").alias("u"), F.coalesce("_nv", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    cs = canonical_mapping(contracted).localCheckpoint(eager=True)
+    cs2 = cs.select(F.col("old").alias("_k"), F.col("new").alias("_v"))
+    composed = old_mapping.join(
+        F.broadcast(cs2), old_mapping["new"] == F.col("_k"), "left"
+    ).select(old_mapping["old"], F.coalesce("_v", old_mapping["new"]).alias("new"))
+    # cs keys (old reps / new nodes) are disjoint from old-map keys
+    # (non-reps), so this union is a keyed upsert with no conflicts
+    new_mapping = composed.unionByName(cs).localCheckpoint(eager=True)
+
+    # canonical-map upsert delta for FUTURE applies: old entries whose rep
+    # moved, plus every cs entry (new nodes and moved reps)
+    map_changed = old_mapping.join(
+        F.broadcast(cs2), old_mapping["new"] == F.col("_k")
+    ).select(old_mapping["old"], F.col("_v").alias("new"))
+    part(
+        "canonical_map_adds",
+        bucketize(map_changed.unionByName(cs), N_BUCKETS, "old"),
+        record=False,
+    )
+
+    # stored-value rewrite map: cs entries whose key can exist in the old
+    # tables. Everything stored live is its own old canonical (module
+    # docstring fact 1), and ids first introduced by THIS batch's linking
+    # (provisional mentions for unseen norms) cannot be stored anywhere yet
+    # — dropping them keeps the broadcast probe build minimal and makes
+    # the no-op case detectable.
+    old_ids = old_edges.select(F.col("u").alias("old")).unionByName(
+        old_edges.select(F.col("v").alias("old"))
+    ).distinct()
+    brand_new = new_edges.select(F.col("u").alias("old")).distinct().join(
+        old_ids, "old", "left_anti"
+    )
+    stored_rewrite = cs.join(
+        F.broadcast(brand_new), "old", "left_anti"
     ).localCheckpoint(eager=True)
-    # stored-value rewrite map: ids the new mapping rewrites that the old
-    # one didn't (everything stored live is its own old canonical — see
-    # module docstring, fact 1)
-    stored_rewrite = new_mapping.join(
-        old_mapping.select("old"), "old", "left_anti"
-    ).localCheckpoint(eager=True)
+    has_rewrites = not stored_rewrite.isEmpty()
+    _phase("mapping", t0)
 
     # ---- delta triples, canonicalized with the new mapping
     t_delta = replace_entities(
@@ -416,74 +490,126 @@ def run_pipeline_incremental(
         deduplicate=False,
     ).dropDuplicates(_TRIPLE_KEY)
 
-    # ---- probe 1 (map-side broadcast scan of the live triples): rows whose
-    # canonical id changed — old form becomes a tombstone, new form an add
-    sr_s = F.broadcast(
-        stored_rewrite.select(F.col("old").alias("_s_old"), F.col("new").alias("_s_new"))
-    )
-    sr_o = F.broadcast(
-        stored_rewrite.select(F.col("old").alias("_o_old"), F.col("new").alias("_o_new"))
-    )
-
-    def _probe(t: DataFrame) -> DataFrame:
-        return t.join(sr_s, t["subject"] == sr_s["_s_old"], "left").join(
-            sr_o, (t["object"] == sr_o["_o_old"]) & (~t["obj_is_literal"]), "left"
-        )
-
-    hit = F.col("_s_new").isNotNull() | F.col("_o_new").isNotNull()
-    hit_rows = _probe(old_t).filter(hit).localCheckpoint(eager=True)
-    dels_t = hit_rows.select(*_TRIPLE_KEY)
-    rewritten = hit_rows.select(
-        F.coalesce("_s_new", "subject").alias("subject"),
-        F.col("predicate"),
-        F.coalesce("_o_new", "object").alias("object"),
-        F.col("obj_is_literal"),
-    )
-
-    # candidate adds, deduplicated within the batch...
-    cand = rewritten.unionByName(t_delta.select(*_TRIPLE_COLS)).dropDuplicates(
-        _TRIPLE_KEY
-    ).localCheckpoint(eager=True)
-    # ...probe 2: and against the pre-batch live view, so the read-time
-    # merge never needs a dropDuplicates over the base. Semi-join with the
-    # delta-sized candidate keys as the broadcast build side — map-side.
-    dup_keys = (
-        old_t.join(F.broadcast(cand.select(*_TRIPLE_KEY)), _TRIPLE_KEY, "left_semi")
-        .select(*_TRIPLE_KEY)
-        .localCheckpoint(eager=True)
-    )
-    adds_t = cand.join(F.broadcast(dup_keys), _TRIPLE_KEY, "left_anti").withColumn(
-        "_bucket", _bucket_of("subject", N_BUCKETS)
-    ).localCheckpoint(eager=True)
-    part("triples_adds", adds_t)
-    part("triples_dels", dels_t, record=False, partitioned=False)
-
-    # ---- nodes: recompute the aggregate ONLY for affected ids — subjects
-    # that gained type/label rows (adds) or lost one to an object-side
-    # rewrite (dels whose subject itself survives; subject-merged dels are
-    # covered by the merged-away tombstones). Both sets are delta-sized.
     is_tl = F.col("predicate").isin(RDF_TYPE, RDFS_LABEL)
-    merged_away = stored_rewrite.select(F.col("old").alias("subject")).distinct()
-    affected = (
-        adds_t.filter(is_tl)
-        .select("subject")
-        .unionByName(
-            hit_rows.filter(is_tl)
-            .select("subject")
-            .join(merged_away, "subject", "left_anti")
+    conv_scoped = F.col("subject").startswith(NS_KG + "turn/") | F.col(
+        "subject"
+    ).startswith(NS_KG + "conv/")
+
+    if has_rewrites:
+        # ---- SLOW PATH (some stored canonical id changed — rare at steady
+        # state): probe 1 scans the live triples for rows whose canonical
+        # id changed (old form → tombstone, new form → add)
+        sr_s = F.broadcast(
+            stored_rewrite.select(F.col("old").alias("_s_old"), F.col("new").alias("_s_new"))
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # probe 3: surviving pre-batch type/label rows of affected ids —
-    # predicate filter is pushed to the parquet scan, the semi-join build
-    # side is the delta-sized affected set
-    kept_tl = (
-        _probe(old_t.filter(is_tl))
-        .filter(~hit)
-        .join(F.broadcast(affected), "subject", "left_semi")
-        .select(*_TRIPLE_COLS)
-    )
+        sr_o = F.broadcast(
+            stored_rewrite.select(F.col("old").alias("_o_old"), F.col("new").alias("_o_new"))
+        )
+
+        def _probe(t: DataFrame) -> DataFrame:
+            return t.join(sr_s, t["subject"] == sr_s["_s_old"], "left").join(
+                sr_o, (t["object"] == sr_o["_o_old"]) & (~t["obj_is_literal"]), "left"
+            )
+
+        hit = F.col("_s_new").isNotNull() | F.col("_o_new").isNotNull()
+        t0 = time.time()
+        hit_rows = _probe(old_t).filter(hit).localCheckpoint(eager=True)
+        _phase("rewrite_probe", t0)
+        dels_t = hit_rows.select(*_TRIPLE_KEY)
+        rewritten = hit_rows.select(
+            F.coalesce("_s_new", "subject").alias("subject"),
+            F.col("predicate"),
+            F.coalesce("_o_new", "object").alias("object"),
+            F.col("obj_is_literal"),
+        )
+        cand = rewritten.unionByName(t_delta.select(*_TRIPLE_COLS)).dropDuplicates(
+            _TRIPLE_KEY
+        ).localCheckpoint(eager=True)
+        # dup-check keys: rows that could equal a live row — rewritten rows
+        # (any shape) plus the delta's non-conversation-scoped rows; rows
+        # whose subject is a NEW conversation's turn/conv URI cannot exist
+        # in the old tables by the seen-conv guard
+        dup_cand = cand.filter(~conv_scoped).select(*_TRIPLE_KEY).unionByName(
+            rewritten.select(*_TRIPLE_KEY)
+        ).distinct()
+        t0 = time.time()
+        dup_keys = (
+            old_t.join(F.broadcast(dup_cand), _TRIPLE_KEY, "left_semi")
+            .select(*_TRIPLE_KEY)
+            .localCheckpoint(eager=True)
+        )
+        adds_t = cand.join(F.broadcast(dup_keys), _TRIPLE_KEY, "left_anti").withColumn(
+            "_bucket", _bucket_of("subject", N_BUCKETS)
+        ).localCheckpoint(eager=True)
+        _phase("dup_probe", t0)
+
+        # nodes: recompute ONLY affected ids — subjects that gained
+        # type/label rows (adds) or lost one to an object-side rewrite;
+        # subject-merged ids get tombstones
+        t0 = time.time()
+        merged_away = stored_rewrite.select(F.col("old").alias("subject")).distinct()
+        affected = (
+            adds_t.filter(is_tl)
+            .select("subject")
+            .unionByName(
+                hit_rows.filter(is_tl)
+                .select("subject")
+                .join(merged_away, "subject", "left_anti")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        kept_tl = (
+            _probe(old_t.filter(is_tl))
+            .filter(~hit)
+            .join(F.broadcast(affected), "subject", "left_semi")
+            .select(*_TRIPLE_COLS)
+        )
+        _phase("nodes_probe", t0)
+        not_lit = ~F.col("obj_is_literal")
+        edge_dels = hit_rows.filter(not_lit).select(
+            F.col("subject").alias("src"),
+            F.col("predicate").alias("pred"),
+            F.col("object").alias("dst"),
+        )
+    else:
+        # ---- FAST PATH (no stored id rewritten — the steady-state case:
+        # new conversations only ever ADD facts): no tombstones anywhere,
+        # and ONE combined scan of the live triples answers both remaining
+        # questions — which candidate adds already exist (set semantics)
+        # and which surviving type/label rows feed the node recompute.
+        cand = t_delta.localCheckpoint(eager=True)
+        dup_cand = cand.filter(~conv_scoped).select(*_TRIPLE_KEY).withColumn(
+            "_dup", F.lit(True)
+        )
+        affected = cand.filter(is_tl).select("subject").distinct().withColumn(
+            "_aff", F.lit(True)
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        scan = (
+            old_t.join(F.broadcast(dup_cand), _TRIPLE_KEY, "left")
+            .join(F.broadcast(affected), "subject", "left")
+            .filter(F.col("_dup").isNotNull() | (is_tl & F.col("_aff").isNotNull()))
+            .localCheckpoint(eager=True)
+        )
+        _phase("combined_probe", t0)
+        dup_keys = scan.filter(F.col("_dup").isNotNull()).select(*_TRIPLE_KEY)
+        adds_t = cand.join(F.broadcast(dup_keys), _TRIPLE_KEY, "left_anti").withColumn(
+            "_bucket", _bucket_of("subject", N_BUCKETS)
+        ).localCheckpoint(eager=True)
+        dels_t = None
+        kept_tl = scan.filter(is_tl & F.col("_aff").isNotNull()).select(*_TRIPLE_COLS)
+        merged_away = None
+        affected = affected.select("subject")
+        edge_dels = None
+
+    part("triples_adds", adds_t)
+    if dels_t is not None:
+        part("triples_dels", dels_t, record=False, partitioned=False)
+
+    # ---- nodes: fresh aggregate over the affected ids' live type/label
+    # rows (pre-batch survivors + this batch's adds)
+    t0 = time.time()
     live_tl = kept_tl.unionByName(
         adds_t.filter(is_tl).select(*_TRIPLE_COLS)
     ).dropDuplicates(_TRIPLE_KEY)
@@ -503,18 +629,20 @@ def run_pipeline_incremental(
     # tombstones: ids merged away, plus affected ids whose recompute
     # produced no row (their last type triple was rewritten away — the
     # upsert log must erase the stale base row, not leave it)
-    nodes_dels = (
-        merged_away.unionByName(
-            affected.join(nodes_adds.select(F.col("id").alias("subject")), "subject", "left_anti")
-        )
-        .select(F.col("subject").alias("id"))
-        .distinct()
+    nodes_dels = affected.join(
+        nodes_adds.select(F.col("id").alias("subject")), "subject", "left_anti"
     )
+    if merged_away is not None:
+        nodes_dels = merged_away.unionByName(nodes_dels)
+    nodes_dels = nodes_dels.select(F.col("subject").alias("id")).distinct()
+    _phase("nodes_compute", t0)
     part("nodes_adds", nodes_adds)
     part("nodes_dels", nodes_dels, record=False, partitioned=False)
 
     # ---- edges: 1:1 projection of non-literal triples, so its delta is
-    # exactly the triples delta projected — no extra probe
+    # exactly the triples delta projected — no extra probe. (A tombstone
+    # key can never reappear in adds: old forms always contain a
+    # merged-away id, new forms only current representatives.)
     not_lit = ~F.col("obj_is_literal")
     edge_adds = adds_t.filter(not_lit).select(
         F.col("subject").alias("src"),
@@ -522,16 +650,9 @@ def run_pipeline_incremental(
         F.col("object").alias("dst"),
         "_bucket",
     )
-    # (a tombstone key can never reappear in adds: old forms always contain
-    # a merged-away id, new forms only current representatives — so no
-    # add/del contradiction is possible and no cross-filter is needed)
-    edge_dels = hit_rows.filter(not_lit).select(
-        F.col("subject").alias("src"),
-        F.col("predicate").alias("pred"),
-        F.col("object").alias("dst"),
-    )
     part("edges_adds", edge_adds)
-    part("edges_dels", edge_dels, record=False, partitioned=False)
+    if edge_dels is not None:
+        part("edges_dels", edge_dels, record=False, partitioned=False)
 
     # ---- this batch's conversations (guard state), then the atomic commit
     part(
@@ -572,7 +693,7 @@ def compact(spark: SparkSession, out_dir: str) -> list[str]:
     this layout mirrors does the same fold as one atomic snapshot commit.
     Returns the list of compacted table names."""
     manifest_path = os.path.join(out_dir, _MANIFEST)
-    tables = [*TABLES, "convs_applied"]
+    tables = [*TABLES, "canonical_map", "convs_applied"]
 
     def _tmp(t: str) -> str:
         return os.path.join(out_dir, f"{t}__compact")
@@ -585,7 +706,9 @@ def compact(spark: SparkSession, out_dir: str) -> list[str]:
         # phase 1: full live snapshots to tmp dirs, clustered like the base
         # (no checkpoint needed — tmp is a different path, the base is only
         # read, never overwritten while being read)
-        for t in TABLES:
+        for t in [*TABLES, "canonical_map"]:
+            if t == "canonical_map" and not _done(os.path.join(out_dir, t)):
+                continue  # legacy dir never bootstrapped the map
             live = read_live(spark, out_dir, t)
             key = {
                 "mentions": "conv_id",
@@ -594,6 +717,7 @@ def compact(spark: SparkSession, out_dir: str) -> list[str]:
                 "triples": "subject",
                 "nodes": "id",
                 "edges": "src",
+                "canonical_map": "old",
             }[t]
             n = 8 if t == "alias_edges" else N_BUCKETS
             bucketize(live, n, key).write.mode("overwrite").partitionBy(

@@ -171,18 +171,26 @@ def run_pipeline(
 
     linked = stage("linked", "conv_id", _link)
 
+    # canonical map persisted as its own stage: downstream incremental
+    # applies read it instead of re-running connected components over the
+    # whole alias universe (pipeline/incremental.py runs CC only over the
+    # batch's CONTRACTED delta edges and composes)
+    cmap = stage(
+        "canonical_map",
+        "old",
+        lambda: canonical_mapping(read_table(spark, os.path.join(out_dir, "alias_edges"))),
+    )
+
     def _canon():
         # deduplicate=False: the post-rewrite set-semantics dedup is fused
         # into the stage write's bucket shuffle (dedup_cols below) — one
         # shuffle instead of two over the full triple table
-        alias_edges = read_table(spark, os.path.join(out_dir, "alias_edges"))
         triples = build_triples(transcripts, linked)
-        mapping = canonical_mapping(alias_edges)
         if salts is None:
             return replace_entities(
-                triples, mapping, broadcast_mapping=True, deduplicate=False
+                triples, cmap, broadcast_mapping=True, deduplicate=False
             )
-        return replace_entities_salted(triples, mapping, salts, deduplicate=False)
+        return replace_entities_salted(triples, cmap, salts, deduplicate=False)
 
     triples = stage(
         "triples", "subject", _canon, dedup_cols=["subject", "predicate", "object"]

@@ -57,7 +57,9 @@ def test_linking_exact_and_fuzzy(spark, transcripts, lexicon):
 def test_pipeline_end_to_end_and_resume(spark, transcripts, lexicon, tmp_path):
     out1 = str(tmp_path / "run1")
     res1 = run_pipeline(spark, transcripts, lexicon, out1)
-    assert res1.stages_run == ["mentions", "linked", "triples", "nodes", "edges"]
+    assert res1.stages_run == [
+        "mentions", "linked", "canonical_map", "triples", "nodes", "edges"
+    ]
 
     edges = spark.read.parquet(out1 + "/edges")
     nodes = spark.read.parquet(out1 + "/nodes")
@@ -77,7 +79,7 @@ def test_pipeline_end_to_end_and_resume(spark, transcripts, lexicon, tmp_path):
 
     # resume: second run skips everything and output is bit-identical
     res2 = run_pipeline(spark, transcripts, lexicon, out1)
-    assert res2.stages_run == [] and len(res2.stages_skipped) == 5
+    assert res2.stages_run == [] and len(res2.stages_skipped) == 6
 
     # partial resume: delete the last two stages, rerun, triples unchanged
     import shutil

@@ -68,8 +68,17 @@ def main() -> None:
     base_secs = time.time() - t0
 
     t0 = time.time()
-    run_pipeline_incremental(spark, delta, lex, out, batch_id="probe")
+    res = run_pipeline_incremental(spark, delta, lex, out, batch_id="probe")
     inc_secs = time.time() - t0
+    # per-phase breakdown (rows_out == -1 are the internal _phase markers)
+    phases = {
+        m["stage"].split("@")[0].lstrip("_"): m["seconds"]
+        for m in res.metrics
+        if m["rows_out"] == -1
+    }
+    writes = round(
+        sum(m["seconds"] for m in res.metrics if m["rows_out"] >= 0), 2
+    )
 
     # compaction: the amortized fold of the delta batch into the base
     t0 = time.time()
@@ -105,6 +114,8 @@ def main() -> None:
         "full_recompute_seconds": round(full_secs, 2),
         "counts_match": all(a == b for a, b in counts.values()),
         "counts": {t: list(v) for t, v in counts.items()},
+        "inc_phases": phases,
+        "inc_write_seconds": writes,
         "ts": int(time.time()),
     }
     with open(HISTORY, "a") as fh:
