@@ -127,7 +127,7 @@ def main() -> None:
         mentions = extract_mentions(transcripts)
         linked, alias_edges = link_mentions(mentions, lexicon)
         triples = replace_entities(
-            build_triples(transcripts, linked), canonical_mapping(alias_edges)
+            build_triples(transcripts, linked, deduplicate=False), canonical_mapping(alias_edges)
         )
         _noop(triples)
         return round(time.time() - t0, 3)

@@ -1659,7 +1659,7 @@ def _queries() -> dict:
         lexicon = lexicon_spark_df(spark)
         mentions = extract_mentions(transcripts)
         linked, alias_edges = link_mentions(mentions, lexicon)
-        triples = build_triples(transcripts, linked)
+        triples = build_triples(transcripts, linked, deduplicate=False)
         return replace_entities(triples, canonical_mapping(alias_edges))
 
     q["kg_pipeline_triples"] = kg_triples
@@ -1678,7 +1678,7 @@ def _queries() -> dict:
         lexicon = lexicon_spark_df(spark)
         mentions = extract_mentions(transcripts)
         linked, alias_edges = link_mentions(mentions, lexicon, scorer="portable")
-        triples = build_triples(transcripts, linked)
+        triples = build_triples(transcripts, linked, deduplicate=False)
         return replace_entities(triples, canonical_mapping(alias_edges))
 
     q["kg_pipeline_triples_portable"] = kg_triples_portable

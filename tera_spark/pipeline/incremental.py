@@ -47,16 +47,26 @@ Read-time merge (``read_live``), all map-side — ZERO shuffles of the base:
   adds are written already-deduplicated against the pre-batch live view
   (probe below), so no read-time dropDuplicates; dels are delta-sized and
   broadcast.
-- keyed table (nodes): upsert log — latest add per id wins over base;
-  del tombstones ids merged away. The log is delta-sized and sequenced by
-  batch seq.
+- keyed tables (nodes; canonical_map): upsert log — latest add per key
+  wins over base; del tombstones erase merged-away ids. The log is
+  delta-sized and sequenced by batch seq.
+- maintenance side tables, same mechanics: ``canonical_map`` (the CC
+  result, persisted by run_pipeline so apply never re-runs CC over the
+  old alias universe) and ``ent_index`` (the shared-row subset of the
+  triples, so the fast path never reads the corpus-sized base).
 
-Cost model (per batch): per-turn stages O(|delta|); THREE map-side scans
-of the live triples (rewrite probe, add-dedup probe, node-recompute probe
-— the last two predicate/semi-join pruned), each shuffle-free with
-broadcast build sides; all writes delta-sized. Nothing shuffles or
-rewrites the base. Read cost grows with the number of uncompacted batches
-(a handful of extra file unions + a broadcast anti-join) — ``compact()``
+Cost model (per batch): per-turn stages O(|delta|); connected components
+run only over the batch's CONTRACTED new alias edges (the persisted
+``canonical_map`` supplies the old components — never recomputed); on the
+steady-state FAST path (no stored canonical id changed) the corpus-sized
+base triples are NEVER read — one scan of the vocabulary-sized
+``ent_index`` (exactly ``live_triples.filter(shared_row_expr())``, the
+only rows two conversations can both emit — pipeline/kg.py) answers both
+the set-semantics dup check and the node recompute. Only the rare SLOW
+path (a component merge rewrote a stored id) scans the base triples, for
+the rewrite probe. All writes delta-sized; nothing shuffles or rewrites
+the base. Read cost grows with the number of uncompacted batches (a
+handful of extra file unions + a broadcast anti-join) — ``compact()``
 bounds it and amortizes the one full rewrite across many batches.
 
 Crash safety / idempotency: a batch's files all live under its own
@@ -90,7 +100,7 @@ from tera_spark.constants import NS_KG, RDF_TYPE, RDFS_LABEL
 from tera_spark.operators.canonical import canonical_mapping
 from tera_spark.operators.triples import replace_entities
 from tera_spark.pipeline.extract import extract_mentions
-from tera_spark.pipeline.kg import build_triples
+from tera_spark.pipeline.kg import build_triples, shared_row_expr
 from tera_spark.pipeline.link import link_mentions, prepare_lexicon
 from tera_spark.pipeline.run import (
     N_BUCKETS,
@@ -107,6 +117,19 @@ _TRIPLE_KEY = ["subject", "predicate", "object"]
 _EDGE_KEY = ["src", "pred", "dst"]
 BATCHES_DIR = "_batches"
 _MANIFEST = "_compact_manifest.json"
+# Contracted delta graphs at or below this edge count run connected
+# components driver-side (exact union-find, ~ms) instead of the iterative
+# distributed loop (~15 scheduled jobs minimum). Bounded by the BATCH size,
+# never the corpus; ~12 MB of URI strings at the bound.
+_DRIVER_CC_MAX_EDGES = 200_000
+
+# The shared-row classification (which triple rows can collide across
+# conversations) lives next to the emit sites it is pinned to:
+# pipeline/kg.py shared_row_expr. The ``ent_index`` side table holds
+# exactly live_triples.filter(shared_row_expr()) — vocabulary-sized while
+# the full triple table is corpus-sized, which is what makes apply cost
+# ∝ delta instead of ∝ base.
+_shared_expr = shared_row_expr
 
 
 def _bucket_of(col: str, n: int):
@@ -195,7 +218,7 @@ def read_live(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
         base = base.unionByName(adds.select(base.columns))
     dels = _union_batch_parts(spark, batches, f"{table}_dels")
     if dels is not None:
-        key = _TRIPLE_KEY if table == "triples" else _EDGE_KEY
+        key = _EDGE_KEY if table == "edges" else _TRIPLE_KEY
         base = base.join(F.broadcast(dels.select(key).distinct()), key, "left_anti")
     return base
 
@@ -398,23 +421,41 @@ def run_pipeline_incremental(
             "overwrite"
         ).partitionBy("_bucket").parquet(cmap_path)
     old_mapping = read_live(spark, out_dir, "canonical_map").localCheckpoint(eager=True)
+    idx_path = os.path.join(out_dir, "ent_index")
+    if not _done(idx_path):
+        # bootstrap the shared-row index once (the ONLY full base-triples
+        # scan this module ever does; every later apply probes the
+        # vocabulary-sized index instead of the corpus-sized base)
+        bucketize(
+            read_live(spark, out_dir, "triples").filter(_shared_expr()),
+            N_BUCKETS,
+            "subject",
+        ).write.mode("overwrite").partitionBy("_bucket").parquet(idx_path)
+    ent_idx = read_live(spark, out_dir, "ent_index")
     _phase("old_mapping", t0)
-    old_t = read_live(spark, out_dir, "triples")
+
+    def part_read(name: str, df: DataFrame) -> DataFrame:
+        """Write the delta part, then hand back the WRITTEN files as the
+        downstream input — the part write is the materialization barrier
+        (one copy, not checkpoint + write = two)."""
+        part(name, df)
+        p = os.path.join(batch_dir, name)
+        return spark.read.parquet(p) if os.path.exists(p) else df
 
     # ---- per-turn delta stages (pure functions of the batch + lexicon)
     t0 = time.time()
-    m_delta = bucketize(extract_mentions(delta), N_BUCKETS, "conv_id").localCheckpoint(
-        eager=True
+    m_delta = part_read(
+        "mentions_adds", bucketize(extract_mentions(delta), N_BUCKETS, "conv_id")
     )
     prepared = prepare_lexicon(lexicon)
     linked_raw, edges_delta = link_mentions(
         m_delta.drop("_bucket"), prepared, fuzzy_threshold
     )
-    linked_delta = bucketize(linked_raw, N_BUCKETS, "conv_id").localCheckpoint(eager=True)
+    linked_delta = part_read(
+        "linked_adds", bucketize(linked_raw, N_BUCKETS, "conv_id")
+    )
     edges_delta = edges_delta.localCheckpoint(eager=True)
     _phase("per_turn_compute", t0)
-    part("mentions_adds", m_delta)
-    part("linked_adds", linked_delta)
 
     # alias-edge adds: new (u,v) pairs only (set semantics at write time —
     # the live view is a plain union). The old edge table is
@@ -444,61 +485,115 @@ def run_pipeline_incremental(
             F.coalesce("_nu", "u").alias("u"), F.coalesce("_nv", "v").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
     )
-    cs = canonical_mapping(contracted).localCheckpoint(eager=True)
-    cs2 = cs.select(F.col("old").alias("_k"), F.col("new").alias("_v"))
-    composed = old_mapping.join(
-        F.broadcast(cs2), old_mapping["new"] == F.col("_k"), "left"
-    ).select(old_mapping["old"], F.coalesce("_v", old_mapping["new"]).alias("new"))
-    # cs keys (old reps / new nodes) are disjoint from old-map keys
-    # (non-reps), so this union is a keyed upsert with no conflicts
-    new_mapping = composed.unionByName(cs).localCheckpoint(eager=True)
+    n_contracted = contracted.count()
+    if n_contracted == 0:
+        # every new edge collapsed into an existing component under the old
+        # map — no CC iterations, no map change, guaranteed fast path below
+        cs = spark.createDataFrame([], "old string, new string")
+    elif n_contracted <= _DRIVER_CC_MAX_EDGES:
+        # driver-side union-find: the contracted graph is DELTA-sized by
+        # construction, and below this bound the distributed
+        # large-star/small-star loop costs more in per-job scheduling
+        # (~5 iterations × several jobs) than the entire problem. Exact
+        # same semantics as canonical_mapping: representative = component
+        # min id (union-by-min, ids are ASCII URIs so Python and Spark
+        # string orderings agree), identity rows dropped.
+        parent: dict = {}
 
-    # canonical-map upsert delta for FUTURE applies: old entries whose rep
-    # moved, plus every cs entry (new nodes and moved reps)
-    map_changed = old_mapping.join(
-        F.broadcast(cs2), old_mapping["new"] == F.col("_k")
-    ).select(old_mapping["old"], F.col("_v").alias("new"))
-    part(
-        "canonical_map_adds",
-        bucketize(map_changed.unionByName(cs), N_BUCKETS, "old"),
-        record=False,
-    )
+        def _find(x: str) -> str:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in contracted.collect():
+            ru, rv = _find(row.u), _find(row.v)
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        pairs = [(x, _find(x)) for x in list(parent)]
+        pairs = [(x, r) for x, r in pairs if x != r]
+        cs = spark.createDataFrame(pairs, "old string, new string") if pairs else (
+            spark.createDataFrame([], "old string, new string")
+        )
+    else:
+        cs = canonical_mapping(contracted).localCheckpoint(eager=True)
 
     # stored-value rewrite map: cs entries whose key can exist in the old
     # tables. Everything stored live is its own old canonical (module
     # docstring fact 1), and ids first introduced by THIS batch's linking
-    # (provisional mentions for unseen norms) cannot be stored anywhere yet
-    # — dropping them keeps the broadcast probe build minimal and makes
-    # the no-op case detectable.
-    old_ids = old_edges.select(F.col("u").alias("old")).unionByName(
-        old_edges.select(F.col("v").alias("old"))
-    ).distinct()
-    brand_new = new_edges.select(F.col("u").alias("old")).distinct().join(
-        old_ids, "old", "left_anti"
+    # (provisional urn:mention ids for unseen norms — the only ids ever on
+    # the u side of an alias edge) cannot be stored anywhere yet: a
+    # provisional id stored earlier would have emitted its alias edges
+    # then (linking is a pure function of the fixed lexicon), putting it
+    # in old_ids. Entity-side cs keys are never dropped. All probes are
+    # filtered to cs keys first (delta-sized broadcast), so nothing here
+    # shuffles the vocabulary-sized edge table.
+    cs_keys = cs.select("old")
+    old_hit = (
+        old_edges.select(F.col("u").alias("old"))
+        .unionByName(old_edges.select(F.col("v").alias("old")))
+        .join(F.broadcast(cs_keys), "old", "left_semi")
+        .distinct()
     )
+    new_u = (
+        new_edges.select(F.col("u").alias("old"))
+        .join(F.broadcast(cs_keys), "old", "left_semi")
+        .distinct()
+    )
+    brand_new = new_u.join(F.broadcast(old_hit), "old", "left_anti")
     stored_rewrite = cs.join(
         F.broadcast(brand_new), "old", "left_anti"
     ).localCheckpoint(eager=True)
     has_rewrites = not stored_rewrite.isEmpty()
+
+    if has_rewrites:
+        # compose: old entries whose representative itself moved follow it
+        cs2 = cs.select(F.col("old").alias("_k"), F.col("new").alias("_v"))
+        composed = old_mapping.join(
+            F.broadcast(cs2), old_mapping["new"] == F.col("_k"), "left"
+        ).select(old_mapping["old"], F.coalesce("_v", old_mapping["new"]).alias("new"))
+        # cs keys (old reps / new nodes) are disjoint from old-map keys
+        # (non-reps), so this union is a keyed upsert with no conflicts
+        new_mapping = composed.unionByName(cs).localCheckpoint(eager=True)
+        # canonical-map upsert delta for FUTURE applies: old entries whose
+        # rep moved, plus every cs entry (new nodes and moved reps)
+        map_changed = old_mapping.join(
+            F.broadcast(cs2), old_mapping["new"] == F.col("_k")
+        ).select(old_mapping["old"], F.col("_v").alias("new"))
+        map_delta = map_changed.unionByName(cs)
+    else:
+        # no stored id moved ⟹ every cs key is brand-new, so no cs key can
+        # equal an old_mapping VALUE (those are stored reps) — composition
+        # is the identity and the upsert delta is cs itself. No join, no
+        # extra materialization: both inputs are already checkpointed.
+        new_mapping = old_mapping.unionByName(cs)
+        map_delta = cs
+    part("canonical_map_adds", bucketize(map_delta, N_BUCKETS, "old"), record=False)
     _phase("mapping", t0)
 
-    # ---- delta triples, canonicalized with the new mapping
+    # ---- delta triples, canonicalized with the new mapping (one dedup
+    # AFTER the map-side rewrite — the pre-rewrite dedup would be a second
+    # full shuffle of the delta)
+    t0 = time.time()
     t_delta = replace_entities(
-        build_triples(delta, linked_delta.drop("_bucket")),
+        build_triples(delta, linked_delta.drop("_bucket"), deduplicate=False),
         new_mapping,
         deduplicate=False,
     ).dropDuplicates(_TRIPLE_KEY)
 
     is_tl = F.col("predicate").isin(RDF_TYPE, RDFS_LABEL)
-    conv_scoped = F.col("subject").startswith(NS_KG + "turn/") | F.col(
-        "subject"
-    ).startswith(NS_KG + "conv/")
+    shared = _shared_expr()
 
     if has_rewrites:
-        # ---- SLOW PATH (some stored canonical id changed — rare at steady
-        # state): probe 1 scans the live triples for rows whose canonical
-        # id changed (old form → tombstone, new form → add)
+        # ---- SLOW PATH (some stored canonical id changed — the rare
+        # component-merge case): probe 1 scans the live triples for rows
+        # whose canonical id changed (old form → tombstone, new form → add)
+        old_t = read_live(spark, out_dir, "triples")
         sr_s = F.broadcast(
             stored_rewrite.select(F.col("old").alias("_s_old"), F.col("new").alias("_s_new"))
         )
@@ -512,10 +607,11 @@ def run_pipeline_incremental(
             )
 
         hit = F.col("_s_new").isNotNull() | F.col("_o_new").isNotNull()
-        t0 = time.time()
+        t0p = time.time()
         hit_rows = _probe(old_t).filter(hit).localCheckpoint(eager=True)
-        _phase("rewrite_probe", t0)
+        _phase("rewrite_probe", t0p)
         dels_t = hit_rows.select(*_TRIPLE_KEY)
+        index_dels = hit_rows.filter(shared).select(*_TRIPLE_KEY)
         rewritten = hit_rows.select(
             F.coalesce("_s_new", "subject").alias("subject"),
             F.col("predicate"),
@@ -525,28 +621,32 @@ def run_pipeline_incremental(
         cand = rewritten.unionByName(t_delta.select(*_TRIPLE_COLS)).dropDuplicates(
             _TRIPLE_KEY
         ).localCheckpoint(eager=True)
-        # dup-check keys: rows that could equal a live row — rewritten rows
-        # (any shape) plus the delta's non-conversation-scoped rows; rows
-        # whose subject is a NEW conversation's turn/conv URI cannot exist
-        # in the old tables by the seen-conv guard
-        dup_cand = cand.filter(~conv_scoped).select(*_TRIPLE_KEY).unionByName(
+        _phase("delta_triples", t0)
+        # dup-check keys: rows that could equal a live row — the delta's
+        # shared-class rows plus every rewritten row (a rewritten form like
+        # (turn mentions newEntity) can equal an existing base row when the
+        # turn already mentioned another alias of the same entity)
+        dup_cand = cand.filter(shared).select(*_TRIPLE_KEY).unionByName(
             rewritten.select(*_TRIPLE_KEY)
         ).distinct()
-        t0 = time.time()
+        t0p = time.time()
         dup_keys = (
             old_t.join(F.broadcast(dup_cand), _TRIPLE_KEY, "left_semi")
             .select(*_TRIPLE_KEY)
             .localCheckpoint(eager=True)
         )
-        adds_t = cand.join(F.broadcast(dup_keys), _TRIPLE_KEY, "left_anti").withColumn(
-            "_bucket", _bucket_of("subject", N_BUCKETS)
-        ).localCheckpoint(eager=True)
-        _phase("dup_probe", t0)
+        adds_t = part_read(
+            "triples_adds",
+            cand.join(F.broadcast(dup_keys), _TRIPLE_KEY, "left_anti").withColumn(
+                "_bucket", _bucket_of("subject", N_BUCKETS)
+            ),
+        )
+        _phase("dup_probe", t0p)
 
         # nodes: recompute ONLY affected ids — subjects that gained
         # type/label rows (adds) or lost one to an object-side rewrite;
         # subject-merged ids get tombstones
-        t0 = time.time()
+        t0p = time.time()
         merged_away = stored_rewrite.select(F.col("old").alias("subject")).distinct()
         affected = (
             adds_t.filter(is_tl)
@@ -565,7 +665,7 @@ def run_pipeline_incremental(
             .join(F.broadcast(affected), "subject", "left_semi")
             .select(*_TRIPLE_COLS)
         )
-        _phase("nodes_probe", t0)
+        _phase("nodes_probe", t0p)
         not_lit = ~F.col("obj_is_literal")
         edge_dels = hit_rows.filter(not_lit).select(
             F.col("subject").alias("src"),
@@ -573,39 +673,50 @@ def run_pipeline_incremental(
             F.col("object").alias("dst"),
         )
     else:
-        # ---- FAST PATH (no stored id rewritten — the steady-state case:
-        # new conversations only ever ADD facts): no tombstones anywhere,
-        # and ONE combined scan of the live triples answers both remaining
-        # questions — which candidate adds already exist (set semantics)
-        # and which surviving type/label rows feed the node recompute.
+        # ---- FAST PATH (no stored id rewritten — the steady-state
+        # add-only batch): no tombstones anywhere, the base triples are
+        # NEVER read — ONE scan of the vocabulary-sized ent_index answers
+        # both remaining questions: which candidate adds already exist
+        # (set semantics) and which surviving type/label rows feed the
+        # node recompute.
         cand = t_delta.localCheckpoint(eager=True)
-        dup_cand = cand.filter(~conv_scoped).select(*_TRIPLE_KEY).withColumn(
+        _phase("delta_triples", t0)
+        dup_cand = cand.filter(shared).select(*_TRIPLE_KEY).withColumn(
             "_dup", F.lit(True)
         )
         affected = cand.filter(is_tl).select("subject").distinct().withColumn(
             "_aff", F.lit(True)
         ).localCheckpoint(eager=True)
-        t0 = time.time()
+        t0p = time.time()
         scan = (
-            old_t.join(F.broadcast(dup_cand), _TRIPLE_KEY, "left")
+            ent_idx.join(F.broadcast(dup_cand), _TRIPLE_KEY, "left")
             .join(F.broadcast(affected), "subject", "left")
             .filter(F.col("_dup").isNotNull() | (is_tl & F.col("_aff").isNotNull()))
             .localCheckpoint(eager=True)
         )
-        _phase("combined_probe", t0)
+        _phase("index_probe", t0p)
         dup_keys = scan.filter(F.col("_dup").isNotNull()).select(*_TRIPLE_KEY)
-        adds_t = cand.join(F.broadcast(dup_keys), _TRIPLE_KEY, "left_anti").withColumn(
-            "_bucket", _bucket_of("subject", N_BUCKETS)
-        ).localCheckpoint(eager=True)
+        adds_t = part_read(
+            "triples_adds",
+            cand.join(F.broadcast(dup_keys), _TRIPLE_KEY, "left_anti").withColumn(
+                "_bucket", _bucket_of("subject", N_BUCKETS)
+            ),
+        )
         dels_t = None
+        index_dels = None
         kept_tl = scan.filter(is_tl & F.col("_aff").isNotNull()).select(*_TRIPLE_COLS)
         merged_away = None
         affected = affected.select("subject")
         edge_dels = None
 
-    part("triples_adds", adds_t)
     if dels_t is not None:
         part("triples_dels", dels_t, record=False, partitioned=False)
+    # ---- ent_index maintenance: the index stays exactly
+    # live_triples.filter(_shared_expr()) — adds ride the same _bucket
+    # (both tables cluster by subject), dels only exist on the slow path
+    part("ent_index_adds", adds_t.filter(shared), record=False)
+    if index_dels is not None:
+        part("ent_index_dels", index_dels, record=False, partitioned=False)
 
     # ---- nodes: fresh aggregate over the affected ids' live type/label
     # rows (pre-batch survivors + this batch's adds)
@@ -619,12 +730,12 @@ def run_pipeline_incremental(
     labels = live_tl.filter(F.col("predicate") == RDFS_LABEL).select(
         F.col("subject").alias("id"), F.col("object").alias("label")
     )
-    nodes_adds = (
+    nodes_adds = part_read(
+        "nodes_adds",
         types.join(labels, "id", "left")
         .groupBy("id")
         .agg(F.min("kind").alias("kind"), F.min("label").alias("label"))
-        .withColumn("_bucket", _bucket_of("id", N_BUCKETS))
-        .localCheckpoint(eager=True)
+        .withColumn("_bucket", _bucket_of("id", N_BUCKETS)),
     )
     # tombstones: ids merged away, plus affected ids whose recompute
     # produced no row (their last type triple was rewritten away — the
@@ -636,7 +747,6 @@ def run_pipeline_incremental(
         nodes_dels = merged_away.unionByName(nodes_dels)
     nodes_dels = nodes_dels.select(F.col("subject").alias("id")).distinct()
     _phase("nodes_compute", t0)
-    part("nodes_adds", nodes_adds)
     part("nodes_dels", nodes_dels, record=False, partitioned=False)
 
     # ---- edges: 1:1 projection of non-literal triples, so its delta is
@@ -693,7 +803,7 @@ def compact(spark: SparkSession, out_dir: str) -> list[str]:
     this layout mirrors does the same fold as one atomic snapshot commit.
     Returns the list of compacted table names."""
     manifest_path = os.path.join(out_dir, _MANIFEST)
-    tables = [*TABLES, "canonical_map", "convs_applied"]
+    tables = [*TABLES, "canonical_map", "ent_index", "convs_applied"]
 
     def _tmp(t: str) -> str:
         return os.path.join(out_dir, f"{t}__compact")
@@ -706,9 +816,11 @@ def compact(spark: SparkSession, out_dir: str) -> list[str]:
         # phase 1: full live snapshots to tmp dirs, clustered like the base
         # (no checkpoint needed — tmp is a different path, the base is only
         # read, never overwritten while being read)
-        for t in [*TABLES, "canonical_map"]:
-            if t == "canonical_map" and not _done(os.path.join(out_dir, t)):
-                continue  # legacy dir never bootstrapped the map
+        for t in [*TABLES, "canonical_map", "ent_index"]:
+            if t in ("canonical_map", "ent_index") and not _done(
+                os.path.join(out_dir, t)
+            ):
+                continue  # legacy dir never bootstrapped this side table
             live = read_live(spark, out_dir, t)
             key = {
                 "mentions": "conv_id",
@@ -718,6 +830,7 @@ def compact(spark: SparkSession, out_dir: str) -> list[str]:
                 "nodes": "id",
                 "edges": "src",
                 "canonical_map": "old",
+                "ent_index": "subject",
             }[t]
             n = 8 if t == "alias_edges" else N_BUCKETS
             bucketize(live, n, key).write.mode("overwrite").partitionBy(

@@ -118,11 +118,43 @@ def cooccurrence_triples(linked: DataFrame) -> DataFrame:
     )
 
 
-def build_triples(transcripts: DataFrame, linked: DataFrame) -> DataFrame:
-    """All stage-2 triples, deduplicated (A1)."""
-    return dedup(
+def build_triples(
+    transcripts: DataFrame, linked: DataFrame, deduplicate: bool = True
+) -> DataFrame:
+    """All stage-2 triples, deduplicated (A1). Callers that dedup AFTER the
+    canonical rewrite anyway (pipeline/run.py fuses it into the stage
+    write's bucket shuffle; pipeline/incremental.py dropDuplicates the
+    delta) pass ``deduplicate=False`` — the pre-rewrite dedup would be a
+    second full shuffle of the triple set whose only effect is shrinking
+    the input of a map-side broadcast join."""
+    out = (
         transcript_structure_triples(transcripts)
         .unionByName(mention_triples(linked))
         .unionByName(quantity_triples(linked))
         .unionByName(cooccurrence_triples(linked))
     )
+    return dedup(out) if deduplicate else out
+
+
+# Predicates of rows that can be emitted identically by DIFFERENT
+# conversations (cooccurrence_triples payload rows).
+SHARED_PREDS = (NS_KG + "cooccursWith", NS_KG + "chemical", NS_KG + "species")
+
+
+def shared_row_expr():
+    """Triple rows that can collide with rows emitted by OTHER
+    conversations — the only rows incremental maintenance must consult
+    history for (pipeline/incremental.py ``ent_index``). Pinned to THIS
+    module's emit sites: entity typing/labels (mention_triples — subject
+    is an entity/provisional URI, shared vocabulary) and the co-occurrence
+    payload (cooccurrence_triples — pair-content-hashed bnodes and
+    entity-subject edges). Everything else emitted here hangs off a
+    conv/turn URI or a quantity bnode whose md5 content includes
+    (conv_id, turn_idx, pos) — unique to its conversation by construction.
+    If a new emit site is added to this module, classify it here: shared
+    if two different conversations can emit byte-identical rows."""
+    conv = F.col("subject").startswith(NS_KG + "turn/") | F.col(
+        "subject"
+    ).startswith(NS_KG + "conv/")
+    is_tl = F.col("predicate").isin(RDF_TYPE, RDFS_LABEL)
+    return F.col("predicate").isin(*SHARED_PREDS) | (is_tl & ~conv)

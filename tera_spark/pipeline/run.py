@@ -185,7 +185,7 @@ def run_pipeline(
         # deduplicate=False: the post-rewrite set-semantics dedup is fused
         # into the stage write's bucket shuffle (dedup_cols below) — one
         # shuffle instead of two over the full triple table
-        triples = build_triples(transcripts, linked)
+        triples = build_triples(transcripts, linked, deduplicate=False)
         if salts is None:
             return replace_entities(
                 triples, cmap, broadcast_mapping=True, deduplicate=False
@@ -195,6 +195,13 @@ def run_pipeline(
     triples = stage(
         "triples", "subject", _canon, dedup_cols=["subject", "predicate", "object"]
     )
+
+    # shared-row index (vocabulary-sized): the rows incremental applies
+    # must consult history for — materialized at base time so an apply
+    # never scans the corpus-sized triple table (pipeline/incremental.py)
+    from tera_spark.pipeline.kg import shared_row_expr
+
+    stage("ent_index", "subject", lambda: triples.filter(shared_row_expr()))
 
     def _nodes():
         from tera_spark.constants import RDF_TYPE, RDFS_LABEL
@@ -221,4 +228,14 @@ def run_pipeline(
             F.col("object").alias("dst"),
         ),
     )
+
+    # applied-conversation guard state for incremental maintenance
+    # (pipeline/incremental.py): materialized here so the FIRST --append
+    # never pays a bootstrap scan of the triple table. Not a recorded
+    # stage — maintenance state, not pipeline output.
+    convs_path = os.path.join(out_dir, "convs_applied")
+    if not _done(convs_path):
+        bucketize(
+            transcripts.select("conv_id").distinct(), 8, "conv_id"
+        ).write.mode("overwrite").partitionBy("_bucket").parquet(convs_path)
     return res

@@ -63,6 +63,79 @@ def stream_mentions(
     )
 
 
+def stream_kg_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    lexicon: DataFrame,
+    compact_every: int | None = None,
+    max_files_per_trigger: int = 8,
+):
+    """Structured Streaming ingest into a LIVE knowledge graph: transcript
+    files land in ``input_dir``, each micro-batch is applied to the
+    completed pipeline output at ``out_dir`` as one atomic incremental
+    batch (pipeline/incremental.py), so every table under ``out_dir`` is
+    queryable mid-stream through ``read_live`` and the graph stays
+    delta-maintained — no re-run, no rebuild.
+
+    Exactly-once across failures, by composition of three idempotency
+    layers rather than sink transactions (parquet has none):
+
+    1. a crashed apply leaves no ``_COMMITTED`` marker — the batch dir is
+       invisible to readers and swept on retry;
+    2. a replayed epoch (Spark restarts from ``checkpoint_dir`` and
+       re-delivers the last non-checkpointed micro-batch) hits the
+       seen-conversation guard — every conv already committed is dropped,
+       a fully-applied replay is a no-op;
+    3. batch ids are the epoch id, so lineage/metrics rows are scoped per
+       micro-batch (``<stage>@e<epoch>``) and never collide.
+
+    Input contract: files must be conversation-atomic (a conversation's
+    turns never straddle files that could land in different micro-batches
+    — the natural shape of per-conversation export files). The
+    seen-conversation guard that makes replays no-ops would otherwise
+    drop the tail of a conversation whose head committed earlier.
+
+    ``compact_every``: fold committed batches into the base every N
+    epochs (bounds read_live's batch-union cost on long streams; compact
+    is stop-the-world but foreachBatch is serial, so mid-stream is a safe
+    point). Returns the StreamingQuery (caller awaits/stops it)."""
+    import os
+
+    from tera_spark.pipeline.incremental import (
+        _MANIFEST,
+        committed_batches,
+        compact,
+        run_pipeline_incremental,
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    prepared = prepare_lexicon(lexicon)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if os.path.exists(os.path.join(out_dir, _MANIFEST)):
+            # a previous compact_every fold died mid-swap; compact() is
+            # self-recovering and finishes it before this epoch applies
+            compact(spark, out_dir)
+        run_pipeline_incremental(
+            spark, batch_df, prepared, out_dir, batch_id=f"e{epoch_id:06d}"
+        )
+        if compact_every and len(committed_batches(out_dir)) >= compact_every:
+            compact(spark, out_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def conversation_progress(stream: DataFrame):
     """Custom stateful operator (applyInPandasWithState): per-conversation
     running progress — cumulative turns and last turn_idx seen — updated

@@ -58,7 +58,7 @@ def test_pipeline_end_to_end_and_resume(spark, transcripts, lexicon, tmp_path):
     out1 = str(tmp_path / "run1")
     res1 = run_pipeline(spark, transcripts, lexicon, out1)
     assert res1.stages_run == [
-        "mentions", "linked", "canonical_map", "triples", "nodes", "edges"
+        "mentions", "linked", "canonical_map", "triples", "ent_index", "nodes", "edges"
     ]
 
     edges = spark.read.parquet(out1 + "/edges")
@@ -79,7 +79,7 @@ def test_pipeline_end_to_end_and_resume(spark, transcripts, lexicon, tmp_path):
 
     # resume: second run skips everything and output is bit-identical
     res2 = run_pipeline(spark, transcripts, lexicon, out1)
-    assert res2.stages_run == [] and len(res2.stages_skipped) == 6
+    assert res2.stages_run == [] and len(res2.stages_skipped) == 7
 
     # partial resume: delete the last two stages, rerun, triples unchanged
     import shutil
@@ -335,6 +335,57 @@ def test_incremental_mentionless_batch(spark, lexicon, tmp_path):
 
     res2 = run_pipeline_incremental(spark, batch, lexicon, out, batch_id="mb2")
     assert res2.stages_run == []
+
+
+def test_streaming_kg_ingest(spark, lexicon, tmp_path):
+    """Structured Streaming incremental ingest: per-conversation transcript
+    files stream into a live KG via foreachBatch → run_pipeline_incremental.
+    After the stream drains, the live tables equal a from-scratch batch run
+    over everything; restarting the drained stream applies nothing (replay
+    idempotency); compact_every folds the batch dirs away mid-stream."""
+    from tera_spark.pipeline.incremental import committed_batches, read_live
+    from tera_spark.streaming.extract_stream import stream_kg_ingest
+
+    t_all = transcripts_spark_df(spark, n_convs=24).cache()
+    convs = sorted(r[0] for r in t_all.select("conv_id").distinct().collect())
+    base = t_all.filter(F.col("conv_id").isin(convs[:12]))
+    rest = t_all.filter(~F.col("conv_id").isin(convs[:12]))
+
+    out = str(tmp_path / "kg")
+    full_dir = str(tmp_path / "full")
+    run_pipeline(spark, base, lexicon, out)
+    run_pipeline(spark, t_all, lexicon, full_dir)
+
+    # conversation-atomic landing files (the input contract): range
+    # partitioning puts each conv_id in exactly one file
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    rest.repartitionByRange(3, "conv_id").write.parquet(in_dir)
+
+    q = stream_kg_ingest(spark, in_dir, out, ck, lexicon, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    q.stop()
+    n_batches = len(committed_batches(out))
+    assert n_batches >= 2  # genuinely several micro-batches, each atomic
+    _assert_tables_equal(spark, full_dir, out, read_live, via_live=True)
+
+    # restart over the same checkpoint: nothing replays, nothing applies
+    q2 = stream_kg_ingest(spark, in_dir, out, ck, lexicon, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    q2.stop()
+    assert len(committed_batches(out)) == n_batches
+
+    # a fresh checkpoint re-delivers everything — the seen-conv guard makes
+    # every epoch a no-op (no new batch dirs, tables unchanged)
+    q3 = stream_kg_ingest(
+        spark, in_dir, out, str(tmp_path / "ck2"), lexicon, compact_every=1
+    )
+    q3.awaitTermination(120)
+    q3.stop()
+    # compact_every folded the existing batches into the base on the first
+    # epoch; the no-op epochs added none
+    assert committed_batches(out) == []
+    _assert_tables_equal(spark, full_dir, out, read_live, via_live=False)
 
 
 def test_incremental_crash_retry(spark, lexicon, tmp_path, monkeypatch):

@@ -111,9 +111,43 @@ def once(i):
 # production job pays once). Per-stage seconds of the faster run ride along
 # so N vs 4N records decompose the scaling residual by stage.
 secs, mets = min(once(0), once(1), key=lambda x: x[0])
+
+def peak_rss_mb():
+    # memory headroom: VmHWM of every java process descending from this
+    # driver (driver JVM + local-cluster executor JVMs), plus our own
+    # ru_maxrss. Per-process peaks need not co-occur, so the sum is an
+    # upper bound on the tree's peak footprint.
+    import resource
+    ppid = {{}}
+    hwm = {{}}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            txt = open(f"/proc/{{d}}/status").read()
+        except OSError:
+            continue
+        f = dict(l.split(":", 1) for l in txt.splitlines() if ":" in l)
+        ppid[int(d)] = int(f.get("PPid", "0").strip() or 0)
+        if f.get("Name", "").strip() == "java" and "VmHWM" in f:
+            hwm[int(d)] = int(f["VmHWM"].split()[0]) // 1024
+    mine = {{os.getpid()}}
+    grew = True
+    while grew:
+        grew = False
+        for pid, par in ppid.items():
+            if par in mine and pid not in mine:
+                mine.add(pid); grew = True
+    vals = [v for p, v in hwm.items() if p in mine]
+    own = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    return own, max(vals, default=0), sum(vals)
+
+own_mb, jvm_max_mb, jvm_sum_mb = peak_rss_mb()
 print(json.dumps({{"cores": cores, "workers": workers, "turns": n_turns,
                   "seconds": round(secs, 2),
                   "turns_per_sec": round(n_turns / secs, 1),
+                  "py_rss_mb": own_mb, "jvm_peak_rss_mb": jvm_max_mb,
+                  "jvm_peak_rss_sum_mb": jvm_sum_mb,
                   "stage_metrics": mets}}))
 spark.stop()
 """
@@ -522,31 +556,57 @@ def write_report() -> None:
         )
     incs = [r for r in history if r.get("mode") == "incremental"]
     if incs:
-        i = max(incs, key=lambda r: r["ts"])
-        speedup = i["full_recompute_seconds"] / i["incremental_seconds"]
+        # latest record per (base, delta) size — the batch-size sweep
+        by_delta: dict[tuple, dict] = {}
+        for r in incs:
+            by_delta[(r["base_turns"], r["delta_turns"])] = r
+        rows = sorted(by_delta.values(), key=lambda r: (r["base_turns"], -r["delta_turns"]))
+        latest = max(incs, key=lambda r: r["ts"])
         lines.append(
-            "**Incremental maintenance** (`tools/incremental_probe.py`, "
-            "`pipeline/incremental.py`): applying a fresh "
-            f"{i['delta_turns']:,}-turn batch to a completed "
-            f"{i['base_turns']:,}-turn base took "
-            f"**{i['incremental_seconds']}s** vs "
-            f"**{i['full_recompute_seconds']}s** recomputing the union from "
-            f"scratch ({speedup:.1f}× less work; base build itself "
-            f"{i['base_seconds']}s at local[{i['cores']}]), with "
-            f"{'matching' if i['counts_match'] else 'MISMATCHED'} "
-            "triples/nodes/edges row counts vs the from-scratch run "
-            "(set-equality is pytest-asserted at fixture scale). Honest cost "
-            "split: the per-turn stages (extraction/linking — the bulk of a "
-            "full run) and the mention/linked writes are delta-sized "
-            "(appends), but a uniformly-hashed batch this large touches all "
-            "32 buckets, so the set-semantic merge of triples/nodes/edges "
-            "still rewrites those tables once — that merge is exactly what a "
-            "row-level-delete table format (Iceberg MERGE INTO, the "
-            "production writer this repo's writer dispatch targets) removes; "
-            "the parquet fallback's win therefore grows as the batch "
-            "shrinks relative to bucket granularity and is modest at a 10% "
-            "batch.\n\n"
+            "**Incremental maintenance** (`pipeline/incremental.py`, probe "
+            "`tools/incremental_probe.py`): each ingest batch commits as an "
+            "atomic delta under `_batches/` — the base tables are never "
+            "rewritten, connected components run only over the batch's "
+            "contracted new alias edges (the base run persists its CC "
+            "result), and the steady-state fast path never reads the "
+            "corpus-sized base triples (it probes the vocabulary-sized "
+            "`ent_index` side table instead). Apply cost is a fixed "
+            "per-batch overhead plus a term ∝ |batch|; the full recompute "
+            "it replaces is ∝ |base∪batch|. Batch-size sweep (each row: "
+            "one apply of a fresh batch to a completed base, vs recomputing "
+            "the union from scratch, same session; triples/nodes/edges row "
+            "counts asserted equal to the from-scratch run, and full "
+            "set-equality — including after compact() and after "
+            "crash-retry — is pytest-asserted at fixture scale):\n\n"
+            "| batch turns | % of base | apply s | full recompute s | win | compact s |\n"
+            "|---|---|---|---|---|---|\n"
         )
+        for r in rows:
+            pct = 100.0 * r["delta_turns"] / r["base_turns"]
+            win = r["full_recompute_seconds"] / r["incremental_seconds"]
+            ok = "" if r["counts_match"] else " **COUNTS MISMATCH**"
+            lines.append(
+                f"| {r['delta_turns']:,} (base {r['base_turns']:,}) | {pct:.0f}% "
+                f"| {r['incremental_seconds']} | {r['full_recompute_seconds']} "
+                f"| **{win:.1f}×** | {r.get('compact_seconds', '—')}{ok} |\n"
+            )
+        phases = latest.get("inc_phases")
+        if phases:
+            ph = ", ".join(f"{k} {v}s" for k, v in phases.items())
+            lines.append(
+                f"\nPhase split of the latest apply ({latest['delta_turns']:,} "
+                f"turns): {ph}; delta-part writes {latest.get('inc_write_seconds', '?')}s "
+                "(write time overlaps the phases — parts are the "
+                "materialization barriers). The floor is the batch's own "
+                "per-turn work plus ~15 fixed Spark jobs of bookkeeping; "
+                "at the 10^12-turn design point the same fixed cost is "
+                "amortized against a base ~10^6× the batch, so the win "
+                "ratio above is bounded by THIS corpus's base:batch ratio, "
+                "not by the design. `compact()` folds batches into the "
+                "base at a full-rewrite price paid once per many batches "
+                "(the Iceberg writer this layout mirrors does it as an "
+                "atomic snapshot commit).\n\n"
+            )
     probe_by_cores: dict[int, dict] = {}
     for p in probes:
         ref = p.get("alone_ref", "same-window")
