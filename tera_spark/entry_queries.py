@@ -1032,6 +1032,46 @@ def _queries() -> dict:
 
     q["q17_sparql_union"] = q17_union
 
+    def q18_values_order(spark, sf):
+        # Q18: SPARQL VALUES (inline broadcast bindings — the batched
+        # endpoint-lookup shape) + ORDER BY / OFFSET / LIMIT result
+        # shaping. The (s, n) sort is total, so the slice is deterministic.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            """
+            PREFIX x: <urn:x:>
+            SELECT ?s ?n WHERE {
+                VALUES ?n { <urn:x:nation/NATION_0> <urn:x:nation/NATION_5>
+                            <urn:x:nation/NATION_12> }
+                ?s a x:Customer .
+                ?s x:nation ?n .
+            } ORDER BY ?s ?n OFFSET 10 LIMIT 200""",
+        )
+
+    q["q18_sparql_values_order"] = q18_values_order
+
+    def q19_groupby_count(spark, sf):
+        # Q19: SPARQL GROUP BY + COUNT(*) / COUNT(DISTINCT) aggregates over
+        # the solution bag (SPARQL 1.1 §18.4) — compiled to one hash
+        # aggregate with map-side partial aggregation.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            """
+            PREFIX x: <urn:x:>
+            SELECT ?n (COUNT(*) AS ?cnt) (COUNT(DISTINCT ?seg) AS ?segs)
+            WHERE {
+                ?s a x:Customer .
+                ?s x:nation ?n .
+                ?s x:segment ?seg .
+            } GROUP BY ?n""",
+        )
+
+    q["q19_sparql_groupby_count"] = q19_groupby_count
+
     def q14_pairs(spark, sf):
         # J9: the reference's per-(chemical, species) query loop
         # (DataAccess.py:995-1022, O(|c|·|s|) full-graph SPARQL) as ONE
@@ -1709,6 +1749,8 @@ _SAMPLE_PRIORITY = [
     # new this round
     "q16_sparql_paths",
     "q17_sparql_union",
+    "q18_sparql_values_order",
+    "q19_sparql_groupby_count",
     "j6_string_matching_portable",
     "kg_pipeline_triples_portable",
 ]
@@ -1780,6 +1822,20 @@ FROM customer
 UNION
 SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR), 'urn:x:nation/'||n_name
 FROM customer JOIN nation ON c_nationkey=n_nationkey
+"""
+    o["q18_sparql_values_order"] = """
+SELECT s, n FROM (
+  SELECT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR) AS s,
+         'urn:x:nation/'||n_name AS n
+  FROM customer JOIN nation ON c_nationkey=n_nationkey
+  WHERE n_name IN ('NATION_0','NATION_5','NATION_12')
+) ORDER BY s, n OFFSET 10 LIMIT 200
+"""
+    o["q19_sparql_groupby_count"] = """
+SELECT 'urn:x:nation/'||n_name AS n, count(*) AS cnt,
+       count(DISTINCT c_mktsegment) AS segs
+FROM customer JOIN nation ON c_nationkey=n_nationkey
+GROUP BY n_name
 """
     o["q14_endpoint_relational"] = _sql_q14()  # same answer, two physical paths
     o["q14_endpoint_pairs"] = _sql_q14_pairs()

@@ -29,12 +29,20 @@ triples frame (subject, predicate, object, obj_is_literal):
   ``rdfs:subClassOf`` (the chains the reference builds textually,
   DataAccess.py:187-201), never fact-sized ones;
 - result → DISTINCT over the projected variables (rdflib's
-  ``query_graph`` wraps results in a set — DataAccess.py:103-105).
+  ``query_graph`` wraps results in a set — DataAccess.py:103-105);
+- ``VALUES`` → an inline broadcast table joined FIRST (the most selective
+  constraint in the group, so every pattern scan is probe-side of a
+  broadcast join instead of filtered at the end);
+- ``GROUP BY`` + ``COUNT/MIN/MAX/SUM/AVG`` SELECT expressions → a
+  hash aggregate over the solution bag (standard SPARQL 1.1 §18.4
+  semantics — partial map-side aggregation for free);
+- ``ORDER BY`` / ``OFFSET`` → a total sort only at the result shaping
+  step, never inside the join tree.
 
-Anything outside the fragment (subqueries, aggregates, MINUS, ``||``,
-zero-length paths with both ends unbound, UNION branches with unequal
-variable sets) raises ``SparqlUnsupported`` loudly rather than
-mis-answering.
+Anything outside the fragment (subqueries, MINUS, ``||``, ``BIND``,
+``UNDEF`` in VALUES, zero-length paths with both ends unbound, UNION
+branches with unequal variable sets, aggregates over expressions) raises
+``SparqlUnsupported`` loudly rather than mis-answering.
 """
 
 from __future__ import annotations
@@ -75,7 +83,10 @@ _TOKEN_RE = re.compile(
     re.X,
 )
 
-_KEYWORDS = {"prefix", "select", "where", "optional", "filter", "limit", "distinct"}
+_KEYWORDS = {
+    "prefix", "select", "where", "optional", "filter", "limit", "distinct",
+    "values", "order", "group", "by", "offset", "as", "asc", "desc",
+}
 
 
 def _tokenize(q: str) -> list[tuple[str, str]]:
@@ -115,14 +126,22 @@ class Group:
     filters: list = field(default_factory=list)  # filter ASTs
     optionals: list = field(default_factory=list)  # [Group]
     unions: list = field(default_factory=list)  # [[Group, Group, ...]]
+    values: list = field(default_factory=list)  # [(var names, [row terms])]
+
+
+# select item = ("var", name) | ("agg", fn, arg, distinct?, alias)
+#   fn ∈ {count,min,max,sum,avg}; arg = var name or "*" (COUNT only)
 
 
 @dataclass
 class Query:
-    select: list  # var names, or ["*"]
+    select: list  # select items, or ["*"]
     where: Group
     limit: int | None
     distinct: bool  # explicit DISTINCT keyword (set semantics apply anyway)
+    group_by: list = field(default_factory=list)  # var names
+    order: list = field(default_factory=list)  # [(var, ascending?)]
+    offset: int | None = None
 
 
 class _Parser:
@@ -161,15 +180,17 @@ class _Parser:
         if self.peek() == ("kw", "distinct"):
             self.next()
             distinct = True
-        select: list[str] = []
+        select: list = []
         while True:
             k, v = self.peek()
             if k == "var":
-                select.append(v[1:])
+                select.append(("var", v[1:]))
                 self.next()
             elif (k, v) == ("punct", "*"):
                 select = ["*"]
                 self.next()
+            elif (k, v) == ("punct", "("):
+                select.append(self.parse_select_agg())
             else:
                 break
         if not select:
@@ -179,14 +200,88 @@ class _Parser:
         self.expect("punct", "{")
         where = self.parse_group()
         self.expect("punct", "}")
-        limit = None
-        if self.peek() == ("kw", "limit"):
-            self.next()
-            limit = int(self.expect("num"))
+        group_by: list[str] = []
+        order: list[tuple[str, bool]] = []
+        limit = offset = None
+        while True:
+            k, v = self.peek()
+            if (k, v) == ("kw", "group"):
+                self.next()
+                self.expect("kw", "by")
+                while self.peek()[0] == "var":
+                    group_by.append(self.next()[1][1:])
+                if not group_by:
+                    raise SparqlUnsupported(
+                        "GROUP BY over an expression is outside the supported fragment"
+                    )
+            elif (k, v) == ("kw", "order"):
+                self.next()
+                self.expect("kw", "by")
+                while True:
+                    kk, vv = self.peek()
+                    if kk == "var":
+                        self.next()
+                        order.append((vv[1:], True))
+                    elif (kk, vv) in (("kw", "asc"), ("kw", "desc")):
+                        self.next()
+                        self.expect("punct", "(")
+                        order.append((self.expect("var")[1:], vv == "asc"))
+                        self.expect("punct", ")")
+                    else:
+                        break
+                if not order:
+                    raise SparqlSyntaxError("empty ORDER BY clause")
+            elif (k, v) == ("kw", "limit"):
+                self.next()
+                limit = int(self.expect("num"))
+            elif (k, v) == ("kw", "offset"):
+                self.next()
+                offset = int(self.expect("num"))
+            else:
+                break
         k, v = self.peek()
         if k != "eof":
             raise SparqlUnsupported(f"trailing syntax not in the supported fragment: {v!r}")
-        return Query(select=select, where=where, limit=limit, distinct=distinct)
+        return Query(
+            select=select, where=where, limit=limit, distinct=distinct,
+            group_by=group_by, order=order, offset=offset,
+        )
+
+    _AGG_FNS = ("count", "min", "max", "sum", "avg")
+
+    def parse_select_agg(self):
+        """``( COUNT([DISTINCT] ?x | *) AS ?alias )`` — the aggregate form
+        of a SELECT item (SPARQL 1.1 §18.4, restricted to one aggregate per
+        parenthesized expression, which is every use the fragment needs)."""
+        self.expect("punct", "(")
+        k, fn = self.next()
+        if k != "word" or fn.lower() not in self._AGG_FNS:
+            raise SparqlUnsupported(
+                f"SELECT expression {fn!r} is outside the supported fragment "
+                f"(aggregates: {', '.join(self._AGG_FNS)})"
+            )
+        fn = fn.lower()
+        self.expect("punct", "(")
+        agg_distinct = False
+        if self.peek() == ("kw", "distinct"):
+            self.next()
+            agg_distinct = True
+        k, v = self.next()
+        if (k, v) == ("punct", "*"):
+            if fn != "count":
+                raise SparqlSyntaxError(f"{fn.upper()}(*) is not valid SPARQL")
+            arg = "*"
+        elif k == "var":
+            arg = v[1:]
+        else:
+            raise SparqlUnsupported(
+                "aggregate over an expression is outside the supported fragment"
+            )
+        self.expect("punct", ")")
+        self.expect("kw", "as")
+        alias = self.expect("var")[1:]
+        self.expect("punct", ")")
+        return ("agg", fn, arg, agg_distinct, alias)
 
     def parse_group(self) -> Group:
         g = Group()
@@ -204,7 +299,10 @@ class _Parser:
             elif (k, v) == ("kw", "filter"):
                 self.next()
                 g.filters.extend(self.parse_filter())
-            elif k == "word" and v.lower() in ("minus", "graph", "service", "bind", "values"):
+            elif (k, v) == ("kw", "values"):
+                self.next()
+                g.values.append(self.parse_values())
+            elif k == "word" and v.lower() in ("minus", "graph", "service", "bind"):
                 raise SparqlUnsupported(f"{v.upper()} is outside the supported fragment")
             elif (k, v) == ("punct", "{"):
                 # { A } UNION { B } [UNION { C } ...] — a single braced
@@ -228,6 +326,53 @@ class _Parser:
     def parse_statement(self, g: Group) -> None:
         subj = self.parse_term_or_bnode(g)
         self.parse_predobj(subj, g)
+
+    def parse_values(self):
+        """``VALUES ?v { t1 t2 … }`` or ``VALUES (?a ?b) { (t t) (t t) … }``
+        — inline bindings (SPARQL 1.1 §10.2). ``UNDEF`` is rejected: an
+        unbound cell would have to become NULL and silently break the
+        surrounding equi-joins (same scoped rule as UNION branches)."""
+        k, v = self.peek()
+        if k == "var":
+            self.next()
+            names = [v[1:]]
+            self.expect("punct", "{")
+            rows = []
+            while self.peek() != ("punct", "}"):
+                rows.append((self._parse_values_term(),))
+            self.next()
+            if not rows:
+                raise SparqlSyntaxError("VALUES with no rows")
+            return (names, rows)
+        self.expect("punct", "(")
+        names = []
+        while self.peek()[0] == "var":
+            names.append(self.next()[1][1:])
+        self.expect("punct", ")")
+        if not names:
+            raise SparqlSyntaxError("VALUES with no variables")
+        self.expect("punct", "{")
+        rows = []
+        while self.peek() != ("punct", "}"):
+            self.expect("punct", "(")
+            row = tuple(self._parse_values_term() for _ in names)
+            self.expect("punct", ")")
+            rows.append(row)
+        self.next()
+        if not rows:
+            raise SparqlSyntaxError("VALUES with no rows")
+        return (names, rows)
+
+    def _parse_values_term(self):
+        k, v = self.peek()
+        if k == "word" and v.lower() == "undef":
+            raise SparqlUnsupported(
+                "UNDEF in VALUES is outside the supported fragment"
+            )
+        if k == "num":
+            self.next()
+            return ("lit", v)
+        return self.parse_term()
 
     def parse_predobj(self, subj, g: Group) -> None:
         while True:
@@ -386,9 +531,24 @@ def _compile_pattern(graph: DataFrame, pat) -> DataFrame:
 
 def _merge(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
     keys = [c for c in a.columns if c in b.columns and not c.startswith("__isuri_")]
-    b = b.drop(*[c for c in b.columns if c.startswith("__isuri_") and c in a.columns])
+    # URI-ness is part of RDF term identity: a URI and a literal sharing a
+    # lexical form are DIFFERENT terms and must not join (the graph stores
+    # both in one string column, split by the flag). When both sides carry
+    # the flag for a join variable it joins as one more equi-key.
+    flag_keys = [
+        f"__isuri_{k}"
+        for k in keys
+        if f"__isuri_{k}" in a.columns and f"__isuri_{k}" in b.columns
+    ]
+    b = b.drop(
+        *[
+            c
+            for c in b.columns
+            if c.startswith("__isuri_") and c in a.columns and c not in flag_keys
+        ]
+    )
     if keys:
-        return a.join(b, keys, how)
+        return a.join(b, keys + flag_keys, how)
     if how != "inner":
         raise SparqlUnsupported("OPTIONAL group shares no variable with the outer group")
     return a.crossJoin(b)
@@ -548,6 +708,20 @@ def _compile_pat_or_path(graph: DataFrame, pat) -> DataFrame:
     return (_compile_path if pat[1][0] == "path" else _compile_pattern)(graph, pat)
 
 
+def _compile_values(spark, block) -> DataFrame:
+    """VALUES → an inline broadcast table with one column per variable
+    (plus the ``__isuri_`` flags FILTER isURI reads), joined into the BGP
+    tree like any other pattern. Inline data is user-typed and tiny, so
+    the broadcast hint is always right — the join becomes a map-side
+    lookup against every scale of graph slice."""
+    names, rows = block
+    data = [
+        tuple(x for t in row for x in (t[1], t[0] == "iri")) for row in rows
+    ]
+    schema = ", ".join(f"{n} string, __isuri_{n} boolean" for n in names)
+    return F.broadcast(spark.createDataFrame(data, schema).distinct())
+
+
 def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
     """BGP → join tree. SPARQL pattern order is NOT join order: the
     ``[...]`` bnode syntax appends the linking pattern after the bnode's
@@ -559,10 +733,18 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
     genuinely disconnected BGP. UNION blocks join the tree like one more
     pattern (on their shared variables); property paths compile to
     closure slices and join identically."""
-    if not g.patterns and not g.unions:
+    if not g.patterns and not g.unions and not g.values:
         raise SparqlUnsupported("group with no triple pattern")
     df = None
     bound: set = set()
+    # VALUES blocks first: inline data is the most selective thing in the
+    # group and broadcastable, so every later pattern join is a map-side
+    # probe constrained by it (joining it last would leave the pattern
+    # scans unconstrained and filter at the end)
+    for block in g.values:
+        v = _compile_values(graph.sparkSession, block)
+        df = v if df is None else _merge(df, v)
+        bound |= set(block[0])
     if g.patterns:
         remaining = list(g.patterns)
         # start at the most-constant (most selective) pattern; property
@@ -574,9 +756,10 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
             ),
             reverse=True,
         )
-        first = remaining.pop(0)
-        df = _compile_pat_or_path(graph, first)
-        bound = _pattern_vars(first)
+        if df is None:
+            first = remaining.pop(0)
+            df = _compile_pat_or_path(graph, first)
+            bound = _pattern_vars(first)
         while remaining:
             i = next(
                 (j for j, p in enumerate(remaining) if _pattern_vars(p) & bound),
@@ -604,14 +787,85 @@ def query_graph(
     parser = _Parser(_tokenize(q), prefixes or {})
     ast = parser.parse_query()
     df = _compile_group(graph, ast.where)
-    if ast.select == ["*"]:
+    has_aggs = ast.select != ["*"] and any(s[0] == "agg" for s in ast.select)
+    if has_aggs or ast.group_by:
+        out = _aggregate(df, ast)
+    elif ast.select == ["*"]:
         out_cols = [c for c in df.columns if not c.startswith("__isuri_") and not c.startswith("_bn")]
+        out = df.select(*out_cols).distinct()
     else:
-        missing = [v for v in ast.select if v not in df.columns]
+        names = [s[1] for s in ast.select]
+        missing = [v for v in names if v not in df.columns]
         if missing:
             raise SparqlSyntaxError(f"SELECT variables never bound: {missing}")
-        out_cols = ast.select
-    out = df.select(*out_cols).distinct()
+        out = df.select(*names).distinct()
+    if ast.order:
+        bad = [v for v, _ in ast.order if v not in out.columns]
+        if bad:
+            raise SparqlUnsupported(
+                f"ORDER BY over unprojected variables is outside the "
+                f"supported fragment: {bad}"
+            )
+        out = out.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in ast.order]
+        )
+    if ast.offset is not None:
+        out = out.offset(ast.offset)
     if ast.limit is not None:
         out = out.limit(ast.limit)
     return out
+
+
+_AGG_BUILDERS = {
+    "min": F.min,
+    "max": F.max,
+    "sum": lambda c: F.sum(F.col(c).cast("double")),
+    "avg": lambda c: F.avg(F.col(c).cast("double")),
+}
+
+
+def _aggregate(df: DataFrame, ast: Query) -> DataFrame:
+    """GROUP BY / aggregate SELECT — standard SPARQL 1.1 semantics: the
+    aggregate consumes the solution BAG the BGP joins produce (the final
+    set-projection never runs), grouped by the GROUP BY variables (global
+    aggregation when absent). Non-aggregate SELECT variables must appear
+    in GROUP BY (SPARQL 1.1 §18.4 / the same rule every SQL engine
+    enforces). SUM/AVG cast the lexical forms to double — the graph stores
+    object literals lexically; non-numeric strings become NULL and are
+    ignored, matching SPARQL's error-drop semantics."""
+    if ast.select == ["*"]:
+        raise SparqlUnsupported("SELECT * with GROUP BY")
+    plain = [s[1] for s in ast.select if s[0] == "var"]
+    stray = [v for v in plain if v not in ast.group_by]
+    if stray:
+        raise SparqlSyntaxError(
+            f"SELECT variables outside GROUP BY: {stray} (not aggregated)"
+        )
+    missing = [v for v in ast.group_by if v not in df.columns]
+    if missing:
+        raise SparqlSyntaxError(f"GROUP BY variables never bound: {missing}")
+    aggs = []
+    for s in ast.select:
+        if s[0] != "agg":
+            continue
+        _, fn, arg, agg_distinct, alias = s
+        if arg != "*" and arg not in df.columns:
+            raise SparqlSyntaxError(f"aggregate over unbound variable ?{arg}")
+        if fn == "count":
+            if arg == "*":
+                if agg_distinct:
+                    raise SparqlUnsupported("COUNT(DISTINCT *)")
+                col = F.count(F.lit(1))
+            elif agg_distinct:
+                col = F.countDistinct(arg)
+            else:
+                col = F.count(arg)
+        else:
+            if agg_distinct:
+                raise SparqlUnsupported(f"{fn.upper()}(DISTINCT …)")
+            col = _AGG_BUILDERS[fn](arg)
+        aggs.append(col.alias(alias))
+    grouped = df.groupBy(*ast.group_by) if ast.group_by else df.groupBy()
+    out = grouped.agg(*aggs)
+    names = [s[1] if s[0] == "var" else s[4] for s in ast.select]
+    return out.select(*names)

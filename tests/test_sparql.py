@@ -257,3 +257,98 @@ def test_bnode_chain_plan_all_equijoins(spark, graph):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert [(r.c, r.v) for r in df.collect()] == [(NS + "c1", "42")]
+
+
+# ---------------------------------------------------------------------------
+# VALUES, ORDER BY / OFFSET, GROUP BY / aggregates (SPARQL 1.1 additions
+# beyond the reference's fragment — oracle-checked end to end by the
+# driver entries q18_sparql_values_order and q19_sparql_groupby_count)
+
+
+def test_values_single_var(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s ?lab WHERE {
+            VALUES ?s { t:c1 t:c2 t:nosuch }
+            ?s t:label ?lab .
+        }"""
+    rows = {(r.s, r.lab) for r in query_graph(graph, q).collect()}
+    assert rows == {(NS + "c1", "copper"), (NS + "c2", "zinc")}
+
+
+def test_values_multi_var_and_literals(graph):
+    # multi-var row form; a literal cell must match only literal objects
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE {
+            VALUES (?s ?lab) { (t:c1 "copper") (t:c2 "wrong") }
+            ?s t:label ?lab .
+        }"""
+    assert [r.s for r in query_graph(graph, q).collect()] == [NS + "c1"]
+    # the literal "urn:t:c1" (t:note) and the URI <urn:t:c1> (t:ref) must
+    # not cross-match a URI VALUES cell
+    q2 = """
+        PREFIX t: <urn:t:>
+        SELECT ?p WHERE { VALUES ?o { t:c1 } t:c2 ?p ?o . }"""
+    assert {r.p for r in query_graph(graph, q2).collect()} == {NS + "ref"}
+
+
+def test_values_is_broadcast_joined_first(spark, graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s ?lab WHERE { VALUES ?s { t:c1 } ?s t:label ?lab . }"""
+    plan = query_graph(graph, q)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_order_by_offset_limit(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?lab WHERE { ?s t:label ?lab . } ORDER BY DESC(?lab) LIMIT 1
+    """
+    assert [r.lab for r in query_graph(graph, q).collect()] == ["zinc"]
+    q2 = """
+        PREFIX t: <urn:t:>
+        SELECT ?lab WHERE { ?s t:label ?lab . } ORDER BY ?lab OFFSET 1 LIMIT 1
+    """
+    assert [r.lab for r in query_graph(graph, q2).collect()] == ["zinc"]
+
+
+def test_group_by_count(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?type (COUNT(*) AS ?n) WHERE { ?s a ?type . }
+        GROUP BY ?type ORDER BY DESC(?n)
+    """
+    rows = [(r.type, r.n) for r in query_graph(graph, q).collect()]
+    assert rows == [(NS + "Chem", 2), (NS + "Test", 1)]
+
+
+def test_global_aggregates_and_count_distinct(graph):
+    q = "PREFIX t: <urn:t:> SELECT (COUNT(?s) AS ?n) WHERE { ?s t:label ?o . }"
+    assert query_graph(graph, q).collect()[0].n == 2
+    # bag semantics: ?s ?p ?o over 10 triples counts 10, not DISTINCT subjects
+    q2 = "SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?d) WHERE { ?s ?p ?o . }"
+    row = query_graph(graph, q2).collect()[0]
+    assert (row.n, row.d) == (10, 4)
+    q3 = """
+        PREFIX t: <urn:t:> PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT (SUM(?v) AS ?tot) (MIN(?v) AS ?lo) WHERE { ?r rdf:value ?v . }
+    """
+    row = query_graph(graph, q3).collect()[0]
+    assert (row.tot, row.lo) == (42.0, "42")
+
+
+def test_aggregate_misuse_raises(graph):
+    # non-aggregated SELECT var outside GROUP BY
+    with pytest.raises(SparqlSyntaxError, match="outside GROUP BY"):
+        query_graph(
+            graph, "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o . }"
+        ).collect()
+    with pytest.raises(SparqlUnsupported, match="UNDEF"):
+        query_graph(graph, "SELECT ?s WHERE { VALUES ?s { UNDEF } ?s ?p ?o . }")
+    with pytest.raises(SparqlUnsupported, match="expression"):
+        query_graph(graph, "SELECT (SAMPLE(?s) AS ?x) WHERE { ?s ?p ?o . }")
+    # ORDER BY a variable the projection dropped
+    with pytest.raises(SparqlUnsupported, match="unprojected"):
+        query_graph(graph, "SELECT ?s WHERE { ?s ?p ?o . } ORDER BY ?p")
