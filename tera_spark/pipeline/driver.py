@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> None:
         "distinct batches never collide and retries reuse the same id",
     )
     ap.add_argument(
+        "--forget", default=None,
+        help="comma-separated conversation ids to FORGET (right-to-be-"
+        "forgotten): removes every effect of those conversations from the "
+        "pipeline output at --out as one atomic delta batch "
+        "(pipeline/forget.py), then exits. Unknown ids are a no-op.",
+    )
+    ap.add_argument(
         "--compact", action="store_true",
         help="fold all committed delta batches into the base tables "
         "(amortized rewrite; bounds merge-on-read cost), then exit",
@@ -60,8 +67,32 @@ def main(argv: list[str] | None = None) -> None:
         tables = compact(spark, args.out)
         print(json.dumps({"compacted": tables, "seconds": round(time.time() - t0, 2)}))
         return
+    if args.forget:
+        from tera_spark.fixtures.transcripts import lexicon_spark_df as _lex
+        from tera_spark.pipeline.forget import run_pipeline_forget
+        from tera_spark.session import get_spark as _gs
+
+        spark = _gs("tera_spark_forget", cores=args.cores)
+        ids = [c.strip() for c in args.forget.split(",") if c.strip()]
+        t0 = time.time()
+        res = run_pipeline_forget(
+            spark, ids, _lex(spark), args.out,
+            fuzzy_threshold=args.fuzzy_threshold, batch_id=args.batch_id,
+        )
+        print(
+            json.dumps(
+                {
+                    "forgotten": ids,
+                    "seconds": round(time.time() - t0, 2),
+                    "stages_run": res.stages_run,
+                    "stages_skipped": res.stages_skipped,
+                    "metrics": res.metrics,
+                }
+            )
+        )
+        return
     if not args.transcripts:
-        ap.error("--transcripts is required unless --compact")
+        ap.error("--transcripts is required unless --compact or --forget")
 
     from tera_spark.fixtures.transcripts import (
         lexicon_spark_df,

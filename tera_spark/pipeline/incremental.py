@@ -115,6 +115,17 @@ TABLES = ("mentions", "linked", "alias_edges", "triples", "nodes", "edges")
 _TRIPLE_COLS = ["subject", "predicate", "object", "obj_is_literal"]
 _TRIPLE_KEY = ["subject", "predicate", "object"]
 _EDGE_KEY = ["src", "pred", "dst"]
+# tombstone key per add/del-merged table (the upsert tables — nodes,
+# canonical_map, convs_applied — carry their key in _UPSERT_KEYS instead)
+_DEL_KEYS = {
+    "triples": _TRIPLE_KEY,
+    "ent_index": _TRIPLE_KEY,
+    "edges": _EDGE_KEY,
+    "alias_edges": ["u", "v"],
+    "mentions": ["conv_id"],
+    "linked": ["conv_id"],
+}
+_UPSERT_KEYS = {"nodes": "id", "canonical_map": "old", "convs_applied": "conv_id"}
 BATCHES_DIR = "_batches"
 _MANIFEST = "_compact_manifest.json"
 # Contracted delta graphs at or below this edge count run connected
@@ -134,6 +145,30 @@ _shared_expr = shared_row_expr
 
 def _bucket_of(col: str, n: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
+
+
+def _union_find(edge_pairs) -> dict:
+    """Exact driver-side union-find (union-by-min, path compression) over an
+    iterable of (u, v) string pairs. Returns {id: representative} for every
+    id seen, identity entries included. Same semantics as the distributed
+    canonical_mapping: representative = component min; ids are ASCII URIs,
+    so Python and Spark string orderings agree."""
+    parent: dict = {}
+
+    def _find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_pairs:
+        ru, rv = _find(u), _find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {x: _find(x) for x in list(parent)}
 
 
 # ---------------------------------------------------------------------------
@@ -195,10 +230,21 @@ def _union_batch_parts(
 
 def read_live(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
     """The live contents of ``table``: base merged with every COMMITTED
-    batch's delta files. Entirely map-side — append/set tables are a file
-    union plus (for set tables) a broadcast anti-join against the
-    delta-sized tombstones; the keyed nodes table resolves its (small)
-    upsert log with a window over the log only, never the base."""
+    batch's delta files. Entirely map-side — add/del tables are a file
+    union plus a broadcast join against the delta-sized tombstones; the
+    keyed upsert tables (nodes, canonical_map, convs_applied) resolve
+    their (small) upsert log with a window over the log only, never the
+    base.
+
+    Tombstones are SEQUENCED, not global: a row survives iff no tombstone
+    for its key has a seq strictly greater than the row's own batch seq
+    (base rows are seq 0; within one batch, adds win over dels — a forget
+    batch tombstones the affected slice and re-adds its surviving part at
+    the same seq). Append-only histories never hit the distinction (a
+    merge-monotonic tombstone key can never be re-added), but forget
+    batches can delete a key a LATER batch legitimately re-adds — e.g. a
+    conversation deleted and re-ingested, or an entity re-merged after a
+    split — and the global anti-join would erase the re-add."""
     base = spark.read.parquet(os.path.join(out_dir, table))
     if "_bucket" in base.columns:
         base = base.drop("_bucket")
@@ -206,21 +252,26 @@ def read_live(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
     if not batches:
         return base
 
-    if table == "nodes":
-        return _merge_upsert(spark, base, batches, table, "id")
-    if table == "canonical_map":
-        return _merge_upsert(spark, base, batches, table, "old")
+    if table in _UPSERT_KEYS:
+        return _merge_upsert(spark, base, batches, table, _UPSERT_KEYS[table])
 
-    adds = _union_batch_parts(spark, batches, f"{table}_adds")
+    cols = base.columns
+    all_rows = base.withColumn("_seq", F.lit(0))
+    adds = _union_batch_parts(spark, batches, f"{table}_adds", with_seq=True)
     if adds is not None:
         if "_bucket" in adds.columns:
             adds = adds.drop("_bucket")
-        base = base.unionByName(adds.select(base.columns))
-    dels = _union_batch_parts(spark, batches, f"{table}_dels")
-    if dels is not None:
-        key = _EDGE_KEY if table == "edges" else _TRIPLE_KEY
-        base = base.join(F.broadcast(dels.select(key).distinct()), key, "left_anti")
-    return base
+        all_rows = all_rows.unionByName(adds.select(*cols, "_seq"))
+    dels = _union_batch_parts(spark, batches, f"{table}_dels", with_seq=True)
+    if dels is None:
+        return all_rows.drop("_seq")
+    key = _DEL_KEYS[table]
+    dmax = dels.groupBy(key).agg(F.max("_seq").alias("_del_seq"))
+    return (
+        all_rows.join(F.broadcast(dmax), key, "left")
+        .filter(F.col("_del_seq").isNull() | (F.col("_seq") >= F.col("_del_seq")))
+        .select(*cols)
+    )
 
 
 def _merge_upsert(
@@ -249,7 +300,13 @@ def _merge_upsert(
     latest = (
         log.withColumn(
             "_rn",
-            F.row_number().over(Window.partitionBy(key).orderBy(F.col("_seq").desc())),
+            # within one batch (same seq) the add wins: a forget batch
+            # tombstones an affected key and re-upserts its surviving row
+            F.row_number().over(
+                Window.partitionBy(key).orderBy(
+                    F.col("_seq").desc(), F.col("_op").asc()
+                )
+            ),
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_seq")
@@ -358,10 +415,7 @@ def run_pipeline_incremental(
 
     delta = new_transcripts
     if guard_seen_convs:
-        seen = spark.read.parquet(convs_path).select("conv_id")
-        extra = _union_batch_parts(spark, batches, "convs")
-        if extra is not None:
-            seen = seen.unionByName(extra.select("conv_id"))
+        seen = read_live(spark, out_dir, "convs_applied").select("conv_id")
         delta = delta.join(seen, "conv_id", "left_anti")
     # checkpoint NOW: every downstream read of the live tables must see the
     # pre-batch state, and the guard's anti-join must run before any write
@@ -500,23 +554,8 @@ def run_pipeline_incremental(
         # same semantics as canonical_mapping: representative = component
         # min id (union-by-min, ids are ASCII URIs so Python and Spark
         # string orderings agree), identity rows dropped.
-        parent: dict = {}
-
-        def _find(x: str) -> str:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != x:
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in contracted.collect():
-            ru, rv = _find(row.u), _find(row.v)
-            if ru != rv:
-                lo, hi = (ru, rv) if ru < rv else (rv, ru)
-                parent[hi] = lo
-        pairs = [(x, _find(x)) for x in list(parent)]
-        pairs = [(x, r) for x, r in pairs if x != r]
+        reps = _union_find((row.u, row.v) for row in contracted.collect())
+        pairs = [(x, r) for x, r in reps.items() if x != r]
         cs = spark.createDataFrame(pairs, "old string, new string") if pairs else (
             spark.createDataFrame([], "old string, new string")
         )
@@ -766,7 +805,7 @@ def run_pipeline_incremental(
 
     # ---- this batch's conversations (guard state), then the atomic commit
     part(
-        "convs",
+        "convs_applied_adds",
         delta.select("conv_id").distinct(),
         record=False,
         partitioned=False,
@@ -836,12 +875,7 @@ def compact(spark: SparkSession, out_dir: str) -> list[str]:
             bucketize(live, n, key).write.mode("overwrite").partitionBy(
                 "_bucket"
             ).parquet(_tmp(t))
-        convs = spark.read.parquet(os.path.join(out_dir, "convs_applied")).select(
-            "conv_id"
-        )
-        extra = _union_batch_parts(spark, batches, "convs")
-        if extra is not None:
-            convs = convs.unionByName(extra.select("conv_id"))
+        convs = read_live(spark, out_dir, "convs_applied").select("conv_id")
         bucketize(convs.dropDuplicates(["conv_id"]), 8, "conv_id").write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(_tmp("convs_applied"))
