@@ -540,13 +540,17 @@ r{k} AS (SELECT n.node,
     return "".join(parts)
 
 
-def _kg_fixture_sql_cte() -> str:
+def _kg_fixture_sql_cte(exclude: tuple = ()) -> str:
     """The deterministic 20-conv transcript corpus as a VALUES CTE — the
     oracle's INPUT data (same bytes the Spark entries generate), so DuckDB
-    replays structure/extraction/linking from raw text independently."""
+    replays structure/extraction/linking from raw text independently.
+    ``exclude``: conversation ids to leave out — the forget oracle replays
+    the build over the REMAINING conversations only."""
     from tera_spark.fixtures.transcripts import gen_transcripts
 
     pdf = gen_transcripts(n_convs=20, hot_convs=1, hot_factor=5)
+    if exclude:
+        pdf = pdf[~pdf["conv_id"].isin(set(exclude))]
 
     def q(s) -> str:
         if s is None:
@@ -579,7 +583,7 @@ SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
 """
 
 
-def _sql_kg_common_ctes() -> str:
+def _sql_kg_common_ctes(exclude: tuple = ()) -> str:
     """The shared KG-replay CTE block: raw transcripts, lexicon values,
     normalized lexicon, term extraction (word regex + stopword filter +
     1..3-gram over consecutive content words), exact lexicon join, code
@@ -596,7 +600,7 @@ def _sql_kg_common_ctes() -> str:
         )
         for r in list(chem.itertuples()) + list(spec.itertuples())
     )
-    return f"""{_kg_fixture_sql_cte()},
+    return f"""{_kg_fixture_sql_cte(exclude)},
 lexraw(entity, label, kind) AS (VALUES
   {lex_vals}
 ),
@@ -656,7 +660,7 @@ SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
 """
 
 
-def _sql_kg_pipeline_portable() -> str:
+def _sql_kg_pipeline_portable(exclude: tuple = ()) -> str:
     """FULL KG-pipeline replay with the portable fuzzy scorer — extraction,
     exact/fuzzy/rule linking (3-gram shingle blocking, shared≥2 +
     Jaccard≥0.25 prefilter, levenshtein+token-sort score, 88/80 bands),
@@ -690,7 +694,7 @@ def _sql_kg_pipeline_portable() -> str:
         " i -> substr(' '||{c}||' ', i, 3)))"
     )
     return f"""
-WITH {_sql_kg_common_ctes()},
+WITH {_sql_kg_common_ctes(exclude)},
 terms_norm AS (
   SELECT conv_id, turn_idx, mention,
          trim(regexp_replace(lower(mention), '\\s+', ' ', 'g')) AS norm
@@ -1722,7 +1726,48 @@ def _queries() -> dict:
         return replace_entities(triples, canonical_mapping(alias_edges))
 
     q["kg_pipeline_triples_portable"] = kg_triples_portable
+
+    def kg_forget_portable(spark, sf):
+        # FORGET under the driver's oracle gate: build the full pipeline
+        # (portable scorer) over the 20-conv fixture, forget a fixed
+        # 5-conversation subset through the real delta-batch machinery
+        # (pipeline/forget.py — slice replace, component re-CC, sequenced
+        # tombstones), and return the live triples. The oracle replays the
+        # ENTIRE build in DuckDB over the remaining 15 conversations only —
+        # so the equality driver-checks that forget(B) == build(A) from raw
+        # text, independently of every Spark code path.
+        import shutil
+        import tempfile
+
+        from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
+        from tera_spark.pipeline.forget import run_pipeline_forget
+        from tera_spark.pipeline.incremental import read_live
+        from tera_spark.pipeline.run import run_pipeline
+
+        transcripts = transcripts_spark_df(spark, n_convs=20, hot_convs=1, hot_factor=5)
+        lexicon = lexicon_spark_df(spark)
+        out = tempfile.mkdtemp(prefix="tera_kg_forget_")
+        try:
+            run_pipeline(spark, transcripts, lexicon, out, scorer="portable")
+            run_pipeline_forget(
+                spark, _kg_forget_ids(), lexicon, out, scorer="portable"
+            )
+            return read_live(spark, out, "triples").localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    q["kg_forget_triples_portable"] = kg_forget_portable
     return _rotate_registration(q)
+
+
+def _kg_forget_ids() -> tuple:
+    """Deterministic 5-of-20 forget subset for the forget oracle (every
+    4th conversation id, offset 3 — same on the Spark and DuckDB sides)."""
+    from tera_spark.fixtures.transcripts import gen_transcripts
+
+    pdf = gen_transcripts(n_convs=20, hot_convs=1, hot_factor=5)
+    ids = sorted(pdf["conv_id"].unique())
+    return tuple(ids[3::4])
 
 
 # Driver-sampling rotation: the correctness driver samples roughly the FIRST
@@ -1753,6 +1798,7 @@ _SAMPLE_PRIORITY = [
     "q19_sparql_groupby_count",
     "j6_string_matching_portable",
     "kg_pipeline_triples_portable",
+    "kg_forget_triples_portable",
 ]
 
 
@@ -1816,6 +1862,11 @@ SELECT e1 AS from_id, e2 AS to_id, score FROM (
 ) WHERE rn = 1
 """
     o["kg_pipeline_triples_portable"] = _sql_kg_pipeline_portable()
+    # forget oracle: the SAME full-pipeline replay, but over the remaining
+    # conversations only — equality proves forget(B) == build(A)
+    o["kg_forget_triples_portable"] = _sql_kg_pipeline_portable(
+        exclude=_kg_forget_ids()
+    )
     o["q17_sparql_union"] = """
 SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR) AS s, c_mktsegment AS v
 FROM customer

@@ -167,6 +167,7 @@ def run_pipeline_forget(
     out_dir: str,
     fuzzy_threshold: float = 88.0,
     batch_id: str | None = None,
+    scorer: str = "wratio",
 ) -> PipelineResult:
     """Forget ``conv_ids`` (iterable of strings, or a DataFrame with a
     ``conv_id`` column) from the pipeline output at ``out_dir``, as one
@@ -257,7 +258,7 @@ def run_pipeline_forget(
     prepared = (
         lexicon if isinstance(lexicon, PreparedLexicon) else prepare_lexicon(lexicon)
     )
-    _, d_edges = link_mentions(d_mentions, prepared, fuzzy_threshold)
+    _, d_edges = link_mentions(d_mentions, prepared, fuzzy_threshold, scorer=scorer)
     d_edges = d_edges.dropDuplicates(["u", "v"]).localCheckpoint(eager=True)
     surviving_u = rem_linked.filter(F.col("link_method") == "provisional").select(
         F.col("entity").alias("u")

@@ -364,6 +364,7 @@ def run_pipeline_incremental(
     fuzzy_threshold: float = 88.0,
     batch_id: str | None = None,
     guard_seen_convs: bool = True,
+    scorer: str = "wratio",
 ) -> PipelineResult:
     """Apply ``new_transcripts`` to the completed pipeline output at
     ``out_dir`` as one atomic delta batch. ``read_live`` tables are equal
@@ -503,7 +504,7 @@ def run_pipeline_incremental(
     )
     prepared = prepare_lexicon(lexicon)
     linked_raw, edges_delta = link_mentions(
-        m_delta.drop("_bucket"), prepared, fuzzy_threshold
+        m_delta.drop("_bucket"), prepared, fuzzy_threshold, scorer=scorer
     )
     linked_delta = part_read(
         "linked_adds", bucketize(linked_raw, N_BUCKETS, "conv_id")

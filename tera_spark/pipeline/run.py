@@ -124,6 +124,7 @@ def run_pipeline(
     fuzzy_threshold: float = 88.0,
     salts: int | None = None,
     force: bool = False,
+    scorer: str = "wratio",
 ) -> PipelineResult:
     """Run (or resume) the 4-stage KG construction over a transcripts
     DataFrame. ``salts``: use the salted rewrite instead of broadcast for
@@ -164,7 +165,7 @@ def run_pipeline(
 
     def _link():
         linked, alias_edges = link_mentions(
-            mentions, prepare_lexicon(lexicon), fuzzy_threshold
+            mentions, prepare_lexicon(lexicon), fuzzy_threshold, scorer=scorer
         )
         write_table(alias_edges, os.path.join(out_dir, "alias_edges"), bucket_by=(8, "u"))
         return linked
