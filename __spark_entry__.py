@@ -5,14 +5,17 @@ the ECOTOX-shaped mapping of the driver tables at sf0.001. ``queries`` /
 ``oracle_sql`` pair every implemented SURVEY.md §2 operator with a DuckDB
 oracle (see tera_spark/entry_queries.py). Round 4: registration is
 rotated so never-driver-sampled entries come first (the driver samples
-~50 of the 66); new oracle-checked entries are the SPARQL property-path
-and UNION compilers (q16/q17) and the PORTABLE fuzzy mode —
-``j6_string_matching_portable`` and ``kg_pipeline_triples_portable`` run
-the real linking/pipeline code with a levenshtein+token-sort scorer that
-DuckDB replays exactly, so the FULL transcript→KG pipeline is now
-hash-verified end to end. The only rows-only entries left are the two
-WRatio-default twins (Python difflib reference-parity mode, by design;
-golden-tested in pytest).
+~50 of the 69); new oracle-checked entries are the SPARQL property-path /
+UNION / VALUES / ORDER BY / GROUP BY-aggregate compilers (q16-q19), the
+PORTABLE fuzzy mode — ``j6_string_matching_portable`` and
+``kg_pipeline_triples_portable`` run the real linking/pipeline code with
+a levenshtein+token-sort scorer that DuckDB replays exactly, so the FULL
+transcript→KG pipeline is hash-verified end to end — and
+``kg_forget_triples_portable``: the right-to-be-forgotten operator
+(pipeline/forget.py) checked by replaying the whole build in DuckDB over
+the remaining conversations only. The only rows-only entries left are the
+two WRatio-default twins (Python difflib reference-parity mode, by
+design; golden-tested in pytest).
 """
 
 from __future__ import annotations
