@@ -38,17 +38,23 @@ row provenance:
    representative for every member — including un-merges, which no
    forward-only composition can express — plus the canonical_map upsert
    delta (changed entries) and tombstones (entries that became identity).
-3. **Replace the slice.** Tombstone every stored row that references an
-   old representative (they are exactly the rows emitted by the affected
-   members' linked rows under the old map — recomputed, not scanned), and
-   re-emit the correct post-delete rows from the REMAINING linked rows
-   under the new map. Emission reuses pipeline/kg.py's own operators
-   (mention_triples, cooccurrence_triples) followed by replace_entities,
-   so the bytes match what run_pipeline would produce — including the
-   cooccurrence bnode ids, which hash RAW entity ids and therefore
-   survive re-canonicalization unchanged. Both slices are joined back to
-   the affected representatives, so cost is ∝ references to the affected
-   entities (hot-entity worst case documented below), never ∝ corpus.
+3. **Two paths over the affected components.** SPLIT components (a
+   canonical entry changed) get a full slice replace: tombstone every row
+   referencing their old reps (recomputed from the members' linked rows
+   under the old map — not scanned) and re-emit from the remaining turn
+   groups under the new map. UNSPLIT components — the common case — never
+   change row FORM, so only the deleted conversations' own emitted rows
+   are candidates: each dies unless one map-side restricted pass over the
+   remaining references re-emits the same bytes (no re-emission of
+   unchanged rows, no adds churn — this is what keeps a delete of a
+   corpus-hot entity's mention from costing a rebuild). Emission always
+   reuses pipeline/kg.py's own operators (mention_triples,
+   cooccurrence_triples) followed by replace_entities, so the bytes match
+   what run_pipeline would produce — including the cooccurrence bnode
+   ids, which hash RAW entity ids and survive re-canonicalization
+   unchanged. Rows of mixed pairs (one split side) can be tombstoned by
+   the unsplit path while the split path re-adds their new form — the
+   same-seq add-wins merge rule resolves that to the correct state.
 4. **Conversation-scoped rows** (structure, turn→mention/quantity/
    evidence edges, quantity bnodes) are unique to their conversation by
    URI construction: one map-side scan of the live triples collects the
@@ -62,14 +68,14 @@ row provenance:
    erase that later batch's re-adds).
 
 Cost model (per forget batch): per-turn recompute ∝ |deleted convs|;
-slice replace ∝ references to the affected entities across the remaining
-corpus (for a conversation that mentions only cold entities this is
-delta-sized; deleting a mention of a corpus-hot entity rebuilds that
-entity's slice — the production fix is a per-(entity, row-class) refcount
-side table, noted in COVERAGE.md); plus ONE map-side scan of the live
-triples for the conversation-scoped tombstones (no shuffle; an Iceberg
-runtime would prune it to the deleted conversations' partitions via a
-conv-bucket layout on the turn-subject rows). All writes are delta-sized;
+the unsplit-path survival probe is one map-side restricted pass over the
+remaining linked rows that reference affected members (∝ references, but
+emission/dedup/writes stay ∝ the DELETED conversations' own rows); the
+split path re-emits only the split components' slices (rare,
+component-sized); plus ONE map-side scan of the live triples for the
+conversation-scoped tombstones (no shuffle; an Iceberg runtime would
+prune it to the deleted conversations' partitions via a conv-bucket
+layout on the turn-subject rows). All writes are delta-sized;
 crash safety and idempotency are inherited from the batch layout (atomic
 ``_COMMITTED`` marker; retry sweeps and recomputes identical bytes;
 re-forgetting an unknown or already-forgotten conversation is a no-op).
@@ -318,7 +324,6 @@ def run_pipeline_forget(
     old_entries = old_map.join(
         F.broadcast(members.withColumnRenamed("x", "old")), "old", "left_semi"
     ).localCheckpoint(eager=True)
-    cc2 = new_cc.select(F.col("old").alias("_k"), F.col("new").alias("_v"))
     map_adds = (
         new_cc.join(old_entries.withColumnRenamed("new", "_old_new"), "old", "left")
         .filter(F.col("_old_new").isNull() | (F.col("_old_new") != F.col("new")))
@@ -328,35 +333,88 @@ def run_pipeline_forget(
     new_map = old_map.join(
         F.broadcast(members.withColumnRenamed("x", "old")), "old", "left_anti"
     ).unionByName(new_cc)
-    new_reps = (
-        new_cc.select(F.col("new").alias("r"))
-        .unionByName(
-            members.join(F.broadcast(new_cc.select("old")), members["x"] == F.col("old"), "left_anti")
-            .select(F.col("x").alias("r"))
-        )
+    _phase("recanonicalize", t0)
+
+    # ---- two disjoint paths over the affected components (the probe at a
+    # 5.7M-turn base showed why: replacing the WHOLE affected slice costs
+    # ~a rebuild when the vocabulary is dense, because every hot entity's
+    # slice re-emits — but rows of an UNSPLIT component never change form,
+    # so the only question there is which of the DELETED conversations'
+    # own rows lose their last remaining emitter):
+    #
+    # A. SPLIT components (some canonical entry changed): full slice
+    #    replace — tombstone every row referencing the old reps, re-emit
+    #    from the remaining turn groups under the new map. Rare and
+    #    component-sized.
+    # B. UNSPLIT components: candidates = the deleted conversations' OWN
+    #    emitted rows (delta-sized emit); a candidate dies unless the
+    #    remaining references to the same components still emit the same
+    #    bytes (one map-side restricted pass — no re-emission of unchanged
+    #    rows, no adds churn). Rows of mixed pairs (one split side) can be
+    #    tombstoned by B while A re-adds their new form — the same-seq
+    #    add-wins merge rule resolves that to the correct state.
+    t0 = time.time()
+    changed = map_adds.select("old").unionByName(map_dels.select("old")).distinct()
+    split_old = (
+        changed.join(old_entries.withColumnRenamed("new", "_r"), "old", "left")
+        .select(F.coalesce("_r", F.col("old")).alias("r"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    _phase("recanonicalize", t0)
-
-    # ---- the slice replace: tombstone the old affected rows, re-emit the
-    # surviving ones. Group-complete sources: every (conv, turn) of a
-    # remaining conversation that references an affected member joins in
-    # its FULL turn group so co-occurrence pairs with unaffected partners
-    # re-emit exactly.
-    t0 = time.time()
-    aff_keys = (
-        rem_linked.join(F.broadcast(members.withColumnRenamed("x", "entity")), "entity", "left_semi")
-        .select("conv_id", "turn_idx")
+    has_splits = not split_old.isEmpty()
+    nonsplit_reps = old_reps.join(
+        F.broadcast(split_old), old_reps["r"] == split_old["r"], "left_anti"
+    ).localCheckpoint(eager=True)
+    mem_rep = members.join(
+        old_entries.withColumnRenamed("old", "x").withColumnRenamed("new", "_r"),
+        "x",
+        "left",
+    ).select("x", F.coalesce("_r", F.col("x")).alias("r"))
+    m_split = mem_rep.join(F.broadcast(split_old), "r", "left_semi").select("x")
+    split_new = (
+        m_split.join(new_cc, m_split["x"] == new_cc["old"], "left")
+        .select(F.coalesce("new", "x").alias("r"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    rem_src = rem_linked.join(aff_keys, ["conv_id", "turn_idx"], "left_semi").localCheckpoint(
-        eager=True
-    )
-    old_src = rem_src.unionByName(d_linked.select(rem_src.columns))
-    old_slice = _emit_slice(old_src, old_map, old_reps).localCheckpoint(eager=True)
-    new_slice = _emit_slice(rem_src, new_map, new_reps).localCheckpoint(eager=True)
+
+    _empty_t = "subject string, predicate string, object string, obj_is_literal boolean"
+    if has_splits:
+        aff_keys = (
+            rem_linked.join(
+                F.broadcast(m_split.withColumnRenamed("x", "entity")), "entity", "left_semi"
+            )
+            .select("conv_id", "turn_idx")
+            .distinct()
+        )
+        rem_src = rem_linked.join(
+            aff_keys, ["conv_id", "turn_idx"], "left_semi"
+        ).localCheckpoint(eager=True)
+        old_src = rem_src.unionByName(d_linked.select(rem_src.columns))
+        split_dels = _emit_slice(old_src, old_map, split_old).localCheckpoint(eager=True)
+        new_slice = _emit_slice(rem_src, new_map, split_new).localCheckpoint(eager=True)
+    else:
+        split_dels = spark.createDataFrame([], _empty_t)
+        new_slice = spark.createDataFrame([], _empty_t)
     _phase("slice_replace", t0)
+
+    # path B: the deleted convs' candidate rows vs remaining emitters
+    t0 = time.time()
+    cand = _emit_slice(d_linked, old_map, nonsplit_reps).localCheckpoint(eager=True)
+    rem_refs = rem_linked.join(
+        F.broadcast(members.withColumnRenamed("x", "entity")), "entity", "left_semi"
+    ).localCheckpoint(eager=True)
+    rem_tl_keys = replace_entities(
+        mention_triples(rem_refs), old_map, deduplicate=False
+    ).select(*_TRIPLE_KEY)
+    rem_cooc_keys = replace_entities(
+        cooccurrence_triples(rem_refs), old_map, deduplicate=False
+    ).select(*_TRIPLE_KEY)
+    b_dels = cand.join(
+        rem_tl_keys.unionByName(rem_cooc_keys), _TRIPLE_KEY, "left_anti"
+    ).localCheckpoint(eager=True)
+    old_slice = split_dels.unionByName(b_dels.select(*_TRIPLE_COLS))
+    _phase("survival_probe", t0)
 
     # ---- conversation-scoped rows of the deleted convs: one map-side scan
     # (conv/turn-subject rows) + the quantity bnode rows recomputed from
@@ -408,14 +466,38 @@ def run_pipeline_forget(
         ),
     )
 
-    # nodes: re-aggregate the affected representatives from the re-emitted
-    # slice (it contains EVERY surviving type/label row of those ids);
-    # tombstone affected ids that no longer type, plus the deleted convs'
-    # own conversation/turn nodes
+    # nodes: recompute exactly the ids whose type/label row set changed —
+    # split reps (old and new), unsplit reps that lost a candidate row
+    # (a deleted label can change the node's min(label) with no add at
+    # all), and the deleted convs' own conversation/turn nodes. Their
+    # surviving type/label rows come from the vocabulary-sized ent_index
+    # (minus this batch's tombstones) plus the re-emitted split slice —
+    # the corpus-sized triple table is never re-read here.
     t0 = time.time()
     from tera_spark.constants import RDFS_LABEL
 
-    tl = adds_t.filter(F.col("predicate").isin(RDF_TYPE, RDFS_LABEL))
+    is_tl = F.col("predicate").isin(RDF_TYPE, RDFS_LABEL)
+    conv_node_ids = conv_scoped.filter(F.col("predicate") == RDF_TYPE).select(
+        F.col("subject").alias("id")
+    )
+    node_ids = (
+        split_old.select(F.col("r").alias("id"))
+        .unionByName(split_new.select(F.col("r").alias("id")))
+        .unionByName(b_dels.filter(is_tl).select(F.col("subject").alias("id")))
+        .unionByName(conv_node_ids)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ent_idx = read_live(spark, out_dir, "ent_index")
+    kept_tl = (
+        ent_idx.filter(is_tl)
+        .join(F.broadcast(node_ids.withColumnRenamed("id", "subject")), "subject", "left_semi")
+        .join(F.broadcast(dels_full.select(*_TRIPLE_KEY)), _TRIPLE_KEY, "left_anti")
+        .select(*_TRIPLE_COLS)
+    )
+    tl = kept_tl.unionByName(adds_t.filter(is_tl).select(*_TRIPLE_COLS)).dropDuplicates(
+        _TRIPLE_KEY
+    )
     types = tl.filter(F.col("predicate") == RDF_TYPE).select(
         F.col("subject").alias("id"), F.col("object").alias("kind")
     )
@@ -424,21 +506,13 @@ def run_pipeline_forget(
     )
     nodes_adds = (
         types.join(labels, "id", "left")
+        .join(F.broadcast(node_ids), "id", "left_semi")
         .groupBy("id")
         .agg(F.min("kind").alias("kind"), F.min("label").alias("label"))
         .withColumn("_bucket", _bucket_of("id", N_BUCKETS))
         .localCheckpoint(eager=True)
     )
-    conv_node_ids = conv_scoped.filter(F.col("predicate") == RDF_TYPE).select(
-        F.col("subject").alias("id")
-    )
-    nodes_dels = (
-        old_reps.select(F.col("r").alias("id"))
-        .unionByName(new_reps.select(F.col("r").alias("id")))
-        .unionByName(conv_node_ids)
-        .distinct()
-        .join(nodes_adds.select("id"), "id", "left_anti")
-    )
+    nodes_dels = node_ids.join(nodes_adds.select("id"), "id", "left_anti")
     part("nodes_adds", nodes_adds)
     part("nodes_dels", nodes_dels, partitioned=False)
     _phase("nodes", t0)
