@@ -123,3 +123,45 @@ def test_forget_then_reingest_after_compact(spark, lexicon_fixture, tmp_path):
 @pytest.fixture(scope="module")
 def lexicon_fixture(spark):
     return lexicon_spark_df(spark).cache()
+
+
+def test_forget_crash_retry(spark, lexicon_fixture, tmp_path, monkeypatch):
+    """A crash mid-forget leaves the live view bit-identical to the
+    pre-batch state (the half-written batch dir has no commit marker),
+    and the retry converges to the never-ingested build."""
+    import pytest as _pytest
+
+    import tera_spark.pipeline.forget as fg
+
+    lexicon = lexicon_fixture
+    t_all = transcripts_spark_df(spark, n_convs=14).cache()
+    convs = sorted(r[0] for r in t_all.select("conv_id").distinct().collect())
+    drop = convs[10:]
+
+    work = str(tmp_path / "work")
+    ref_a = str(tmp_path / "ref_a")
+    run_pipeline(spark, t_all, lexicon, work)
+    run_pipeline(
+        spark, t_all.filter(~F.col("conv_id").isin(drop)), lexicon, ref_a
+    )
+
+    pre = {t: _rows(spark, work, t, live=True) for t in ("triples", "nodes")}
+
+    real = fg._write_part
+
+    def boom(out_dir, batch_dir, name, df, **kw):
+        if name == "nodes_adds":
+            raise RuntimeError("injected crash before nodes write")
+        return real(out_dir, batch_dir, name, df, **kw)
+
+    monkeypatch.setattr(fg, "_write_part", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        fg.run_pipeline_forget(spark, drop, lexicon, work, batch_id="crash")
+
+    for t, rows in pre.items():
+        assert _rows(spark, work, t, live=True) == rows, t
+
+    monkeypatch.setattr(fg, "_write_part", real)
+    res = fg.run_pipeline_forget(spark, drop, lexicon, work, batch_id="crash")
+    assert res.stages_run
+    _assert_equal(spark, ref_a, work, live=True)
