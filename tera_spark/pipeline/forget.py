@@ -44,10 +44,15 @@ row provenance:
    under the old map — not scanned) and re-emit from the remaining turn
    groups under the new map. UNSPLIT components — the common case — never
    change row FORM, so only the deleted conversations' own emitted rows
-   are candidates: each dies unless one map-side restricted pass over the
-   remaining references re-emits the same bytes (no re-emission of
-   unchanged rows, no adds churn — this is what keeps a delete of a
-   corpus-hot entity's mention from costing a rebuild). Emission always
+   are candidates: each dies unless a raw emission key with remaining
+   references re-emits the same bytes. That question is answered by
+   counter arithmetic on the ``refcounts`` side table (pipeline/kg.py
+   emission_refcounts — raw pre-canonicalization keys, merge-invariant,
+   maintained additively by every apply/forget batch): live count minus
+   this batch's decrement > 0 ⇒ the key survives, and its byte form is
+   reconstructed by joining its entities through the old map. No pass
+   over the remaining corpus at all — the turn-level evidence
+   re-emission this replaced was the measured floor of small forgets. Emission always
    reuses pipeline/kg.py's own operators (mention_triples,
    cooccurrence_triples) followed by replace_entities, so the bytes match
    what run_pipeline would produce — including the cooccurrence bnode
@@ -68,9 +73,9 @@ row provenance:
    erase that later batch's re-adds).
 
 Cost model (per forget batch): per-turn recompute ∝ |deleted convs|;
-the unsplit-path survival probe is one map-side restricted pass over the
-remaining linked rows that reference affected members (∝ references, but
-emission/dedup/writes stay ∝ the DELETED conversations' own rows); the
+the unsplit-path survival probe is one component-restricted scan of the
+vocabulary-sized ``refcounts`` side table (never the corpus — the
+remaining linked rows are not read, let alone re-emitted); the
 split path re-emits only the split components' slices (rare,
 component-sized); plus ONE map-side scan of the live triples for the
 conversation-scoped tombstones (no shuffle; an Iceberg runtime would
@@ -91,9 +96,9 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tera_spark.constants import NS_KG, RDF_TYPE
+from tera_spark.constants import NS_KG, RDF_TYPE, RDFS_LABEL
 from tera_spark.operators.canonical import canonical_mapping
-from tera_spark.operators.triples import replace_entities
+from tera_spark.operators.triples import bnode, replace_entities
 from tera_spark.pipeline.incremental import (
     _DRIVER_CC_MAX_EDGES,
     _MANIFEST,
@@ -107,9 +112,11 @@ from tera_spark.pipeline.incremental import (
     _write_part,
     committed_batches,
     read_live,
+    read_refcounts,
 )
 from tera_spark.pipeline.kg import (
     cooccurrence_triples,
+    emission_refcounts,
     mention_triples,
     quantity_triples,
     shared_row_expr,
@@ -200,6 +207,17 @@ def run_pipeline_forget(
                 "run_pipeline (round 4+) or bootstrapped by one incremental apply"
             )
     _sweep_uncommitted(out_dir)
+    if not _done(os.path.join(out_dir, "refcounts")):
+        # legacy base (pre-refcount layout): bootstrap once from the live
+        # linked table. That view includes every committed batch's rows,
+        # and pre-bootstrap batches carry no refcounts_adds parts, so
+        # nothing double-counts; applies committed AFTER this write
+        # maintain the table incrementally (pipeline/incremental.py).
+        bucketize(
+            emission_refcounts(read_live(spark, out_dir, "linked")), N_BUCKETS, "k1"
+        ).write.mode("overwrite").partitionBy("_bucket").parquet(
+            os.path.join(out_dir, "refcounts")
+        )
     batches = committed_batches(out_dir)
     seq = len(batches) + 1
 
@@ -398,20 +416,82 @@ def run_pipeline_forget(
         new_slice = spark.createDataFrame([], _empty_t)
     _phase("slice_replace", t0)
 
-    # path B: the deleted convs' candidate rows vs remaining emitters
+    # path B: the deleted convs' candidate rows vs the remaining reference
+    # COUNTS — counter arithmetic on the raw-keyed refcounts side table,
+    # never a re-emission pass over the remaining corpus (the turn-level
+    # evidence join this replaced was the measured floor of small forgets,
+    # BENCH/scaling_runs.jsonl mode="forget"). A candidate survives iff
+    # some raw key with references left (live count minus this batch's
+    # decrement > 0) re-emits the same bytes under the old map. Every raw
+    # key relevant to a candidate has all its entities inside ``members``
+    # (any id mapping to an affected rep is a member by construction), so
+    # the count read is component-restricted and ``old_entries`` covers
+    # every rewrite the byte reconstruction needs.
     t0 = time.time()
     cand = _emit_slice(d_linked, old_map, nonsplit_reps).localCheckpoint(eager=True)
-    rem_refs = rem_linked.join(
-        F.broadcast(members.withColumnRenamed("x", "entity")), "entity", "left_semi"
-    ).localCheckpoint(eager=True)
-    rem_tl_keys = replace_entities(
-        mention_triples(rem_refs), old_map, deduplicate=False
-    ).select(*_TRIPLE_KEY)
-    rem_cooc_keys = replace_entities(
-        cooccurrence_triples(rem_refs), old_map, deduplicate=False
-    ).select(*_TRIPLE_KEY)
+    dec = emission_refcounts(d_linked).localCheckpoint(eager=True)
+    rc = read_refcounts(
+        spark, out_dir, k1_filter=members.withColumnRenamed("x", "k1")
+    )
+    surv = (
+        rc.join(
+            dec.select("rk", "k1", "k2", F.col("n").alias("_dn")),
+            ["rk", "k1", "k2"],
+            "left",
+        )
+        .filter(F.col("n") > F.coalesce("_dn", F.lit(0)))
+        .select("rk", "k1", "k2")
+    )
+    # raw key → the byte-form triple key it emits under the old map
+    e1 = old_entries.select(F.col("old").alias("k1"), F.col("new").alias("_r1"))
+    e2 = old_entries.select(F.col("old").alias("k2"), F.col("new").alias("_r2"))
+    s1 = surv.join(F.broadcast(e1), "k1", "left").withColumn(
+        "r1", F.coalesce("_r1", F.col("k1"))
+    )
+    tl_keys = (
+        s1.filter(F.col("rk") == "type")
+        .select(
+            F.col("r1").alias("subject"),
+            F.lit(RDF_TYPE).alias("predicate"),
+            F.col("k2").alias("object"),
+        )
+        .unionByName(
+            s1.filter(F.col("rk") == "label").select(
+                F.col("r1").alias("subject"),
+                F.lit(RDFS_LABEL).alias("predicate"),
+                F.col("k2").alias("object"),
+            )
+        )
+    )
+    sc = (
+        s1.filter(F.col("rk") == "cooc")
+        .join(F.broadcast(e2), "k2", "left")
+        .withColumn("r2", F.coalesce("_r2", F.col("k2")))
+    )
+    bn = bnode(F.col("k1"), F.col("k2"), tag="cooc")
+    cooc_keys = (
+        sc.select(
+            F.col("r1").alias("subject"),
+            F.lit(NS_KG + "cooccursWith").alias("predicate"),
+            F.col("r2").alias("object"),
+        )
+        .unionByName(
+            sc.select(
+                bn.alias("subject"),
+                F.lit(NS_KG + "chemical").alias("predicate"),
+                F.col("r1").alias("object"),
+            )
+        )
+        .unionByName(
+            sc.select(
+                bn.alias("subject"),
+                F.lit(NS_KG + "species").alias("predicate"),
+                F.col("r2").alias("object"),
+            )
+        )
+    )
     b_dels = cand.join(
-        rem_tl_keys.unionByName(rem_cooc_keys), _TRIPLE_KEY, "left_anti"
+        tl_keys.unionByName(cooc_keys), _TRIPLE_KEY, "left_anti"
     ).localCheckpoint(eager=True)
     old_slice = split_dels.unionByName(b_dels.select(*_TRIPLE_COLS))
     _phase("survival_probe", t0)
@@ -474,8 +554,6 @@ def run_pipeline_forget(
     # (minus this batch's tombstones) plus the re-emitted split slice —
     # the corpus-sized triple table is never re-read here.
     t0 = time.time()
-    from tera_spark.constants import RDFS_LABEL
-
     is_tl = F.col("predicate").isin(RDF_TYPE, RDFS_LABEL)
     conv_node_ids = conv_scoped.filter(F.col("predicate") == RDF_TYPE).select(
         F.col("subject").alias("id")
@@ -517,9 +595,10 @@ def run_pipeline_forget(
     part("nodes_dels", nodes_dels, partitioned=False)
     _phase("nodes", t0)
 
-    # per-turn tables, alias edges, canonical map, guard state
+    # per-turn tables, alias edges, canonical map, refcounts, guard state
     part("mentions_dels", d_convs, partitioned=False)
     part("linked_dels", d_convs, partitioned=False)
+    part("refcounts_dels", dec, partitioned=False)
     part("alias_edges_dels", removed.select("u", "v"), partitioned=False)
     part("canonical_map_adds", bucketize(map_adds, N_BUCKETS, "old"))
     part("canonical_map_dels", map_dels, partitioned=False)

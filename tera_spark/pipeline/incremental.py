@@ -52,8 +52,11 @@ Read-time merge (``read_live``), all map-side — ZERO shuffles of the base:
   delta-sized and sequenced by batch seq.
 - maintenance side tables, same mechanics: ``canonical_map`` (the CC
   result, persisted by run_pipeline so apply never re-runs CC over the
-  old alias universe) and ``ent_index`` (the shared-row subset of the
-  triples, so the fast path never reads the corpus-sized base).
+  old alias universe), ``ent_index`` (the shared-row subset of the
+  triples, so the fast path never reads the corpus-sized base), and
+  ``refcounts`` (raw-keyed emission counts, ``read_refcounts`` — summed
+  arithmetic merge rather than upsert; applies add, forgets subtract,
+  pipeline/kg.py emission_refcounts defines the keys).
 
 Cost model (per batch): per-turn stages O(|delta|); connected components
 run only over the batch's CONTRACTED new alias edges (the persisted
@@ -271,6 +274,42 @@ def read_live(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
         all_rows.join(F.broadcast(dmax), key, "left")
         .filter(F.col("_del_seq").isNull() | (F.col("_seq") >= F.col("_del_seq")))
         .select(*cols)
+    )
+
+
+def read_refcounts(
+    spark: SparkSession, out_dir: str, k1_filter: DataFrame | None = None
+) -> DataFrame:
+    """Live emission refcounts (pipeline/kg.py emission_refcounts): base
+    counts plus every committed batch's ``refcounts_adds`` minus its
+    ``refcounts_dels``, summed per (rk, k1, k2), rows with n ≤ 0 dropped.
+    Counts are additive (conv-disjoint batches, raw merge-invariant keys),
+    so no sequencing is needed — a forget's subtract and a later
+    re-ingest's add commute.
+
+    ``k1_filter``: optional single-column ``k1`` frame; pushed BELOW the
+    aggregation as a broadcast semi-join, so a component-restricted read
+    (the forget survival probe) aggregates only the matching keys instead
+    of the whole vocabulary."""
+    base = spark.read.parquet(os.path.join(out_dir, "refcounts"))
+    if "_bucket" in base.columns:
+        base = base.drop("_bucket")
+    rows = base
+    batches = committed_batches(out_dir)
+    adds = _union_batch_parts(spark, batches, "refcounts_adds")
+    if adds is not None:
+        rows = rows.unionByName(adds.select(*base.columns))
+    dels = _union_batch_parts(spark, batches, "refcounts_dels")
+    if dels is not None:
+        rows = rows.unionByName(
+            dels.withColumn("n", -F.col("n")).select(*base.columns)
+        )
+    if k1_filter is not None:
+        rows = rows.join(F.broadcast(k1_filter.select("k1")), "k1", "left_semi")
+    return (
+        rows.groupBy("rk", "k1", "k2")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
     )
 
 
@@ -510,6 +549,20 @@ def run_pipeline_incremental(
         "linked_adds", bucketize(linked_raw, N_BUCKETS, "conv_id")
     )
     edges_delta = edges_delta.localCheckpoint(eager=True)
+    # emission-refcount maintenance: raw keys are canonical-merge-
+    # invariant, so an apply only ever ADDS counts (delta-sized). Skipped
+    # when the base table was never materialized (legacy dir) — the first
+    # forget bootstraps it from the live linked table, which includes this
+    # batch's rows, so skipping here cannot double-count.
+    if _done(os.path.join(out_dir, "refcounts")):
+        from tera_spark.pipeline.kg import emission_refcounts
+
+        part(
+            "refcounts_adds",
+            emission_refcounts(linked_delta.drop("_bucket")),
+            record=False,
+            partitioned=False,
+        )
     _phase("per_turn_compute", t0)
 
     # alias-edge adds: new (u,v) pairs only (set semantics at write time —
@@ -843,7 +896,7 @@ def compact(spark: SparkSession, out_dir: str) -> list[str]:
     this layout mirrors does the same fold as one atomic snapshot commit.
     Returns the list of compacted table names."""
     manifest_path = os.path.join(out_dir, _MANIFEST)
-    tables = [*TABLES, "canonical_map", "ent_index", "convs_applied"]
+    tables = [*TABLES, "canonical_map", "ent_index", "convs_applied", "refcounts"]
 
     def _tmp(t: str) -> str:
         return os.path.join(out_dir, f"{t}__compact")
@@ -880,6 +933,11 @@ def compact(spark: SparkSession, out_dir: str) -> list[str]:
         bucketize(convs.dropDuplicates(["conv_id"]), 8, "conv_id").write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(_tmp("convs_applied"))
+        if _done(os.path.join(out_dir, "refcounts")):
+            # summed fold — the refcount merge is arithmetic, not upsert
+            bucketize(read_refcounts(spark, out_dir), N_BUCKETS, "k1").write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(_tmp("refcounts"))
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"tables": tables, "batches": [os.path.basename(b) for b in batches]}, fh)

@@ -51,21 +51,33 @@ _KIND_CLASS = {
 }
 
 
-def mention_triples(linked: DataFrame) -> DataFrame:
-    """Entity mentions: (turn kg:mentions entity), entity typing + label."""
-    df = linked.filter(F.col("entity").isNotNull() & (F.col("kind") != "quantity"))
-    turn = _turn_uri()
-    kind_class = F.coalesce(
+def _kind_class_expr():
+    """Resolved class URI of a linked row's entity (unknown → kg:Entity).
+    Shared by mention_triples and emission_refcounts so the refcount key
+    is byte-pinned to the emitted object."""
+    return F.coalesce(
         *[
             F.when(F.col("entity_kind") == k, F.lit(v))
             for k, v in _KIND_CLASS.items()
         ],
         F.lit(NS_KG + "Entity"),
     )
+
+
+def _label_ok_expr():
+    """Rows allowed to emit a label triple (see mention_triples)."""
+    return F.col("link_method").isin("exact", "rule", "provisional")
+
+
+def mention_triples(linked: DataFrame) -> DataFrame:
+    """Entity mentions: (turn kg:mentions entity), entity typing + label."""
+    df = linked.filter(F.col("entity").isNotNull() & (F.col("kind") != "quantity"))
+    turn = _turn_uri()
+    kind_class = _kind_class_expr()
     # Label triples only from exact/rule links (the mention text IS the
     # lexicon label) and provisionals (their only name) — fuzzy mentions
     # would attach misspellings as entity labels.
-    label_ok = F.col("link_method").isin("exact", "rule", "provisional")
+    label_ok = _label_ok_expr()
     return emit(
         df,
         t(turn, NS_KG + "mentions", F.col("entity")),
@@ -134,6 +146,67 @@ def build_triples(
         .unionByName(cooccurrence_triples(linked))
     )
     return dedup(out) if deduplicate else out
+
+
+def emission_refcounts(linked: DataFrame) -> DataFrame:
+    """Reference counts of the SHARED entity-derived emissions, keyed on
+    the RAW (pre-canonicalization) emission key — the side table that
+    makes decremental maintenance (pipeline/forget.py) cost ∝ the deleted
+    conversations instead of ∝ the remaining references.
+
+    Why raw keys: a shared triple's BYTES change when canonicalization
+    merges components, but the raw key that emitted it is a pure per-turn
+    function of (linked row) — merges never touch it, so the counts are
+    maintainable with plain adds/subtracts per batch (no rewrite path).
+    The byte form is recomputed on demand by joining the key's entities
+    through the canonical map.
+
+    Keys (``rk``, ``k1``, ``k2``), pinned to THIS module's emit sites —
+    if a new shared emit site is added, add its key kind here AND in
+    shared_row_expr:
+
+    - ``type``:  k1 = raw entity id, k2 = resolved class URI
+      (mention_triples' typing row)
+    - ``label``: k1 = raw entity id, k2 = label text
+      (mention_triples' label row, label_ok rows only)
+    - ``cooc``:  k1 = raw chem id,  k2 = raw spec id
+      (cooccurrence_triples' per-turn pair — covers all three shared rows
+      the pair emits: the cooccursWith edge and the two bnode legs, whose
+      bnode id hashes exactly (k1, k2))
+
+    ``n`` is plain emission multiplicity (NOT distinct turns): the same
+    function computes the base counts, each apply's adds and each
+    forget's decrements, and whole conversations enter/leave together,
+    so any consistent counting rule is exact — the cheapest one wins.
+    """
+    df = linked.filter(F.col("entity").isNotNull() & (F.col("kind") != "quantity"))
+    typ = df.select(
+        F.lit("type").alias("rk"),
+        F.col("entity").alias("k1"),
+        _kind_class_expr().alias("k2"),
+    )
+    lab = df.filter(_label_ok_expr()).select(
+        F.lit("label").alias("rk"),
+        F.col("entity").alias("k1"),
+        F.col("mention").alias("k2"),
+    )
+    ent = df.select("conv_id", "turn_idx", "entity", "entity_kind")
+    chem = ent.filter(F.col("entity_kind") == "chemical").select(
+        "conv_id", "turn_idx", F.col("entity").alias("k1")
+    )
+    spec = ent.filter(F.col("entity_kind") == "species").select(
+        "conv_id", "turn_idx", F.col("entity").alias("k2")
+    )
+    cooc = (
+        chem.join(spec, ["conv_id", "turn_idx"])
+        .select(F.lit("cooc").alias("rk"), "k1", "k2")
+    )
+    return (
+        typ.unionByName(lab)
+        .unionByName(cooc)
+        .groupBy("rk", "k1", "k2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 # Predicates of rows that can be emitted identically by DIFFERENT

@@ -172,6 +172,16 @@ def run_pipeline(
 
     linked = stage("linked", "conv_id", _link)
 
+    # raw-keyed emission refcounts (vocabulary-sized): the side table that
+    # lets a later forget decide row survival with counter arithmetic
+    # instead of re-emitting evidence from the remaining corpus
+    # (pipeline/forget.py). Raw keys are canonical-merge-invariant, so
+    # incremental applies maintain this with pure adds (pipeline/kg.py
+    # emission_refcounts).
+    from tera_spark.pipeline.kg import emission_refcounts
+
+    stage("refcounts", "k1", lambda: emission_refcounts(linked))
+
     # canonical map persisted as its own stage: downstream incremental
     # applies read it instead of re-running connected components over the
     # whole alias universe (pipeline/incremental.py runs CC only over the

@@ -12,11 +12,19 @@ from tera_spark.pipeline.forget import run_pipeline_forget
 from tera_spark.pipeline.incremental import (
     compact,
     read_live,
+    read_refcounts,
     run_pipeline_incremental,
 )
 from tera_spark.pipeline.run import run_pipeline
 
 TABLES = ("triples", "nodes", "edges", "mentions", "linked", "alias_edges")
+
+
+def _rc_rows(spark, out_dir):
+    return {
+        tuple(r)
+        for r in read_refcounts(spark, out_dir).select("rk", "k1", "k2", "n").collect()
+    }
 
 
 def _rows(spark, out_dir, table, live):
@@ -74,6 +82,9 @@ def test_forget_equals_never_ingested(spark, lexicon_fixture, tmp_path):
     _assert_equal(
         spark, ref_a, work, live=True, tables=("canonical_map", "ent_index")
     )
+    # the emission refcounts decrement to exactly the never-ingested
+    # build's counts (counts are additive over conv-disjoint batches)
+    assert _rc_rows(spark, work) == _rc_rows(spark, ref_a)
 
     # idempotent: same ids again (and unknown ids) are guarded no-ops
     res2 = run_pipeline_forget(spark, drop, lexicon, work)
@@ -87,6 +98,7 @@ def test_forget_equals_never_ingested(spark, lexicon_fixture, tmp_path):
     _assert_equal(
         spark, ref_a, work, live=False, tables=("canonical_map", "ent_index")
     )
+    assert _rc_rows(spark, work) == _rc_rows(spark, ref_a)
 
     # a forgotten conversation is re-ingestable: tombstones are sequenced,
     # so the re-add wins and the graph returns to the full-corpus state
@@ -95,12 +107,17 @@ def test_forget_equals_never_ingested(spark, lexicon_fixture, tmp_path):
     )
     assert res4.stages_run
     _assert_equal(spark, ref_all, work, live=True)
+    assert _rc_rows(spark, work) == _rc_rows(spark, ref_all)
 
 
 def test_forget_then_reingest_after_compact(spark, lexicon_fixture, tmp_path):
     """Same re-ingest guarantee when the forget was compacted first (the
     tombstones are gone from the log; the guard state must still allow the
-    conversation back)."""
+    conversation back). Also exercises the refcounts bootstrap: the side
+    table is deleted before the forget, which must rebuild it from the
+    live linked table (the legacy-layout path)."""
+    import shutil
+
     lexicon = lexicon_fixture
     t_all = transcripts_spark_df(spark, n_convs=14).cache()
     convs = sorted(r[0] for r in t_all.select("conv_id").distinct().collect())
@@ -111,6 +128,7 @@ def test_forget_then_reingest_after_compact(spark, lexicon_fixture, tmp_path):
     run_pipeline(spark, t_all, lexicon, work)
     run_pipeline(spark, t_all, lexicon, ref_all)
 
+    shutil.rmtree(f"{work}/refcounts")
     run_pipeline_forget(spark, drop, lexicon, work)
     compact(spark, work)
     res = run_pipeline_incremental(
@@ -118,6 +136,8 @@ def test_forget_then_reingest_after_compact(spark, lexicon_fixture, tmp_path):
     )
     assert res.stages_run
     _assert_equal(spark, ref_all, work, live=True)
+    # the re-ingested batch's refcounts_adds restore the full-corpus counts
+    assert _rc_rows(spark, work) == _rc_rows(spark, ref_all)
 
 
 @pytest.fixture(scope="module")

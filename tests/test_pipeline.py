@@ -58,7 +58,8 @@ def test_pipeline_end_to_end_and_resume(spark, transcripts, lexicon, tmp_path):
     out1 = str(tmp_path / "run1")
     res1 = run_pipeline(spark, transcripts, lexicon, out1)
     assert res1.stages_run == [
-        "mentions", "linked", "canonical_map", "triples", "ent_index", "nodes", "edges"
+        "mentions", "linked", "refcounts", "canonical_map", "triples",
+        "ent_index", "nodes", "edges",
     ]
 
     edges = spark.read.parquet(out1 + "/edges")
@@ -79,7 +80,7 @@ def test_pipeline_end_to_end_and_resume(spark, transcripts, lexicon, tmp_path):
 
     # resume: second run skips everything and output is bit-identical
     res2 = run_pipeline(spark, transcripts, lexicon, out1)
-    assert res2.stages_run == [] and len(res2.stages_skipped) == 7
+    assert res2.stages_run == [] and len(res2.stages_skipped) == 8
 
     # partial resume: delete the last two stages, rerun, triples unchanged
     import shutil
@@ -279,6 +280,18 @@ def test_incremental_matches_full(spark, lexicon, tmp_path):
 
     _assert_tables_equal(spark, full_dir, inc_dir, read_live, via_live=True)
 
+    # the summed refcounts side table matches the full run's (additive
+    # maintenance: base counts + each batch's refcounts_adds)
+    from tera_spark.pipeline.incremental import read_refcounts
+
+    def _rc(d):
+        return {
+            tuple(r)
+            for r in read_refcounts(spark, d).select("rk", "k1", "k2", "n").collect()
+        }
+
+    assert _rc(inc_dir) == _rc(full_dir)
+
     # idempotency: resubmitting an applied batch is a guarded no-op
     res2 = run_pipeline_incremental(spark, t2, lexicon, inc_dir, batch_id="b2-again")
     assert res2.stages_run == [] and len(res2.stages_skipped) == 6
@@ -304,6 +317,7 @@ def test_incremental_matches_full(spark, lexicon, tmp_path):
     _assert_tables_equal(spark, full_dir, inc_dir, read_live, via_live=False)
     # live view over a compacted dir is just the base
     _assert_tables_equal(spark, full_dir, inc_dir, read_live, via_live=True)
+    assert _rc(inc_dir) == _rc(full_dir)
     # the guard still knows every conversation after compaction
     res4 = run_pipeline_incremental(spark, t2, lexicon, inc_dir, batch_id="b2-postc")
     assert res4.stages_run == []
