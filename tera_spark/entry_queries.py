@@ -660,26 +660,13 @@ SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
 """
 
 
-def _sql_kg_pipeline_portable(exclude: tuple = ()) -> str:
-    """FULL KG-pipeline replay with the portable fuzzy scorer — extraction,
-    exact/fuzzy/rule linking (3-gram shingle blocking, shared≥2 +
-    Jaccard≥0.25 prefilter, levenshtein+token-sort score, 88/80 bands),
-    quantity reification (regex + digit filter + unit parse + md5 bnodes),
-    per-turn chemical×species co-occurrence, and the canonicalization
-    rewrite — all from the RAW transcript text. With scorer="portable" the
-    pipeline has NO rows-only surface left.
-
-    Two replay shortcuts, both justified:
-    - the unit map is the F1 parser evaluated over the fixture's CLOSED
-      7-unit vocabulary (embedded like the lexicon VALUES; the parser
-      itself is independently oracle-checked by f1_unit_parse);
-    - alias components are STARS by construction (u = urn:mention:<norm>
-      is unique per edge via the pick-one window and never appears as v),
-      so the connected-components representative (lexicographic min,
-      operators/canonical.py) reduces to least(v, min(u)) per v — the
-      oracle computes that closed form; the Spark side still runs the real
-      large-star/small-star CC operator.
-    """
+def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
+    """Shared DuckDB CTE chain replaying extraction + portable linking from
+    the RAW transcript text (terms, shingle blocking, prefilter, portable
+    score bands, exact/fuzzy/provisional/rule rows, quantity bnodes,
+    chemical×species co-occurrence, alias edges) — consumed by the full
+    portable-pipeline oracle AND the refcount-keys oracle. Returned string
+    is the body of a WITH clause (no leading WITH)."""
     from tera_spark.functions.similarity import sql_portable_ratio
     from tera_spark.functions.units import unit_parser
     from tera_spark.fixtures.transcripts import UNITS
@@ -693,8 +680,7 @@ def _sql_kg_pipeline_portable(exclude: tuple = ()) -> str:
         "list_distinct(list_transform(generate_series(1, len(' '||{c}||' ') - 2),"
         " i -> substr(' '||{c}||' ', i, 3)))"
     )
-    return f"""
-WITH {_sql_kg_common_ctes(exclude)},
+    return f"""{_sql_kg_common_ctes(exclude)},
 terms_norm AS (
   SELECT conv_id, turn_idx, mention,
          trim(regexp_replace(lower(mention), '\\s+', ' ', 'g')) AS norm
@@ -771,7 +757,59 @@ cooc AS (
          'urn:tera-bnode:'||md5('cooc'||chr(31)||c.entity||chr(31)||s.entity) AS bn
   FROM (SELECT * FROM ments WHERE ekind='chemical') c
   JOIN (SELECT * FROM ments WHERE ekind='species') s USING (conv_id, turn_idx)
-),
+)"""
+
+
+def _sql_kg_refcount_keys() -> str:
+    """emission_refcounts key-set replay (pipeline/kg.py — the raw-keyed
+    side table behind the forget survival probe): DuckDB re-derives from
+    raw text which (rk, k1, k2) keys exist — class resolution per link
+    method, the label_ok gating (fuzzy rows emit no label), and the
+    chemical×species pair blocking. Multiplicities are covered by pytest
+    (forget/rebuild count equality, tests/test_forget.py)."""
+    return f"""
+WITH {_sql_kg_portable_ctes()},
+mrows AS (
+  SELECT entity, kind AS ekind, mention, true AS label_ok FROM ex
+  UNION ALL SELECT entity, lex_kind, mention, false FROM fuzzy
+  UNION ALL SELECT entity, 'unknown', mention, true FROM prov
+  UNION ALL SELECT 'code:'||m, 'endpoint', m, true FROM codes
+)
+SELECT DISTINCT 'type' AS rk, entity AS k1,
+  CASE ekind WHEN 'chemical' THEN 'urn:tera-kg:Chemical'
+             WHEN 'species' THEN 'urn:tera-kg:Species'
+             WHEN 'endpoint' THEN 'urn:tera-kg:Endpoint'
+             ELSE 'urn:tera-kg:Entity' END AS k2
+FROM mrows
+UNION
+SELECT DISTINCT 'label', entity, mention FROM mrows WHERE label_ok
+UNION
+SELECT DISTINCT 'cooc', chem, spec FROM cooc
+"""
+
+
+def _sql_kg_pipeline_portable(exclude: tuple = ()) -> str:
+    """FULL KG-pipeline replay with the portable fuzzy scorer — extraction,
+    exact/fuzzy/rule linking (3-gram shingle blocking, shared≥2 +
+    Jaccard≥0.25 prefilter, levenshtein+token-sort score, 88/80 bands),
+    quantity reification (regex + digit filter + unit parse + md5 bnodes),
+    per-turn chemical×species co-occurrence, and the canonicalization
+    rewrite — all from the RAW transcript text. With scorer="portable" the
+    pipeline has NO rows-only surface left.
+
+    Two replay shortcuts, both justified:
+    - the unit map is the F1 parser evaluated over the fixture's CLOSED
+      7-unit vocabulary (embedded like the lexicon VALUES; the parser
+      itself is independently oracle-checked by f1_unit_parse);
+    - alias components are STARS by construction (u = urn:mention:<norm>
+      is unique per edge via the pick-one window and never appears as v),
+      so the connected-components representative (lexicographic min,
+      operators/canonical.py) reduces to least(v, min(u)) per v — the
+      oracle computes that closed form; the Spark side still runs the real
+      large-star/small-star CC operator.
+    """
+    return f"""
+WITH {_sql_kg_portable_ctes(exclude)},
 triples0 AS (
   SELECT 'urn:tera-kg:conv/'||conv_id AS subject, '{RDF_TYPE}' AS predicate,
          'urn:tera-kg:Conversation' AS object, false AS obj_is_literal FROM transcripts
@@ -1757,6 +1795,27 @@ def _queries() -> dict:
             shutil.rmtree(out, ignore_errors=True)
 
     q["kg_forget_triples_portable"] = kg_forget_portable
+
+    def kg_refcount_keys(spark, sf):
+        # the decremental-maintenance side table (pipeline/kg.py
+        # emission_refcounts, round-4 forget survival probe): raw
+        # pre-canonicalization emission keys over the fixture, portable
+        # scorer. The oracle re-derives the key SET from raw text (class
+        # resolution, label_ok gating, chemical×species pair blocking);
+        # the multiplicities (n) are pytest-verified (tests/test_forget.py
+        # asserts they decrement to the never-ingested build's counts).
+        from tera_spark.fixtures.transcripts import lexicon_spark_df
+        from tera_spark.pipeline.extract import extract_mentions
+        from tera_spark.pipeline.kg import emission_refcounts
+        from tera_spark.pipeline.link import link_mentions
+
+        mentions = extract_mentions(_kg_fixture(spark))
+        linked, _ = link_mentions(
+            mentions, lexicon_spark_df(spark), scorer="portable"
+        )
+        return emission_refcounts(linked).select("rk", "k1", "k2")
+
+    q["kg_refcount_keys"] = kg_refcount_keys
     return _rotate_registration(q)
 
 
@@ -1799,6 +1858,7 @@ _SAMPLE_PRIORITY = [
     "j6_string_matching_portable",
     "kg_pipeline_triples_portable",
     "kg_forget_triples_portable",
+    "kg_refcount_keys",
 ]
 
 
@@ -2271,6 +2331,7 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.40
     o["ann_ivf_topk"] = _sql_ivf_topk(k=10)
     o["mm_features"] = _sql_mm_features(64)
     o["kg_structure_triples"] = _sql_kg_structure()
+    o["kg_refcount_keys"] = _sql_kg_refcount_keys()
     o["kg_exact_link_triples"] = _sql_kg_exact_link()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
