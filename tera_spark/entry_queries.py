@@ -1114,6 +1114,28 @@ def _queries() -> dict:
 
     q["q19_sparql_groupby_count"] = q19_groupby_count
 
+    def q20_bind_minus(spark, sf):
+        # Q20: SPARQL BIND (output-only projection — compiles to
+        # withColumn, zero shuffle), MINUS (left-anti join on shared vars
+        # + term-identity flags), and FILTER || — the round-4 fragment
+        # extensions, one query.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            """
+            PREFIX x: <urn:x:>
+            SELECT ?s ?tag WHERE {
+                ?s a x:Customer .
+                ?s x:segment ?seg .
+                BIND(CONCAT("seg:", STR(?seg)) AS ?tag)
+                FILTER(?seg = "BUILDING" || ?seg = "MACHINERY")
+                MINUS { ?s x:nation <urn:x:nation/NATION_0> . }
+            }""",
+        )
+
+    q["q20_sparql_bind_minus"] = q20_bind_minus
+
     def q14_pairs(spark, sf):
         # J9: the reference's per-(chemical, species) query loop
         # (DataAccess.py:995-1022, O(|c|·|s|) full-graph SPARQL) as ONE
@@ -1859,6 +1881,7 @@ _SAMPLE_PRIORITY = [
     "kg_pipeline_triples_portable",
     "kg_forget_triples_portable",
     "kg_refcount_keys",
+    "q20_sparql_bind_minus",
 ]
 
 
@@ -1947,6 +1970,14 @@ SELECT 'urn:x:nation/'||n_name AS n, count(*) AS cnt,
        count(DISTINCT c_mktsegment) AS segs
 FROM customer JOIN nation ON c_nationkey=n_nationkey
 GROUP BY n_name
+"""
+    # Q20: every customer has exactly one nation edge, so the MINUS over
+    # x:nation NATION_0 is the n_name <> 'NATION_0' predicate
+    o["q20_sparql_bind_minus"] = """
+SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR) AS s,
+       'seg:'||c_mktsegment AS tag
+FROM customer JOIN nation ON c_nationkey=n_nationkey
+WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND n_name <> 'NATION_0'
 """
     o["q14_endpoint_relational"] = _sql_q14()  # same answer, two physical paths
     o["q14_endpoint_pairs"] = _sql_q14_pairs()

@@ -37,9 +37,27 @@ triples frame (subject, predicate, object, obj_is_literal):
   hash aggregate over the solution bag (standard SPARQL 1.1 §18.4
   semantics — partial map-side aggregation for free);
 - ``ORDER BY`` / ``OFFSET`` → a total sort only at the result shaping
-  step, never inside the join tree.
+  step, never inside the join tree;
+- ``BIND(expr AS ?v)`` → a projection column (``withColumn`` — no
+  shuffle); expr fragment: variables, constants, ``STR(?v)`` and
+  ``CONCAT(...)``. Scoped rule: the bound variable must be *output-only*
+  (not used by any triple pattern / VALUES / UNION of the group), so a
+  bind never changes join order — it is pure result shaping. FILTER,
+  SELECT, GROUP BY and ORDER BY can all consume it;
+- ``MINUS {...}`` → a left-anti join on the shared variables (plus the
+  ``__isuri_`` term-identity flags, like every other join here). SPARQL
+  1.1 §8.3 compatibility semantics hold exactly because the shared
+  columns are non-nullable on both sides — MINUS over a variable that is
+  bound only inside an OPTIONAL raises instead of silently treating an
+  unbound binding as incompatible. A MINUS sharing *no* variable with
+  the group removes nothing per §8.3 (disjoint domains are never
+  compatible) and compiles to a no-op;
+- ``FILTER`` conditions compose with ``&&`` and ``||`` (one connective
+  per parenthesization level — mixed levels need explicit parens, which
+  the fragment's queries all use), over ``=`` / ``!=`` / ``isURI`` /
+  ``STRSTARTS``.
 
-Anything outside the fragment (subqueries, MINUS, ``||``, ``BIND``,
+Anything outside the fragment (subqueries, ``GRAPH``/``SERVICE``,
 ``UNDEF`` in VALUES, zero-length paths with both ends unbound, UNION
 branches with unequal variable sets, aggregates over expressions) raises
 ``SparqlUnsupported`` loudly rather than mis-answering.
@@ -78,7 +96,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z_][\w-]*:[\w.-]*|:[\w.-]+)
   | (?P<word>[A-Za-z_]\w*)
   | (?P<num>\d+)
-  | (?P<punct>&&|\|\||[{}();,.=\[\]*+])
+  | (?P<punct>&&|\|\||!=|[{}();,.=\[\]*+])
 """,
     re.X,
 )
@@ -127,6 +145,8 @@ class Group:
     optionals: list = field(default_factory=list)  # [Group]
     unions: list = field(default_factory=list)  # [[Group, Group, ...]]
     values: list = field(default_factory=list)  # [(var names, [row terms])]
+    binds: list = field(default_factory=list)  # [(alias, expr AST)] in order
+    minuses: list = field(default_factory=list)  # [Group]
 
 
 # select item = ("var", name) | ("agg", fn, arg, distinct?, alias)
@@ -302,7 +322,15 @@ class _Parser:
             elif (k, v) == ("kw", "values"):
                 self.next()
                 g.values.append(self.parse_values())
-            elif k == "word" and v.lower() in ("minus", "graph", "service", "bind"):
+            elif k == "word" and v.lower() == "minus":
+                self.next()
+                self.expect("punct", "{")
+                g.minuses.append(self.parse_group())
+                self.expect("punct", "}")
+            elif k == "word" and v.lower() == "bind":
+                self.next()
+                g.binds.append(self.parse_bind())
+            elif k == "word" and v.lower() in ("graph", "service"):
                 raise SparqlUnsupported(f"{v.upper()} is outside the supported fragment")
             elif (k, v) == ("punct", "{"):
                 # { A } UNION { B } [UNION { C } ...] — a single braced
@@ -362,6 +390,45 @@ class _Parser:
         if not rows:
             raise SparqlSyntaxError("VALUES with no rows")
         return (names, rows)
+
+    def parse_bind(self):
+        """``BIND( expr AS ?v )`` — expr fragment: variable, constant,
+        ``STR(?v)``, ``CONCAT(e, e, ...)`` (the projection-shaping binds
+        rdflib users write; anything computational raises)."""
+        self.expect("punct", "(")
+        expr = self.parse_bind_expr()
+        self.expect("kw", "as")
+        alias = self.expect("var")[1:]
+        self.expect("punct", ")")
+        return (alias, expr)
+
+    def parse_bind_expr(self):
+        k, v = self.peek()
+        if k == "word" and v.lower() == "concat":
+            self.next()
+            self.expect("punct", "(")
+            args = [self.parse_bind_expr()]
+            while self.peek() == ("punct", ","):
+                self.next()
+                args.append(self.parse_bind_expr())
+            self.expect("punct", ")")
+            return ("bconcat", args)
+        if k == "word" and v.lower() == "str":
+            self.next()
+            self.expect("punct", "(")
+            var = self.expect("var")[1:]
+            self.expect("punct", ")")
+            return ("bstr", var)
+        if k == "num":
+            self.next()
+            return ("bconst", ("lit", v))
+        if k in ("var", "iri", "lit", "pname"):
+            term = self.parse_term()
+            return ("bvar", term[1]) if term[0] == "var" else ("bconst", term)
+        raise SparqlUnsupported(
+            f"BIND expression at {v!r} is outside the supported fragment "
+            "(variables, constants, STR, CONCAT)"
+        )
 
     def _parse_values_term(self):
         k, v = self.peek()
@@ -432,20 +499,39 @@ class _Parser:
             raise SparqlSyntaxError(f"unknown prefix {pfx!r} (pass it via prefixes=...)")
         return self.prefixes[pfx] + local
 
-    # FILTER ( cond && cond ... ) — the fragment the reference issues
+    # FILTER ( cond && cond ... ) or FILTER ( cond || cond ... ) — one
+    # connective per parenthesization level; a parenthesized sub-condition
+    # opens its own level, so mixed logic is written with explicit parens
     def parse_filter(self) -> list:
         self.expect("punct", "(")
-        conds = [self.parse_condition()]
-        while self.peek() == ("punct", "&&"):
-            self.next()
-            conds.append(self.parse_condition())
-        if self.peek() == ("punct", "||"):
-            raise SparqlUnsupported("|| in FILTER is outside the supported fragment")
+        conds = [self.parse_condition_group()]
         self.expect("punct", ")")
         return conds
 
+    def parse_condition_group(self):
+        """cond (&& cond)* | cond (|| cond)* — returns a single AST node
+        (``("and"|"or", [conds])`` when a connective appears)."""
+        conds = [self.parse_condition()]
+        op = None
+        while self.peek() in (("punct", "&&"), ("punct", "||")):
+            tok = self.next()[1]
+            if op is not None and tok != op:
+                raise SparqlUnsupported(
+                    "mixed && and || at one level — parenthesize the sub-conditions"
+                )
+            op = tok
+            conds.append(self.parse_condition())
+        if op is None:
+            return conds[0]
+        return ("and" if op == "&&" else "or", conds)
+
     def parse_condition(self):
         k, v = self.peek()
+        if (k, v) == ("punct", "("):  # nested parenthesized condition
+            self.next()
+            inner = self.parse_condition_group()
+            self.expect("punct", ")")
+            return inner
         if k == "word" and v.lower() == "isuri":
             self.next()
             self.expect("punct", "(")
@@ -462,9 +548,13 @@ class _Parser:
             return ("strstarts", var, prefix)
         if k == "var":
             self.next()
-            self.expect("punct", "=")
+            ok, ov = self.next()
+            if (ok, ov) not in (("punct", "="), ("punct", "!=")):
+                raise SparqlUnsupported(
+                    f"FILTER comparator {ov!r} is outside the supported fragment"
+                )
             rhs = self.parse_term()
-            return ("eq", v[1:], rhs)
+            return ("eq" if ov == "=" else "neq", v[1:], rhs)
         raise SparqlUnsupported(f"FILTER condition at {v!r} is outside the supported fragment")
 
     def _parse_str_arg_var(self) -> str:
@@ -556,16 +646,106 @@ def _merge(a: DataFrame, b: DataFrame, how: str = "inner") -> DataFrame:
 
 def _filter_col(df: DataFrame, cond) -> F.Column:
     op = cond[0]
+    if op == "and":
+        out = F.lit(True)
+        for c in cond[1]:
+            out = out & _filter_col(df, c)
+        return out
+    if op == "or":
+        out = F.lit(False)
+        for c in cond[1]:
+            out = out | _filter_col(df, c)
+        return out
     if op == "isuri":
         v = cond[1]
         col = f"__isuri_{v}"
         return F.col(col) if col in df.columns else F.lit(True)
     if op == "strstarts":
         return F.col(cond[1]).startswith(cond[2])
-    if op == "eq":
+    if op in ("eq", "neq"):
         _, v, rhs = cond
-        return F.col(v) == (F.col(rhs[1]) if rhs[0] == "var" else F.lit(rhs[1]))
+        rhs_col = F.col(rhs[1]) if rhs[0] == "var" else F.lit(rhs[1])
+        # lexical comparison (like eq has always done here) — SPARQL's
+        # sameTerm-vs-value subtleties don't arise in the fragment, whose
+        # comparisons are always same-kind (IRI=IRI or literal=literal)
+        return F.col(v) == rhs_col if op == "eq" else F.col(v) != rhs_col
     raise SparqlUnsupported(f"filter {op}")
+
+
+def _bind_cols(df: DataFrame, expr) -> tuple[F.Column, F.Column]:
+    """BIND expr → (value column, __isuri_ flag column)."""
+    kind = expr[0]
+    if kind == "bvar":
+        name = expr[1]
+        if name not in df.columns:
+            raise SparqlSyntaxError(f"BIND over unbound variable ?{name}")
+        flag_col = f"__isuri_{name}"
+        flag = F.col(flag_col) if flag_col in df.columns else F.lit(False)
+        return F.col(name), flag
+    if kind == "bconst":
+        tk, tv = expr[1]
+        return F.lit(tv), F.lit(tk == "iri")
+    if kind == "bstr":  # STR(?v): the lexical form — a plain literal
+        name = expr[1]
+        if name not in df.columns:
+            raise SparqlSyntaxError(f"STR over unbound variable ?{name}")
+        return F.col(name), F.lit(False)
+    if kind == "bconcat":
+        return F.concat(*[_bind_cols(df, a)[0] for a in expr[1]]), F.lit(False)
+    raise SparqlUnsupported(f"BIND expr {kind}")
+
+
+def _expr_vars(expr) -> set:
+    kind = expr[0]
+    if kind in ("bvar", "bstr"):
+        return {expr[1]}
+    if kind == "bconcat":
+        return set().union(*[_expr_vars(a) for a in expr[1]])
+    return set()
+
+
+def _group_pattern_vars(g: Group) -> set:
+    """Variables a group's joinable elements (patterns, VALUES, UNION
+    branches) consume — the set a BIND alias must stay out of."""
+    out: set = set()
+    for p in g.patterns:
+        out |= _pattern_vars(p)
+    for names, _ in g.values:
+        out |= set(names)
+    for branches in g.unions:
+        for br in branches:
+            out |= _group_pattern_vars(br)
+    return out
+
+
+def _apply_minus(df: DataFrame, graph: DataFrame, mg: Group, nullable: set) -> DataFrame:
+    """MINUS {…} → left-anti join on the shared variables plus their
+    ``__isuri_`` term-identity flags. Exact under SPARQL 1.1 §8.3 when the
+    shared columns are non-nullable (anti-join "no match" == "incompatible
+    or disjoint"); a shared variable that is optional-bound on the outer
+    side could be NULL — where §8.3 keeps the row but an anti-join's
+    null-key never matches would too, EXCEPT the right side might also
+    bind other shared vars, so raise rather than reason per-row."""
+    right = _compile_group(graph, mg)
+    keys = [
+        c for c in df.columns
+        if c in right.columns and not c.startswith("__isuri_")
+    ]
+    if not keys:
+        # §8.3: disjoint domains are never compatible — MINUS removes nothing
+        return df
+    bad = [k for k in keys if k in nullable]
+    if bad:
+        raise SparqlUnsupported(
+            f"MINUS over OPTIONAL-bound variables is outside the supported "
+            f"fragment: {bad}"
+        )
+    flag_keys = [
+        f"__isuri_{k}"
+        for k in keys
+        if f"__isuri_{k}" in df.columns and f"__isuri_{k}" in right.columns
+    ]
+    return df.join(right.select(keys + flag_keys), keys + flag_keys, "left_anti")
 
 
 def _pattern_vars(pat) -> set:
@@ -771,10 +951,34 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
     for branches in g.unions:
         u = _compile_union(graph, branches)
         df = u if df is None else _merge(df, u)
+    if g.binds and df is None:
+        raise SparqlUnsupported("BIND in a group with no triple pattern")
+    joinable = _group_pattern_vars(g) if g.binds else set()
+    for alias, expr in g.binds:
+        # output-only scoped rule (module docstring): a bind never feeds a
+        # join, so it compiles to a pure projection — zero shuffle
+        if alias in df.columns:
+            raise SparqlSyntaxError(f"BIND rebinds already-bound ?{alias}")
+        if alias in joinable:
+            raise SparqlUnsupported(
+                f"BIND variable ?{alias} is consumed by a triple pattern — "
+                "only output-only binds are in the supported fragment"
+            )
+        missing = [v for v in _expr_vars(expr) if v not in df.columns]
+        if missing:
+            raise SparqlSyntaxError(f"BIND over unbound variables: {missing}")
+        val, flag = _bind_cols(df, expr)
+        df = df.withColumn(alias, val).withColumn(f"__isuri_{alias}", flag)
     for cond in g.filters:
         df = df.filter(_filter_col(df, cond))
+    pre_opt = set(df.columns) if df is not None else set()
     for opt in g.optionals:
         df = _merge(df, _compile_group(graph, opt), how="left")
+    nullable = {
+        c for c in (set(df.columns) - pre_opt) if not c.startswith("__isuri_")
+    }
+    for mg in g.minuses:
+        df = _apply_minus(df, graph, mg, nullable)
     return df
 
 

@@ -107,7 +107,7 @@ def test_distinct_set_semantics(graph):
 
 def test_unsupported_constructs_raise(graph):
     with pytest.raises(SparqlUnsupported):
-        query_graph(graph, "SELECT ?s WHERE { ?s ?p ?o MINUS { ?s ?p ?o } }")
+        query_graph(graph, "SELECT ?s WHERE { GRAPH <urn:t:g> { ?s ?p ?o } }")
     with pytest.raises((SparqlUnsupported, SparqlSyntaxError)):
         query_graph(graph, "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s > 3) }")
     with pytest.raises(SparqlSyntaxError):
@@ -352,3 +352,139 @@ def test_aggregate_misuse_raises(graph):
     # ORDER BY a variable the projection dropped
     with pytest.raises(SparqlUnsupported, match="unprojected"):
         query_graph(graph, "SELECT ?s WHERE { ?s ?p ?o . } ORDER BY ?p")
+
+
+# ---------------------------------------------------------------------------
+# BIND, MINUS, FILTER || / != (round-4 fragment extensions)
+
+
+def test_bind_concat_str_const(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s ?tag WHERE {
+            ?s t:label ?l .
+            BIND(CONCAT("chem/", STR(?l), "!") AS ?tag)
+        }"""
+    rows = {(r.s, r.tag) for r in query_graph(graph, q).collect()}
+    assert rows == {
+        (NS + "c1", "chem/copper!"),
+        (NS + "c2", "chem/zinc!"),
+    }
+
+
+def test_bind_var_copy_preserves_isuri(graph):
+    # copying a URI-bound variable keeps term identity: isURI(?alias) holds
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?alias WHERE {
+            ?t t:chemical ?c .
+            BIND(?c AS ?alias)
+            FILTER(isURI(?alias))
+        }"""
+    assert [r.alias for r in query_graph(graph, q).collect()] == [NS + "c1"]
+    # while a CONCAT result is a plain literal: isURI(?tag) filters all rows
+    q2 = """
+        PREFIX t: <urn:t:>
+        SELECT ?tag WHERE {
+            ?t t:chemical ?c .
+            BIND(CONCAT(STR(?c)) AS ?tag)
+            FILTER(isURI(?tag))
+        }"""
+    assert query_graph(graph, q2).count() == 0
+
+
+def test_bind_misuse_raises(graph):
+    # output-only rule: a bind consumed by a pattern is refused loudly
+    with pytest.raises((SparqlUnsupported, SparqlSyntaxError)):
+        query_graph(
+            graph,
+            'PREFIX t: <urn:t:> SELECT ?s WHERE '
+            '{ BIND("copper" AS ?l) ?s t:label ?l . }',
+        )
+    with pytest.raises(SparqlSyntaxError, match="unbound"):
+        query_graph(
+            graph,
+            "PREFIX t: <urn:t:> SELECT ?x WHERE "
+            "{ ?s t:label ?l . BIND(CONCAT(?nope) AS ?x) }",
+        )
+    with pytest.raises(SparqlUnsupported, match="fragment"):
+        query_graph(
+            graph,
+            "PREFIX t: <urn:t:> SELECT ?x WHERE "
+            "{ ?s t:label ?l . BIND(NOW() AS ?x) }",
+        )
+
+
+def test_minus_removes_compatible(graph):
+    # chems that are NOT referenced by any test
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?c WHERE {
+            ?c a t:Chem .
+            MINUS { ?t t:chemical ?c . }
+        }"""
+    assert {r.c for r in query_graph(graph, q).collect()} == {NS + "c2"}
+
+
+def test_minus_disjoint_domain_is_noop(graph):
+    # SPARQL 1.1 §8.3: no shared variable -> nothing is compatible ->
+    # MINUS removes nothing (even though the right side has rows)
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?c WHERE {
+            ?c a t:Chem .
+            MINUS { ?z t:label "copper" . }
+        }"""
+    assert query_graph(graph, q).count() == 2
+
+
+def test_minus_respects_term_identity(graph):
+    # c2 t:ref  c1 (URI)  and  c2 t:note "urn:t:c1" (literal with the same
+    # lexical form): MINUS over the URI binding must not remove the literal
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?v WHERE {
+            <urn:t:c2> t:note ?v .
+            MINUS { <urn:t:c2> t:ref ?v . }
+        }"""
+    assert [r.v for r in query_graph(graph, q).collect()] == [NS + "c1"]
+
+
+def test_minus_over_optional_binding_raises(graph):
+    with pytest.raises(SparqlUnsupported, match="OPTIONAL"):
+        query_graph(
+            graph,
+            """
+            PREFIX t: <urn:t:>
+            SELECT ?c WHERE {
+                ?c a t:Chem .
+                OPTIONAL { ?c t:label ?l . }
+                MINUS { ?x t:label ?l . }
+            }""",
+        )
+
+
+def test_filter_or_and_neq(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE {
+            ?s t:label ?l .
+            FILTER(?l = "copper" || ?l = "zinc")
+            FILTER(?s != <urn:t:c1>)
+        }"""
+    assert [r.s for r in query_graph(graph, q).collect()] == [NS + "c2"]
+    # nested parens mix && under ||
+    q2 = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE {
+            ?s t:label ?l .
+            FILTER((?l = "copper" && ?s = <urn:t:c1>) || ?l = "zinc")
+        }"""
+    assert {r.s for r in query_graph(graph, q2).collect()} == {NS + "c1", NS + "c2"}
+    # unparenthesized mixing is refused, not guessed
+    with pytest.raises(SparqlUnsupported, match="parenthesize"):
+        query_graph(
+            graph,
+            'PREFIX t: <urn:t:> SELECT ?s WHERE '
+            '{ ?s t:label ?l . FILTER(?l = "a" && ?l = "b" || ?l = "c") }',
+        )
