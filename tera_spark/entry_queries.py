@@ -1136,6 +1136,26 @@ def _queries() -> dict:
 
     q["q20_sparql_bind_minus"] = q20_bind_minus
 
+    def q21_exists(spark, sf):
+        # Q21: FILTER EXISTS (left-semi) + FILTER NOT EXISTS (left-anti)
+        # on the shared variable — SPARQL's other negation form, distinct
+        # from MINUS in the uncorrelated case (unit-tested).
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            """
+            PREFIX x: <urn:x:>
+            SELECT ?s ?n WHERE {
+                ?s a x:Customer .
+                ?s x:nation ?n .
+                FILTER EXISTS { ?s x:segment "BUILDING" . }
+                FILTER NOT EXISTS { ?s x:nation <urn:x:nation/NATION_2> . }
+            }""",
+        )
+
+    q["q21_sparql_exists"] = q21_exists
+
     def q14_pairs(spark, sf):
         # J9: the reference's per-(chemical, species) query loop
         # (DataAccess.py:995-1022, O(|c|·|s|) full-graph SPARQL) as ONE
@@ -1882,6 +1902,7 @@ _SAMPLE_PRIORITY = [
     "kg_forget_triples_portable",
     "kg_refcount_keys",
     "q20_sparql_bind_minus",
+    "q21_sparql_exists",
 ]
 
 
@@ -1978,6 +1999,14 @@ SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR) AS s,
        'seg:'||c_mktsegment AS tag
 FROM customer JOIN nation ON c_nationkey=n_nationkey
 WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND n_name <> 'NATION_0'
+"""
+    # Q21: each customer has exactly one segment and one nation edge, so
+    # the EXISTS/NOT EXISTS pair is a plain conjunction of predicates
+    o["q21_sparql_exists"] = """
+SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR) AS s,
+       'urn:x:nation/'||n_name AS n
+FROM customer JOIN nation ON c_nationkey=n_nationkey
+WHERE c_mktsegment='BUILDING' AND n_name <> 'NATION_2'
 """
     o["q14_endpoint_relational"] = _sql_q14()  # same answer, two physical paths
     o["q14_endpoint_pairs"] = _sql_q14_pairs()

@@ -55,7 +55,14 @@ triples frame (subject, predicate, object, obj_is_literal):
 - ``FILTER`` conditions compose with ``&&`` and ``||`` (one connective
   per parenthesization level — mixed levels need explicit parens, which
   the fragment's queries all use), over ``=`` / ``!=`` / ``isURI`` /
-  ``STRSTARTS``.
+  ``STRSTARTS``;
+- ``FILTER [NOT] EXISTS {...}`` → a left-semi (resp. left-anti) join on
+  the shared variables + term-identity flags — the §8.1.1 substitution
+  semantics coincide with the join because the shared columns are
+  non-nullable. Unlike MINUS, a [NOT] EXISTS sharing no variable is a
+  *global* emptiness test on the inner pattern: compiled as a broadcast
+  probe of ``LIMIT 1`` of the inner result (all-or-nothing), never a
+  silent no-op.
 
 Anything outside the fragment (subqueries, ``GRAPH``/``SERVICE``,
 ``UNDEF`` in VALUES, zero-length paths with both ends unbound, UNION
@@ -147,6 +154,7 @@ class Group:
     values: list = field(default_factory=list)  # [(var names, [row terms])]
     binds: list = field(default_factory=list)  # [(alias, expr AST)] in order
     minuses: list = field(default_factory=list)  # [Group]
+    exists: list = field(default_factory=list)  # [(positive?, Group)]
 
 
 # select item = ("var", name) | ("agg", fn, arg, distinct?, alias)
@@ -318,7 +326,11 @@ class _Parser:
                 self.expect("punct", "}")
             elif (k, v) == ("kw", "filter"):
                 self.next()
-                g.filters.extend(self.parse_filter())
+                nk, nv = self.peek()
+                if nk == "word" and nv.lower() in ("exists", "not"):
+                    g.exists.append(self.parse_exists())
+                else:
+                    g.filters.extend(self.parse_filter())
             elif (k, v) == ("kw", "values"):
                 self.next()
                 g.values.append(self.parse_values())
@@ -429,6 +441,21 @@ class _Parser:
             f"BIND expression at {v!r} is outside the supported fragment "
             "(variables, constants, STR, CONCAT)"
         )
+
+    def parse_exists(self):
+        """``FILTER EXISTS { ... }`` / ``FILTER NOT EXISTS { ... }`` —
+        the paren-free form every real query writes."""
+        k, v = self.next()
+        positive = True
+        if v.lower() == "not":
+            positive = False
+            k, v = self.next()
+        if k != "word" or v.lower() != "exists":
+            raise SparqlSyntaxError(f"expected EXISTS, got {v!r}")
+        self.expect("punct", "{")
+        inner = self.parse_group()
+        self.expect("punct", "}")
+        return (positive, inner)
 
     def _parse_values_term(self):
         k, v = self.peek()
@@ -748,6 +775,33 @@ def _apply_minus(df: DataFrame, graph: DataFrame, mg: Group, nullable: set) -> D
     return df.join(right.select(keys + flag_keys), keys + flag_keys, "left_anti")
 
 
+def _apply_exists(df: DataFrame, graph: DataFrame, eg: Group, positive: bool) -> DataFrame:
+    """FILTER [NOT] EXISTS {…} → left-semi/left-anti join on the shared
+    variables + term-identity flags (exact under §8.1.1 substitution
+    because the shared columns are non-nullable — EXISTS runs before
+    OPTIONAL merges, like every other filter here). With no shared
+    variable the inner pattern is uncorrelated, so the filter is a global
+    emptiness test: probe LIMIT 1 of the inner result and keep all rows
+    or none — a broadcast of at most one row, not a full materialize."""
+    right = _compile_group(graph, eg)
+    keys = [
+        c for c in df.columns
+        if c in right.columns and not c.startswith("__isuri_")
+    ]
+    if keys:
+        flag_keys = [
+            f"__isuri_{k}"
+            for k in keys
+            if f"__isuri_{k}" in df.columns and f"__isuri_{k}" in right.columns
+        ]
+        how = "left_semi" if positive else "left_anti"
+        return df.join(right.select(keys + flag_keys), keys + flag_keys, how)
+    probe = F.broadcast(right.limit(1).select(F.lit(1).alias("__exists_probe")))
+    if positive:
+        return df.crossJoin(probe).drop("__exists_probe")
+    return df.join(probe, F.lit(True), "left_anti")
+
+
 def _pattern_vars(pat) -> set:
     return {val for kind, *rest in pat if kind == "var" for val in rest[:1]}
 
@@ -951,8 +1005,8 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
     for branches in g.unions:
         u = _compile_union(graph, branches)
         df = u if df is None else _merge(df, u)
-    if g.binds and df is None:
-        raise SparqlUnsupported("BIND in a group with no triple pattern")
+    if (g.binds or g.exists) and df is None:
+        raise SparqlUnsupported("BIND/EXISTS in a group with no triple pattern")
     joinable = _group_pattern_vars(g) if g.binds else set()
     for alias, expr in g.binds:
         # output-only scoped rule (module docstring): a bind never feeds a
@@ -971,6 +1025,8 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
         df = df.withColumn(alias, val).withColumn(f"__isuri_{alias}", flag)
     for cond in g.filters:
         df = df.filter(_filter_col(df, cond))
+    for positive, eg in g.exists:
+        df = _apply_exists(df, graph, eg, positive)
     pre_opt = set(df.columns) if df is not None else set()
     for opt in g.optionals:
         df = _merge(df, _compile_group(graph, opt), how="left")

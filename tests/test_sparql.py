@@ -488,3 +488,62 @@ def test_filter_or_and_neq(graph):
             'PREFIX t: <urn:t:> SELECT ?s WHERE '
             '{ ?s t:label ?l . FILTER(?l = "a" && ?l = "b" || ?l = "c") }',
         )
+
+
+def test_filter_exists_correlated(graph):
+    # chems referenced by at least one test
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?c WHERE {
+            ?c a t:Chem .
+            FILTER EXISTS { ?t t:chemical ?c . }
+        }"""
+    assert {r.c for r in query_graph(graph, q).collect()} == {NS + "c1"}
+
+
+def test_filter_not_exists_correlated(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?c WHERE {
+            ?c a t:Chem .
+            FILTER NOT EXISTS { ?t t:chemical ?c . }
+        }"""
+    assert {r.c for r in query_graph(graph, q).collect()} == {NS + "c2"}
+
+
+def test_filter_exists_uncorrelated_global(graph):
+    # no shared variable: a GLOBAL emptiness test, not a no-op (the
+    # §8.1.1 difference from MINUS) — inner matches, so all rows survive
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?c WHERE {
+            ?c a t:Chem .
+            FILTER EXISTS { ?z t:label "copper" . }
+        }"""
+    assert query_graph(graph, q).count() == 2
+    # inner empty -> EXISTS keeps nothing, NOT EXISTS keeps everything
+    q2 = """
+        PREFIX t: <urn:t:>
+        SELECT ?c WHERE {
+            ?c a t:Chem .
+            FILTER EXISTS { ?z t:label "nope" . }
+        }"""
+    assert query_graph(graph, q2).count() == 0
+    q3 = """
+        PREFIX t: <urn:t:>
+        SELECT ?c WHERE {
+            ?c a t:Chem .
+            FILTER NOT EXISTS { ?z t:label "nope" . }
+        }"""
+    assert query_graph(graph, q3).count() == 2
+
+
+def test_not_exists_respects_term_identity(graph):
+    # the literal "urn:t:c1" note must survive NOT EXISTS over the URI ref
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?v WHERE {
+            <urn:t:c2> t:note ?v .
+            FILTER NOT EXISTS { <urn:t:c2> t:ref ?v . }
+        }"""
+    assert [r.v for r in query_graph(graph, q).collect()] == [NS + "c1"]
