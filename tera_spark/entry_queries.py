@@ -1156,6 +1156,46 @@ def _queries() -> dict:
 
     q["q21_sparql_exists"] = q21_exists
 
+    def q22_construct(spark, sf):
+        # Q22: CONSTRUCT — materialize a derived graph (same schema as
+        # the input graph frame, so it composes with query_graph); one
+        # unionByName branch per template pattern, DISTINCT last.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            """
+            PREFIX x: <urn:x:>
+            CONSTRUCT {
+                ?c x:located_in ?n .
+                ?n a x:Place .
+            } WHERE {
+                ?c x:nation ?n .
+                ?c x:segment "BUILDING" .
+            }""",
+        )
+
+    q["q22_sparql_construct"] = q22_construct
+
+    def q23_ask(spark, sf):
+        # Q23: ASK — boolean existence, LIMIT-1 probe (scans stop at the
+        # first witness); two probes unioned so the frame shows both a
+        # true and a false answer.
+        from tera_spark.operators.sparql import query_graph
+
+        g = nations_graph(spark, sf)
+        yes = query_graph(
+            g,
+            'PREFIX x: <urn:x:> ASK { ?c x:segment "BUILDING" . '
+            "?c x:nation <urn:x:nation/NATION_1> . }",
+        ).withColumn("probe", F.lit("building_in_n1"))
+        no = query_graph(
+            g, 'PREFIX x: <urn:x:> ASK { ?c x:segment "NO_SUCH_SEGMENT" . }'
+        ).withColumn("probe", F.lit("phantom_segment"))
+        return yes.unionByName(no).select("probe", "ask")
+
+    q["q23_sparql_ask"] = q23_ask
+
     def q14_pairs(spark, sf):
         # J9: the reference's per-(chemical, species) query loop
         # (DataAccess.py:995-1022, O(|c|·|s|) full-graph SPARQL) as ONE
@@ -1903,6 +1943,8 @@ _SAMPLE_PRIORITY = [
     "kg_refcount_keys",
     "q20_sparql_bind_minus",
     "q21_sparql_exists",
+    "q22_sparql_construct",
+    "q23_sparql_ask",
 ]
 
 
@@ -2007,6 +2049,32 @@ SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR) AS s,
        'urn:x:nation/'||n_name AS n
 FROM customer JOIN nation ON c_nationkey=n_nationkey
 WHERE c_mktsegment='BUILDING' AND n_name <> 'NATION_2'
+"""
+    # Q22: CONSTRUCT template has two patterns; each customer has exactly
+    # one segment and one nation edge, so the WHERE group is the
+    # c_mktsegment='BUILDING' predicate and the template branches are the
+    # two SELECTs below (DISTINCT because a graph is a set of triples)
+    o["q22_sparql_construct"] = f"""
+WITH b AS (
+  SELECT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR) AS c,
+         'urn:x:nation/'||n_name AS n
+  FROM customer JOIN nation ON c_nationkey=n_nationkey
+  WHERE c_mktsegment='BUILDING'
+)
+SELECT DISTINCT c AS subject, 'urn:x:located_in' AS predicate, n AS object,
+       false AS obj_is_literal FROM b
+UNION
+SELECT DISTINCT n, '{RDF_TYPE}', 'urn:x:Place', false FROM b
+"""
+    # Q23: ASK == SQL EXISTS over the same join; the false probe is an
+    # EXISTS over a segment value absent from the data
+    o["q23_sparql_ask"] = """
+SELECT 'building_in_n1' AS probe,
+       EXISTS(SELECT 1 FROM customer JOIN nation ON c_nationkey=n_nationkey
+              WHERE c_mktsegment='BUILDING' AND n_name='NATION_1') AS ask
+UNION ALL
+SELECT 'phantom_segment',
+       EXISTS(SELECT 1 FROM customer WHERE c_mktsegment='NO_SUCH_SEGMENT')
 """
     o["q14_endpoint_relational"] = _sql_q14()  # same answer, two physical paths
     o["q14_endpoint_pairs"] = _sql_q14_pairs()

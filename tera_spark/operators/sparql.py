@@ -62,7 +62,14 @@ triples frame (subject, predicate, object, obj_is_literal):
   non-nullable. Unlike MINUS, a [NOT] EXISTS sharing no variable is a
   *global* emptiness test on the inner pattern: compiled as a broadcast
   probe of ``LIMIT 1`` of the inner result (all-or-nothing), never a
-  silent no-op.
+  silent no-op;
+- ``ASK {...}`` → a one-row boolean frame via ``LIMIT 1`` over the
+  compiled group — the scans stop at the first witness;
+- ``CONSTRUCT {template} WHERE {...}`` → one unionByName branch per
+  template pattern over the solution frame, DISTINCT last; §16.2
+  semantics (unbound/invalid instantiations filtered per pattern). The
+  output has the graph frame's own schema, so constructed graphs
+  compose: ``query_graph(query_graph(g, construct_q), select_q)``.
 
 Anything outside the fragment (subqueries, ``GRAPH``/``SERVICE``,
 ``UNDEF`` in VALUES, zero-length paths with both ends unbound, UNION
@@ -111,6 +118,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "prefix", "select", "where", "optional", "filter", "limit", "distinct",
     "values", "order", "group", "by", "offset", "as", "asc", "desc",
+    "construct", "ask",
 }
 
 
@@ -170,6 +178,8 @@ class Query:
     group_by: list = field(default_factory=list)  # var names
     order: list = field(default_factory=list)  # [(var, ascending?)]
     offset: int | None = None
+    form: str = "select"  # "select" | "ask" | "construct"
+    template: list = field(default_factory=list)  # construct template [(s,p,o)]
 
 
 class _Parser:
@@ -203,6 +213,50 @@ class _Parser:
                 raise SparqlSyntaxError(f"bad PREFIX name {pv!r}")
             iri = self.expect("iri")
             self.prefixes[pv[:-1] if pv.endswith(":") else pv.split(":")[0]] = iri[1:-1]
+        k, v = self.peek()
+        if (k, v) == ("kw", "ask"):
+            # ASK { ... } — boolean existence of any solution; modifiers
+            # are meaningless (a LIMIT/ORDER can't change emptiness).
+            self.next()
+            if self.peek() == ("kw", "where"):
+                self.next()
+            self.expect("punct", "{")
+            where = self.parse_group()
+            self.expect("punct", "}")
+            k, v = self.peek()
+            if k != "eof":
+                raise SparqlUnsupported(
+                    f"trailing syntax not in the supported fragment: {v!r}"
+                )
+            return Query(select=[], where=where, limit=None, distinct=False, form="ask")
+        if (k, v) == ("kw", "construct"):
+            self.next()
+            self.expect("punct", "{")
+            tmpl = self.parse_group()
+            self.expect("punct", "}")
+            if (
+                tmpl.optionals or tmpl.unions or tmpl.filters or tmpl.values
+                or tmpl.binds or tmpl.minuses or tmpl.exists
+            ):
+                raise SparqlSyntaxError(
+                    "CONSTRUCT template must contain only triple patterns"
+                )
+            if any(p[0] == "path" for _, p, _ in tmpl.patterns):
+                raise SparqlSyntaxError("property path in CONSTRUCT template")
+            if any(s[0] == "lit" for s, _, _ in tmpl.patterns):
+                raise SparqlSyntaxError("literal in CONSTRUCT subject position")
+            self.expect("kw", "where")
+            self.expect("punct", "{")
+            where = self.parse_group()
+            self.expect("punct", "}")
+            group_by, order, limit, offset = self._parse_modifiers()
+            if group_by:
+                raise SparqlUnsupported("GROUP BY with CONSTRUCT")
+            return Query(
+                select=["*"], where=where, limit=limit, distinct=True,
+                order=order, offset=offset, form="construct",
+                template=tmpl.patterns,
+            )
         self.expect("kw", "select")
         distinct = False
         if self.peek() == ("kw", "distinct"):
@@ -228,6 +282,15 @@ class _Parser:
         self.expect("punct", "{")
         where = self.parse_group()
         self.expect("punct", "}")
+        group_by, order, limit, offset = self._parse_modifiers()
+        return Query(
+            select=select, where=where, limit=limit, distinct=distinct,
+            group_by=group_by, order=order, offset=offset,
+        )
+
+    def _parse_modifiers(self):
+        """Solution modifiers after the WHERE group: GROUP BY, ORDER BY,
+        LIMIT, OFFSET — then end of query."""
         group_by: list[str] = []
         order: list[tuple[str, bool]] = []
         limit = offset = None
@@ -270,10 +333,7 @@ class _Parser:
         k, v = self.peek()
         if k != "eof":
             raise SparqlUnsupported(f"trailing syntax not in the supported fragment: {v!r}")
-        return Query(
-            select=select, where=where, limit=limit, distinct=distinct,
-            group_by=group_by, order=order, offset=offset,
-        )
+        return group_by, order, limit, offset
 
     _AGG_FNS = ("count", "min", "max", "sum", "avg")
 
@@ -1038,15 +1098,84 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
     return df
 
 
+def _construct(df: DataFrame, template: list) -> DataFrame:
+    """Instantiate a CONSTRUCT template against the solution frame: one
+    unionByName branch per template pattern, DISTINCT last (a graph is a
+    set of triples). Per SPARQL 1.1 §16.2 a solution that leaves a
+    template variable unbound (OPTIONAL) or binds a literal in
+    subject/predicate position produces no triple for that pattern —
+    those rows are filtered, not errored. Output schema matches the
+    input graph frame (subject, predicate, object, obj_is_literal), so a
+    constructed graph can be fed straight back into query_graph."""
+    parts = []
+    for pat in template:
+        d = df
+        cols = []
+        obj_lit = None
+        for term, name in zip(pat, ("subject", "predicate", "object")):
+            kind, val = term[0], term[1]
+            if kind == "var":
+                if val.startswith("_bn"):
+                    raise SparqlUnsupported("blank node in CONSTRUCT template")
+                if val not in df.columns:
+                    raise SparqlSyntaxError(
+                        f"CONSTRUCT template variable never bound: ?{val}"
+                    )
+                d = d.filter(F.col(val).isNotNull())
+                flag = f"__isuri_{val}"
+                if name != "object":
+                    if flag in df.columns:
+                        d = d.filter(F.col(flag))  # URIs only in s/p position
+                else:
+                    obj_lit = ~F.col(flag) if flag in df.columns else F.lit(False)
+                cols.append(F.col(val).alias(name))
+            else:
+                if name != "object" and kind == "lit":
+                    raise SparqlSyntaxError(
+                        "literal in CONSTRUCT subject/predicate position"
+                    )
+                if name == "object":
+                    obj_lit = F.lit(kind == "lit")
+                cols.append(F.lit(val).alias(name))
+        parts.append(d.select(*cols, obj_lit.alias("obj_is_literal")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
 def query_graph(
     graph: DataFrame, q: str, prefixes: dict[str, str] | None = None
 ) -> DataFrame:
-    """Run a SPARQL SELECT (the reference's fragment) over a triples frame.
-    Returns one column per selected variable; results are DISTINCT (the
-    reference materializes rdflib rows into a set)."""
+    """Run a SPARQL query (the reference's fragment) over a triples frame.
+    SELECT returns one column per selected variable, DISTINCT (the
+    reference materializes rdflib rows into a set); ASK returns a single
+    boolean row (column ``ask``) without materializing more than one
+    inner solution; CONSTRUCT returns a triples frame with the same
+    schema as the input graph."""
     parser = _Parser(_tokenize(q), prefixes or {})
     ast = parser.parse_query()
     df = _compile_group(graph, ast.where)
+    if ast.form == "ask":
+        # emptiness probe: limit(1) stops every scan at the first match
+        return (
+            df.select(F.lit(1).alias("__x"))
+            .limit(1)
+            .agg((F.count("__x") > F.lit(0)).alias("ask"))
+        )
+    if ast.form == "construct":
+        if ast.order:
+            bad = [v for v, _ in ast.order if v not in df.columns]
+            if bad:
+                raise SparqlUnsupported(f"ORDER BY over unbound variables: {bad}")
+            df = df.orderBy(
+                *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in ast.order]
+            )
+        if ast.offset is not None:
+            df = df.offset(ast.offset)
+        if ast.limit is not None:
+            df = df.limit(ast.limit)
+        return _construct(df, ast.template)
     has_aggs = ast.select != ["*"] and any(s[0] == "agg" for s in ast.select)
     if has_aggs or ast.group_by:
         out = _aggregate(df, ast)

@@ -547,3 +547,88 @@ def test_not_exists_respects_term_identity(graph):
             FILTER NOT EXISTS { <urn:t:c2> t:ref ?v . }
         }"""
     assert [r.v for r in query_graph(graph, q).collect()] == [NS + "c1"]
+
+
+def test_ask_true_false(graph):
+    q = 'PREFIX t: <urn:t:> ASK { ?c a t:Chem . FILTER(?c = <urn:t:c1>) }'
+    assert [r.ask for r in query_graph(graph, q).collect()] == [True]
+    q2 = 'PREFIX t: <urn:t:> ASK WHERE { ?s t:label "nope" . }'
+    assert [r.ask for r in query_graph(graph, q2).collect()] == [False]
+
+
+def test_construct_basic(graph):
+    # rewrite label edges into a new vocabulary; tag the subject type
+    q = """
+        PREFIX t: <urn:t:>
+        PREFIX o: <urn:o:>
+        CONSTRUCT {
+            ?c o:name ?l .
+            ?c a o:Thing .
+        } WHERE { ?c t:label ?l . }"""
+    out = query_graph(graph, q)
+    assert out.columns == ["subject", "predicate", "object", "obj_is_literal"]
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        (NS + "c1", "urn:o:name", "copper", True),
+        (NS + "c2", "urn:o:name", "zinc", True),
+        (NS + "c1", RDF + "type", "urn:o:Thing", False),
+        (NS + "c2", RDF + "type", "urn:o:Thing", False),
+    }
+
+
+def test_construct_composes_with_query(graph):
+    # a constructed graph is itself queryable (closure property)
+    q = """
+        PREFIX t: <urn:t:>
+        PREFIX o: <urn:o:>
+        CONSTRUCT { ?c o:name ?l . } WHERE { ?c t:label ?l . }"""
+    derived = query_graph(graph, q)
+    back = query_graph(
+        derived, 'PREFIX o: <urn:o:> SELECT ?l WHERE { <urn:t:c2> o:name ?l . }'
+    )
+    assert [r.l for r in back.collect()] == ["zinc"]
+
+
+def test_construct_skips_literal_in_subject_position(graph):
+    # ?v binds the literal "urn:t:c1" (note) AND the URI urn:t:c1 (ref);
+    # using ?v as CONSTRUCT subject must keep only the URI instantiation
+    q = """
+        PREFIX t: <urn:t:>
+        CONSTRUCT { ?v t:seen "y" . } WHERE { <urn:t:c2> ?p ?v . }"""
+    rows = {tuple(r) for r in query_graph(graph, q).collect()}
+    assert rows == {
+        (NS + "c1", NS + "seen", "y", True),
+        (NS + "Chem", NS + "seen", "y", True),
+    }
+
+
+def test_construct_skips_unbound_optional(graph):
+    # t1 has no t:label; the OPTIONAL leaves ?l null -> no triple emitted
+    q = """
+        PREFIX t: <urn:t:>
+        CONSTRUCT { ?s t:copy ?l . } WHERE {
+            ?s a ?type .
+            OPTIONAL { ?s t:label ?l . }
+        }"""
+    rows = {tuple(r) for r in query_graph(graph, q).collect()}
+    assert rows == {
+        (NS + "c1", NS + "copy", "copper", True),
+        (NS + "c2", NS + "copy", "zinc", True),
+    }
+
+
+def test_construct_rejects_out_of_fragment():
+    import pyspark.sql.functions as F  # noqa: F401 - parse-only tests below
+
+    from tera_spark.operators.sparql import _Parser, _tokenize
+
+    with pytest.raises(SparqlSyntaxError):
+        _Parser(
+            _tokenize('CONSTRUCT { ?s ?p ?o . FILTER(?s = "x") } WHERE { ?s ?p ?o . }'),
+            {},
+        ).parse_query()
+    with pytest.raises(SparqlSyntaxError):
+        _Parser(
+            _tokenize('CONSTRUCT { "lit" <urn:p> ?o . } WHERE { ?s <urn:p> ?o . }'),
+            {},
+        ).parse_query()
