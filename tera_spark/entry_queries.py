@@ -1196,6 +1196,79 @@ def _queries() -> dict:
 
     q["q23_sparql_ask"] = q23_ask
 
+    def q24_path_seq(spark, sf):
+        # Q24: property-path SEQUENCE (SPARQL 1.1 §9) — customer's region
+        # in one pattern, x:nation/rdfs:subClassOf. Compiles to a join of
+        # the two predicate slices on RDF term identity of the middle
+        # node; both slices are partition-pruned scans.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            "PREFIX x: <urn:x:> PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+            "SELECT ?c ?r WHERE { ?c x:nation/rdfs:subClassOf ?r }",
+        )
+
+    q["q24_sparql_path_seq"] = q24_path_seq
+
+    def q25_path_alt(spark, sf):
+        # Q25: path ALTERNATION under a sequence — a customer's nation
+        # name via either label predicate (the alternate-label shape that
+        # motivates | in real schemas), ending at literals.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            "PREFIX x: <urn:x:> PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+            "SELECT ?c ?l WHERE { ?c x:nation/(rdfs:label|x:nickname) ?l }",
+        )
+
+    q["q25_sparql_path_alt"] = q25_path_alt
+
+    def q26_path_inverse_closure(spark, sf):
+        # Q26: INVERSE + transitive closure + sequence, seeded from a
+        # constant: labels of all strict descendants of cust/5 in the
+        # binary-tree hierarchy. The whole path inverts to a constant-
+        # subject fold, so the closure runs as frontier BFS (node sets),
+        # never a pair closure.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            taxo_graph(spark, sf),
+            "PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> "
+            "SELECT ?l WHERE { <urn:x:cust/5> ^rdfs:subClassOf+/rdfs:label ?l }",
+        )
+
+    q["q26_sparql_path_inverse_closure"] = q26_path_inverse_closure
+
+    def q27_having(spark, sf):
+        # Q27: GROUP BY + HAVING over an aggregate — rides the same hash
+        # aggregate as the SELECT aggregate (one shuffle), filtered
+        # post-agg.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            """
+            PREFIX x: <urn:x:>
+            SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c x:nation ?n }
+            GROUP BY ?n HAVING(COUNT(?c) >= 60)""",
+        )
+
+    q["q27_sparql_having"] = q27_having
+
+    def q28_describe(spark, sf):
+        # Q28: DESCRIBE — the out-edge slice of the described node, as a
+        # graph frame (composes with query_graph). One semi-join against
+        # the subject column.
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf), "DESCRIBE <urn:x:nation/NATION_3>"
+        )
+
+    q["q28_sparql_describe"] = q28_describe
+
     def q14_pairs(spark, sf):
         # J9: the reference's per-(chemical, species) query loop
         # (DataAccess.py:995-1022, O(|c|·|s|) full-graph SPARQL) as ONE
@@ -1945,6 +2018,11 @@ _SAMPLE_PRIORITY = [
     "q21_sparql_exists",
     "q22_sparql_construct",
     "q23_sparql_ask",
+    "q24_sparql_path_seq",
+    "q25_sparql_path_alt",
+    "q26_sparql_path_inverse_closure",
+    "q27_sparql_having",
+    "q28_sparql_describe",
 ]
 
 
@@ -2075,6 +2153,47 @@ SELECT 'building_in_n1' AS probe,
 UNION ALL
 SELECT 'phantom_segment',
        EXISTS(SELECT 1 FROM customer WHERE c_mktsegment='NO_SUCH_SEGMENT')
+"""
+    # Q24: the sequence path == the two-hop relational join
+    o["q24_sparql_path_seq"] = """
+SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR) AS c,
+       'urn:x:region/'||r_name AS r
+FROM customer JOIN nation ON c_nationkey=n_nationkey
+              JOIN region ON n_regionkey=r_regionkey
+"""
+    # Q25: alternation fans out to a UNION of the two label predicates
+    o["q25_sparql_path_alt"] = """
+SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR) AS c, n_name AS l
+FROM customer JOIN nation ON c_nationkey=n_nationkey
+UNION
+SELECT DISTINCT 'urn:x:customer/'||CAST(c_custkey AS VARCHAR), lower(n_name)
+FROM customer JOIN nation ON c_nationkey=n_nationkey
+"""
+    # Q26: strict descendants of cust/5 in the k -> k//2 tree, then labels
+    o["q26_sparql_path_inverse_closure"] = """
+WITH RECURSIVE d(k) AS (
+  SELECT c_custkey FROM customer WHERE c_custkey//2 = 5
+  UNION
+  SELECT c.c_custkey FROM customer c JOIN d ON c.c_custkey//2 = d.k
+)
+SELECT DISTINCT c_name AS l FROM customer JOIN d ON c_custkey = d.k
+"""
+    # Q27: every (customer, nation) solution is distinct, so COUNT(?c)
+    # per nation is the relational per-nation customer count
+    o["q27_sparql_having"] = """
+SELECT 'urn:x:nation/'||n_name AS n, count(*) AS cnt
+FROM customer JOIN nation ON c_nationkey=n_nationkey
+GROUP BY n_name HAVING count(*) >= 60
+"""
+    # Q28: DESCRIBE == the node's three out-edges in the nations graph
+    o["q28_sparql_describe"] = f"""
+SELECT 'urn:x:nation/NATION_3' AS subject, '{RDFS_SUBCLASSOF}' AS predicate,
+       'urn:x:region/'||r_name AS object, false AS obj_is_literal
+FROM nation JOIN region ON n_regionkey=r_regionkey WHERE n_name='NATION_3'
+UNION
+SELECT 'urn:x:nation/NATION_3', '{RDFS_LABEL}', 'NATION_3', true
+UNION
+SELECT 'urn:x:nation/NATION_3', 'urn:x:nickname', 'nation_3', true
 """
     o["q14_endpoint_relational"] = _sql_q14()  # same answer, two physical paths
     o["q14_endpoint_pairs"] = _sql_q14_pairs()

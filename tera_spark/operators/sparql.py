@@ -21,13 +21,25 @@ triples frame (subject, predicate, object, obj_is_literal):
 - ``{A} UNION {B}`` → branches compiled independently and unioned (the
   scoped rule: all branches must bind the same variable set, so bindings
   never go NULL and the surrounding joins stay exact equi-joins);
-- ``p*`` / ``p+`` property paths → iterative frontier closure (the same
-  checkpointed BFS as operators/query_api.subclass_closure, generalized
-  to any predicate): with one end constant it is a seeded reachability
-  scan, with both ends variable (``+`` only) a pairwise closure of the
-  predicate's edge slice — meant for schema-sized relations like
+- property paths (SPARQL 1.1 §9): the full algebra over atomic
+  predicates — sequence ``p/q``, alternation ``p|q``, inverse ``^p``,
+  grouping ``(...)`` and the ``*`` / ``+`` / ``?`` modifiers, nested
+  arbitrarily. ``^`` is normalized away at parse time (pushed onto the
+  atoms, reversing sequences), so the compiler only sees forward /
+  backward atomic slices composed by joins on RDF *term identity*
+  (value + IRI-vs-literal kind — a path may legally pass through a
+  literal via an inverse step). Closures (``*``/``+``) are iterative
+  frontier BFS (the same checkpointed loop as
+  operators/query_api.subclass_closure): with one end constant the
+  whole path folds as a *seeded node set* — each step is the image of
+  the frontier under the element's relation, so the corpus-sized pair
+  closure never materializes; with both ends variable, ``+`` (and
+  closures embedded mid-sequence) fall back to a pairwise closure of
+  the element's edge slice — meant for schema-sized relations like
   ``rdfs:subClassOf`` (the chains the reference builds textually,
-  DataAccess.py:187-201), never fact-sized ones;
+  DataAccess.py:187-201), never fact-sized ones. Constant ends of
+  closure-free paths push down as ordinary scan filters through the
+  join tree (Catalyst propagates them into the leftmost slice);
 - result → DISTINCT over the projected variables (rdflib's
   ``query_graph`` wraps results in a set — DataAccess.py:103-105);
 - ``VALUES`` → an inline broadcast table joined FIRST (the most selective
@@ -55,7 +67,18 @@ triples frame (subject, predicate, object, obj_is_literal):
 - ``FILTER`` conditions compose with ``&&`` and ``||`` (one connective
   per parenthesization level — mixed levels need explicit parens, which
   the fragment's queries all use), over ``=`` / ``!=`` / ``isURI`` /
-  ``STRSTARTS``;
+  ``STRSTARTS``, plus numeric ``<`` / ``>`` / ``<=`` / ``>=`` (both
+  sides cast to double — the graph stores literals lexically; a
+  non-numeric lexical form casts to NULL and the row drops, which is
+  exactly SPARQL's type-error-eliminates-the-solution rule);
+- ``HAVING (agg cmp number [&& ...])`` after GROUP BY → extra internal
+  aggregate columns filtered post-agg and dropped before projection
+  (one hash aggregate total, same as SQL HAVING);
+- ``DESCRIBE <iri>... [?v... WHERE {...}]`` → the out-edge slice of the
+  described node set (a left-semi join of the graph against the set —
+  concise-bounded description without bnode chasing, since this engine's
+  bnodes are already skolemized IRIs); returns the graph frame schema
+  so the output composes with query_graph;
 - ``FILTER [NOT] EXISTS {...}`` → a left-semi (resp. left-anti) join on
   the shared variables + term-identity flags — the §8.1.1 substitution
   semantics coincide with the join because the shared columns are
@@ -72,9 +95,10 @@ triples frame (subject, predicate, object, obj_is_literal):
   compose: ``query_graph(query_graph(g, construct_q), select_q)``.
 
 Anything outside the fragment (subqueries, ``GRAPH``/``SERVICE``,
-``UNDEF`` in VALUES, zero-length paths with both ends unbound, UNION
-branches with unequal variable sets, aggregates over expressions) raises
-``SparqlUnsupported`` loudly rather than mis-answering.
+``UNDEF`` in VALUES, zero-length paths with both ends unbound, negated
+property sets ``!(...)``, UNION branches with unequal variable sets,
+aggregates over expressions) raises ``SparqlUnsupported`` loudly rather
+than mis-answering.
 """
 
 from __future__ import annotations
@@ -109,8 +133,8 @@ _TOKEN_RE = re.compile(
   | (?P<var>\?[A-Za-z_]\w*)
   | (?P<pname>[A-Za-z_][\w-]*:[\w.-]*|:[\w.-]+)
   | (?P<word>[A-Za-z_]\w*)
-  | (?P<num>\d+)
-  | (?P<punct>&&|\|\||!=|[{}();,.=\[\]*+])
+  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<punct>&&|\|\||!=|>=|<=|[{}();,.=\[\]*+/^|?<>!])
 """,
     re.X,
 )
@@ -118,7 +142,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "prefix", "select", "where", "optional", "filter", "limit", "distinct",
     "values", "order", "group", "by", "offset", "as", "asc", "desc",
-    "construct", "ask",
+    "construct", "ask", "having", "describe",
 }
 
 
@@ -178,8 +202,9 @@ class Query:
     group_by: list = field(default_factory=list)  # var names
     order: list = field(default_factory=list)  # [(var, ascending?)]
     offset: int | None = None
-    form: str = "select"  # "select" | "ask" | "construct"
+    form: str = "select"  # "select" | "ask" | "construct" | "describe"
     template: list = field(default_factory=list)  # construct template [(s,p,o)]
+    having: list = field(default_factory=list)  # [(fn, arg, distinct?, op, number)]
 
 
 class _Parser:
@@ -229,6 +254,40 @@ class _Parser:
                     f"trailing syntax not in the supported fragment: {v!r}"
                 )
             return Query(select=[], where=where, limit=None, distinct=False, form="ask")
+        if (k, v) == ("kw", "describe"):
+            # DESCRIBE <iri>... ?v... [WHERE {...}] — the node set is the
+            # listed constants plus the WHERE solutions of the listed
+            # variables; modifiers are meaningless for a graph result.
+            self.next()
+            terms: list = []
+            while True:
+                k, v = self.peek()
+                if k == "var":
+                    terms.append(("var", v[1:]))
+                    self.next()
+                elif k in ("iri", "pname"):
+                    terms.append(self.parse_term())
+                else:
+                    break
+            if not terms:
+                raise SparqlSyntaxError("empty DESCRIBE clause")
+            where = Group()
+            if self.peek() == ("kw", "where"):
+                self.next()
+                self.expect("punct", "{")
+                where = self.parse_group()
+                self.expect("punct", "}")
+            elif any(t[0] == "var" for t in terms):
+                raise SparqlSyntaxError("DESCRIBE ?var without a WHERE group")
+            k, v = self.peek()
+            if k != "eof":
+                raise SparqlUnsupported(
+                    f"trailing syntax not in the supported fragment: {v!r}"
+                )
+            return Query(
+                select=terms, where=where, limit=None, distinct=True,
+                form="describe",
+            )
         if (k, v) == ("kw", "construct"):
             self.next()
             self.expect("punct", "{")
@@ -249,8 +308,8 @@ class _Parser:
             self.expect("punct", "{")
             where = self.parse_group()
             self.expect("punct", "}")
-            group_by, order, limit, offset = self._parse_modifiers()
-            if group_by:
+            group_by, order, limit, offset, having = self._parse_modifiers()
+            if group_by or having:
                 raise SparqlUnsupported("GROUP BY with CONSTRUCT")
             return Query(
                 select=["*"], where=where, limit=limit, distinct=True,
@@ -282,20 +341,30 @@ class _Parser:
         self.expect("punct", "{")
         where = self.parse_group()
         self.expect("punct", "}")
-        group_by, order, limit, offset = self._parse_modifiers()
+        group_by, order, limit, offset, having = self._parse_modifiers()
         return Query(
             select=select, where=where, limit=limit, distinct=distinct,
-            group_by=group_by, order=order, offset=offset,
+            group_by=group_by, order=order, offset=offset, having=having,
         )
 
     def _parse_modifiers(self):
-        """Solution modifiers after the WHERE group: GROUP BY, ORDER BY,
-        LIMIT, OFFSET — then end of query."""
+        """Solution modifiers after the WHERE group: GROUP BY, HAVING,
+        ORDER BY, LIMIT, OFFSET — then end of query."""
         group_by: list[str] = []
         order: list[tuple[str, bool]] = []
+        having: list = []
         limit = offset = None
         while True:
             k, v = self.peek()
+            if (k, v) == ("kw", "having"):
+                self.next()
+                self.expect("punct", "(")
+                having.append(self._parse_having_cond())
+                while self.peek() == ("punct", "&&"):
+                    self.next()
+                    having.append(self._parse_having_cond())
+                self.expect("punct", ")")
+                continue
             if (k, v) == ("kw", "group"):
                 self.next()
                 self.expect("kw", "by")
@@ -333,9 +402,44 @@ class _Parser:
         k, v = self.peek()
         if k != "eof":
             raise SparqlUnsupported(f"trailing syntax not in the supported fragment: {v!r}")
-        return group_by, order, limit, offset
+        return group_by, order, limit, offset, having
 
     _AGG_FNS = ("count", "min", "max", "sum", "avg")
+
+    _CMP_OPS = ("=", "!=", "<", ">", "<=", ">=")
+
+    def _parse_having_cond(self):
+        """``agg([DISTINCT] ?v | *) cmp number`` — one comparison of one
+        aggregate against a numeric constant (chainable with ``&&``)."""
+        k, fn = self.next()
+        if k not in ("word", "kw") or fn.lower() not in self._AGG_FNS:
+            raise SparqlUnsupported(
+                f"HAVING expression {fn!r} is outside the supported fragment "
+                f"(aggregates: {', '.join(self._AGG_FNS)})"
+            )
+        fn = fn.lower()
+        self.expect("punct", "(")
+        agg_distinct = False
+        if self.peek() == ("kw", "distinct"):
+            self.next()
+            agg_distinct = True
+        k, v = self.next()
+        if k == "var":
+            arg = v[1:]
+        elif (k, v) == ("punct", "*") and fn == "count" and not agg_distinct:
+            arg = "*"
+        else:
+            raise SparqlUnsupported(f"HAVING aggregate argument {v!r}")
+        self.expect("punct", ")")
+        ok, ov = self.next()
+        if ok != "punct" or ov not in self._CMP_OPS:
+            raise SparqlUnsupported(f"HAVING comparator {ov!r}")
+        nk, nv = self.next()
+        if nk != "num":
+            raise SparqlUnsupported(
+                "HAVING comparison against a non-numeric constant"
+            )
+        return (fn, arg, agg_distinct, ov, float(nv))
 
     def parse_select_agg(self):
         """``( COUNT([DISTINCT] ?x | *) AS ?alias )`` — the aggregate form
@@ -528,17 +632,78 @@ class _Parser:
             return ("lit", v)
         return self.parse_term()
 
+    def parse_path(self):
+        """Property-path expression in predicate position (SPARQL 1.1 §9)::
+
+            PathAlt  ::= PathSeq ('|' PathSeq)*
+            PathSeq  ::= PathEltOrInv ('/' PathEltOrInv)*
+            PathEltOrInv ::= '^'? PathElt
+            PathElt  ::= (iri | 'a' | '(' PathAlt ')') ('*'|'+'|'?')?
+
+        A bare IRI parses to the plain ``("iri", v)`` pattern term (the
+        common case — no path machinery engages); a bare variable to
+        ``("var", v)`` (variable predicates are plain patterns, never
+        paths). Everything else becomes ``("path", node)`` over the
+        algebra ``("p", iri) | ("pinv", iri) | ("seq", [...]) |
+        ("alt", [...]) | ("star"|"plus"|"opt", node)``; ``^`` is
+        normalized away here (pushed onto the atoms, reversing
+        sequences), so the compiler never sees an inverse node."""
+        node = self._parse_path_alt()
+        if node[0] == "pvar":
+            return ("var", node[1])
+        if node[0] == "p":
+            return ("iri", node[1])
+        if _path_has_var(node):
+            raise SparqlUnsupported("property path over a variable predicate")
+        return ("path", node)
+
+    def _parse_path_alt(self):
+        parts = [self._parse_path_seq()]
+        while self.peek() == ("punct", "|"):
+            self.next()
+            parts.append(self._parse_path_seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def _parse_path_seq(self):
+        parts = [self._parse_path_elt()]
+        while self.peek() == ("punct", "/"):
+            self.next()
+            parts.append(self._parse_path_elt())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def _parse_path_elt(self):
+        inv = self.peek() == ("punct", "^")
+        if inv:
+            self.next()
+        k, v = self.peek()
+        if (k, v) == ("punct", "!"):
+            raise SparqlUnsupported(
+                "negated property set (!) is outside the supported fragment"
+            )
+        if (k, v) == ("punct", "("):
+            self.next()
+            node = self._parse_path_alt()
+            self.expect("punct", ")")
+        else:
+            t = self.parse_term(allow_a=True)
+            if t[0] == "lit":
+                raise SparqlSyntaxError("literal in predicate position")
+            node = ("pvar", t[1]) if t[0] == "var" else ("p", t[1])
+        k, v = self.peek()
+        if (k, v) in (("punct", "*"), ("punct", "+"), ("punct", "?")):
+            self.next()
+            if node[0] == "pvar":
+                raise SparqlUnsupported("property path over a variable predicate")
+            node = ({"*": "star", "+": "plus", "?": "opt"}[v], node)
+        if inv:
+            if node[0] == "pvar":
+                raise SparqlUnsupported("property path over a variable predicate")
+            node = _invert_path(node)
+        return node
+
     def parse_predobj(self, subj, g: Group) -> None:
         while True:
-            pred = self.parse_term(allow_a=True)
-            if pred[0] == "lit":
-                raise SparqlSyntaxError("literal in predicate position")
-            k, v = self.peek()
-            if pred[0] == "iri" and (k, v) in (("punct", "*"), ("punct", "+")):
-                self.next()
-                pred = ("path", pred[1], v)  # p* / p+ property path
-            elif pred[0] == "var" and (k, v) in (("punct", "*"), ("punct", "+")):
-                raise SparqlUnsupported("property path over a variable predicate")
+            pred = self.parse_path()
             while True:
                 obj = self.parse_term_or_bnode(g)
                 g.patterns.append((subj, pred, obj))
@@ -636,12 +801,26 @@ class _Parser:
         if k == "var":
             self.next()
             ok, ov = self.next()
-            if (ok, ov) not in (("punct", "="), ("punct", "!=")):
+            if ok != "punct" or ov not in self._CMP_OPS:
                 raise SparqlUnsupported(
                     f"FILTER comparator {ov!r} is outside the supported fragment"
                 )
-            rhs = self.parse_term()
-            return ("eq" if ov == "=" else "neq", v[1:], rhs)
+            if self.peek()[0] == "num":
+                rhs = ("num", self.next()[1])
+            else:
+                rhs = self.parse_term()
+            if ov in ("=", "!="):
+                # lexical term comparison (the graph stores literals
+                # lexically; the fragment's equalities are same-kind)
+                if rhs[0] == "num":
+                    rhs = ("lit", rhs[1])
+                return ("eq" if ov == "=" else "neq", v[1:], rhs)
+            if rhs[0] not in ("num", "var"):
+                raise SparqlUnsupported(
+                    f"FILTER {ov} against a non-numeric constant is outside "
+                    "the supported fragment"
+                )
+            return ("cmp", ov, v[1:], rhs)
         raise SparqlUnsupported(f"FILTER condition at {v!r} is outside the supported fragment")
 
     def _parse_str_arg_var(self) -> str:
@@ -756,6 +935,25 @@ def _filter_col(df: DataFrame, cond) -> F.Column:
         # sameTerm-vs-value subtleties don't arise in the fragment, whose
         # comparisons are always same-kind (IRI=IRI or literal=literal)
         return F.col(v) == rhs_col if op == "eq" else F.col(v) != rhs_col
+    if op == "cmp":
+        # numeric comparison: both sides cast to double. A non-numeric
+        # lexical form casts to NULL and the row drops — exactly SPARQL's
+        # type-error-eliminates-the-solution semantics.
+        _, cmp_op, v, rhs = cond
+        # try_cast, not cast: under ANSI mode a plain cast THROWS on a
+        # non-numeric lexical form; try_cast yields NULL and the row drops
+        lcol = F.col(v).try_cast("double")
+        rcol = (
+            F.col(rhs[1]).try_cast("double")
+            if rhs[0] == "var"
+            else F.lit(float(rhs[1]))
+        )
+        return {
+            "<": lcol < rcol,
+            ">": lcol > rcol,
+            "<=": lcol <= rcol,
+            ">=": lcol >= rcol,
+        }[cmp_op]
     raise SparqlUnsupported(f"filter {op}")
 
 
@@ -867,111 +1065,285 @@ def _pattern_vars(pat) -> set:
 
 
 # ---- property paths -------------------------------------------------------
+#
+# Two complementary evaluation strategies, chosen by how the pattern binds:
+#
+# * both ends variable → PAIR relations (_src, _src_isuri, _dst,
+#   _dst_isuri): atoms are predicate slices (partition-pruned scans),
+#   sequence is a join on RDF term identity of the middle node, closure is
+#   a pairwise frontier loop — quadratic in the relation's reach, meant
+#   for schema-sized relations (class/property hierarchies), never
+#   fact-sized ones;
+# * one end constant → NODE SETS (_n, _n_isuri): the path folds left to
+#   right as images of the frontier under each element's relation, so a
+#   closure is the same checkpointed seeded BFS as
+#   query_api.subclass_closure and the corpus-sized pair closure never
+#   materializes. A constant OBJECT is normalized to a constant subject
+#   by inverting the whole path AST first.
+#
+# Term identity (value + IRI-vs-literal kind) is carried through every
+# join: a path may legally pass through a literal when an inverse step
+# follows a literal-valued predicate, and a URI and a literal sharing a
+# lexical form must not meet.
 
 
-def _path_edges(graph: DataFrame, pred: str) -> DataFrame:
-    """The predicate's edge slice (partition-pruned on the materialized
-    graph). Literal objects are terminal and can't continue a path; the
-    fragment's target relations (subClassOf-like hierarchies) are all
-    IRI→IRI, so they are excluded from the closure entirely."""
+def _invert_path(n):
+    """AST-level path inversion: ``^`` never reaches the compiler."""
+    k = n[0]
+    if k == "p":
+        return ("pinv", n[1])
+    if k == "pinv":
+        return ("p", n[1])
+    if k == "pvar":
+        return n
+    if k == "seq":
+        return ("seq", [_invert_path(x) for x in reversed(n[1])])
+    if k == "alt":
+        return ("alt", [_invert_path(x) for x in n[1]])
+    return (k, _invert_path(n[1]))  # star / plus / opt
+
+
+def _path_has_var(n) -> bool:
+    k = n[0]
+    if k == "pvar":
+        return True
+    if k in ("p", "pinv"):
+        return False
+    if k in ("seq", "alt"):
+        return any(_path_has_var(x) for x in n[1])
+    return _path_has_var(n[1])
+
+
+_REL_COLS = ["_src", "_src_isuri", "_dst", "_dst_isuri"]
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` with constraint propagation disabled for the
+    materializing plan. Spark 4.1's ``LogicalRDD.rewriteStatsAndConstraints``
+    throws ``NoSuchElementException: key not found: _src_isuri#N`` when a
+    checkpointed plan's inferred constraints reference an attribute that
+    constant-folding erased from the attribute-rewrite map — which path
+    relations hit constantly, because the term-kind flags are often
+    ``lit(True)``-derived (every RDF subject is an IRI). The constraint
+    loss only affects this subplan's own optimization, and the frames
+    being checkpointed here are frontier/pair tables where constraints
+    buy nothing."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = conf.get(key)
+    conf.set(key, "false")
+    try:
+        return df.localCheckpoint()
+    finally:
+        conf.set(key, prev)
+
+
+def _rel_atom(graph: DataFrame, iri: str, inverse: bool = False) -> DataFrame:
+    """One predicate's edge slice as a pair relation (partition-pruned on
+    the predicate-partitioned materialized graph). Subjects are always
+    IRIs in RDF; the object side carries the literal flag. Literal-object
+    edges stay in the relation — a literal endpoint is a valid end of a
+    path (``p/label``) and self-terminates in closures (nothing joins a
+    literal's forward side)."""
+    rel = (
+        graph.filter(F.col("predicate") == iri)
+        .select(
+            F.col("subject").alias("_src"),
+            F.lit(True).alias("_src_isuri"),
+            F.col("object").alias("_dst"),
+            (~F.col("obj_is_literal")).alias("_dst_isuri"),
+        )
+        .distinct()
+    )
+    return _rel_swap(rel) if inverse else rel
+
+
+def _rel_swap(rel: DataFrame) -> DataFrame:
+    return rel.select(
+        F.col("_dst").alias("_src"),
+        F.col("_dst_isuri").alias("_src_isuri"),
+        F.col("_src").alias("_dst"),
+        F.col("_src_isuri").alias("_dst_isuri"),
+    )
+
+
+def _rel_compose(a: DataFrame, b: DataFrame) -> DataFrame:
+    """a ∘ b — join on RDF term identity of the middle node."""
+    am, bm = a.alias("a"), b.alias("b")
     return (
-        graph.filter((F.col("predicate") == pred) & ~F.col("obj_is_literal"))
-        .select(F.col("subject").alias("_src"), F.col("object").alias("_dst"))
+        am.join(
+            bm,
+            (F.col("a._dst") == F.col("b._src"))
+            & (F.col("a._dst_isuri") == F.col("b._src_isuri")),
+        )
+        .select(
+            F.col("a._src").alias("_src"),
+            F.col("a._src_isuri").alias("_src_isuri"),
+            F.col("b._dst").alias("_dst"),
+            F.col("b._dst_isuri").alias("_dst_isuri"),
+        )
         .distinct()
     )
 
 
-def _reachable(edges: DataFrame, seeds: DataFrame, forward: bool, max_iter: int) -> DataFrame:
-    """Checkpointed frontier BFS (same shape as query_api.subclass_closure):
-    all nodes reachable from ``seeds`` (column ``_n``) following edges
-    forward (src→dst) or backward. Returns visited INCLUDING the seeds."""
-    a, b = ("_src", "_dst") if forward else ("_dst", "_src")
-    visited = seeds.select("_n").distinct().localCheckpoint()
-    frontier = visited
-    for _ in range(max_iter):
-        nxt = (
-            edges.join(frontier, edges[a] == frontier["_n"], "left_semi")
-            .select(F.col(b).alias("_n"))
-            .distinct()
-            .join(visited, "_n", "left_anti")
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).distinct().localCheckpoint()
-        frontier = nxt
-    return visited
-
-
-def _pair_closure(edges: DataFrame, max_iter: int) -> DataFrame:
-    """Transitive pairs (length ≥ 1) of an edge slice. Quadratic in the
-    relation's reach — correct for schema-sized relations (class/property
-    hierarchies); a fact-sized predicate here would be a design error."""
-    pairs = edges.localCheckpoint()
+def _rel_plus(rel: DataFrame, max_iter: int) -> DataFrame:
+    """Transitive pairs (length ≥ 1) of a pair relation. Quadratic in the
+    relation's reach — correct for schema-sized relations; a fact-sized
+    predicate here would be a design error (the seeded node-set path
+    below is the scale-safe form)."""
+    pairs = _checkpoint(rel)
     frontier = pairs
     for _ in range(max_iter):
-        nxt = (
-            frontier.alias("f")
-            .join(edges.alias("e"), F.col("f._dst") == F.col("e._src"))
-            .select(F.col("f._src").alias("_src"), F.col("e._dst").alias("_dst"))
-            .distinct()
-            .join(pairs, ["_src", "_dst"], "left_anti")
-            .localCheckpoint()
+        nxt = _checkpoint(
+            _rel_compose(frontier, rel).join(pairs, _REL_COLS, "left_anti")
         )
         if nxt.isEmpty():
             break
-        pairs = pairs.unionByName(nxt).localCheckpoint()
+        pairs = _checkpoint(pairs.unionByName(nxt))
         frontier = nxt
     return pairs
 
 
+def _path_rel(graph: DataFrame, node, max_iter: int) -> DataFrame:
+    """Path AST → finite pair relation. Zero-length-capable elements
+    (``star``/``opt``) are only compilable where a finite domain bounds
+    the zero arm: mid-sequence (the accumulated prefix relation is the
+    domain) — bare or sequence-leading ones raise, and the seeded
+    node-set evaluator handles them when an end is constant."""
+    k = node[0]
+    if k in ("p", "pinv"):
+        return _rel_atom(graph, node[1], inverse=(k == "pinv"))
+    if k == "alt":
+        parts = [_path_rel(graph, x, max_iter) for x in node[1]]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+    if k == "plus":
+        return _rel_plus(_path_rel(graph, node[1], max_iter), max_iter)
+    if k == "seq":
+        acc = None
+        for elt in node[1]:
+            ek = elt[0]
+            if ek in ("star", "opt"):
+                if acc is None:
+                    raise SparqlUnsupported(
+                        "zero-length path element at the start of an unbound "
+                        "sequence (unrestricted domain)"
+                    )
+                step = _path_rel(graph, elt[1], max_iter)
+                if ek == "star":
+                    step = _rel_plus(step, max_iter)
+                acc = acc.unionByName(_rel_compose(acc, step)).distinct()
+            else:
+                rel = _path_rel(graph, elt, max_iter)
+                acc = rel if acc is None else _rel_compose(acc, rel)
+        return acc
+    raise SparqlUnsupported(
+        "zero-length path with both ends unbound (unrestricted domain)"
+    )
+
+
+def _node_image(rel: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Image of a node set under a pair relation (term-identity semi-join
+    then project the far side)."""
+    return (
+        rel.join(
+            nodes,
+            (rel["_src"] == nodes["_n"]) & (rel["_src_isuri"] == nodes["_n_isuri"]),
+            "left_semi",
+        )
+        .select(F.col("_dst").alias("_n"), F.col("_dst_isuri").alias("_n_isuri"))
+        .distinct()
+    )
+
+
+def _node_reachable(rel: DataFrame, seeds: DataFrame, max_iter: int) -> DataFrame:
+    """Checkpointed frontier BFS over a pair relation: every node reachable
+    from ``seeds`` in ≥ 0 steps (seeds included)."""
+    visited = _checkpoint(seeds.select("_n", "_n_isuri").distinct())
+    frontier = visited
+    for _ in range(max_iter):
+        nxt = _checkpoint(
+            _node_image(rel, frontier).join(visited, ["_n", "_n_isuri"], "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        visited = _checkpoint(visited.unionByName(nxt).distinct())
+        frontier = nxt
+    return visited
+
+
+def _apply_path_nodes(graph: DataFrame, node, nodes: DataFrame, max_iter: int) -> DataFrame:
+    """Node-set semantics: the image of ``nodes`` under the path. This is
+    the scale-safe evaluator — closures are seeded BFS (frontier-sized
+    state), never pair closures."""
+    k = node[0]
+    if k == "seq":
+        for elt in node[1]:
+            nodes = _apply_path_nodes(graph, elt, nodes, max_iter)
+        return nodes
+    if k == "alt":
+        parts = [_apply_path_nodes(graph, x, nodes, max_iter) for x in node[1]]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+    if k == "star":
+        return _node_reachable(_path_rel(graph, node[1], max_iter), nodes, max_iter)
+    if k == "plus":
+        rel = _path_rel(graph, node[1], max_iter)
+        return _node_reachable(rel, _node_image(rel, nodes), max_iter)
+    if k == "opt":
+        rel = _path_rel(graph, node[1], max_iter)
+        return nodes.unionByName(_node_image(rel, nodes)).distinct()
+    return _node_image(_rel_atom(graph, node[1], inverse=(k == "pinv")), nodes)
+
+
 def _compile_path(graph: DataFrame, pat, max_iter: int = 32) -> DataFrame:
-    """One ``p*``/``p+`` pattern → a binding slice, joinable like any other
-    compiled pattern."""
-    s_term, (_, pred, mod), o_term = pat
-    edges = _path_edges(graph, pred)
-    spark = graph.sparkSession
-
-    def _const(term):
-        return spark.createDataFrame([(term[1],)], "_n string")
-
+    """One property-path pattern → a binding slice, joinable like any other
+    compiled pattern (real ``__isuri_`` term-kind flags included)."""
+    s_term, (_, node), o_term = pat
     if s_term[0] != "var" and o_term[0] != "var":
         raise SparqlUnsupported("property path with both ends constant")
     if s_term[0] == "var" and o_term[0] == "var":
-        if mod == "*":
+        if node[0] in ("star", "opt"):
             raise SparqlUnsupported(
                 "zero-length path with both ends unbound (unrestricted domain)"
             )
+        rel = _path_rel(graph, node, max_iter)
         if s_term[1] == o_term[1]:
-            raise SparqlUnsupported("p+ with the same variable at both ends")
-        pairs = _pair_closure(edges, max_iter)
-        return pairs.select(
+            return (
+                rel.filter(
+                    (F.col("_src") == F.col("_dst"))
+                    & (F.col("_src_isuri") == F.col("_dst_isuri"))
+                )
+                .select(
+                    F.col("_src").alias(s_term[1]),
+                    F.col("_src_isuri").alias(f"__isuri_{s_term[1]}"),
+                )
+                .distinct()
+            )
+        return rel.select(
             F.col("_src").alias(s_term[1]),
-            F.lit(True).alias(f"__isuri_{s_term[1]}"),
+            F.col("_src_isuri").alias(f"__isuri_{s_term[1]}"),
             F.col("_dst").alias(o_term[1]),
-            F.lit(True).alias(f"__isuri_{o_term[1]}"),
+            F.col("_dst_isuri").alias(f"__isuri_{o_term[1]}"),
         )
-    # one constant end: seeded reachability. (s p* o) means s reaches o
-    # going forward along p-edges, so a constant SUBJECT seeds a forward
-    # scan binding the object var, a constant OBJECT seeds a backward scan
-    # binding the subject var.
-    forward = s_term[0] != "var"
-    const_term, var_name = (s_term, o_term[1]) if forward else (o_term, s_term[1])
-    visited = _reachable(edges, _const(const_term), forward, max_iter)
-    if mod == "+":
-        # length ≥ 1: drop the seed unless it is reachable from itself in
-        # ≥1 hop (cycles — not the case for the acyclic hierarchies this
-        # fragment targets, but stay exact)
-        one_plus = (
-            edges.join(_const(const_term), edges["_src" if forward else "_dst"] == F.col("_n"), "left_semi")
-            .select(F.col("_dst" if forward else "_src").alias("_n"))
-            .distinct()
-        )
-        visited = visited.join(_const(const_term), "_n", "left_anti").unionByName(
-            _reachable(edges, one_plus, forward, max_iter)
-        ).distinct()
-    return visited.select(
-        F.col("_n").alias(var_name), F.lit(True).alias(f"__isuri_{var_name}")
+    # one constant end: normalize to a constant SUBJECT by inverting the
+    # whole path, then fold the AST over a seeded node set — every step
+    # is bounded by the frontier, so closures stay BFS-shaped.
+    if s_term[0] == "var":
+        node = _invert_path(node)
+        s_term, o_term = o_term, s_term
+    var_name = o_term[1]
+    seeds = graph.sparkSession.createDataFrame(
+        [(s_term[1], s_term[0] == "iri")], "_n string, _n_isuri boolean"
+    )
+    nodes = _apply_path_nodes(graph, node, seeds, max_iter)
+    return nodes.select(
+        F.col("_n").alias(var_name),
+        F.col("_n_isuri").alias(f"__isuri_{var_name}"),
     )
 
 
@@ -1144,6 +1516,45 @@ def _construct(df: DataFrame, template: list) -> DataFrame:
     return out.distinct()
 
 
+def _describe(graph: DataFrame, ast: Query) -> DataFrame:
+    """DESCRIBE → the out-edge slice of the described node set: listed
+    constants plus the WHERE solutions of the listed variables, left-semi
+    joined against the graph's subject column. Concise bounded description
+    without bnode chasing — this engine's bnodes are skolemized IRIs, so
+    every reified structure is one hop of explicit edges. Literal nodes
+    describe nothing (a literal is never a subject). Output schema is the
+    graph frame's own, so the description composes with query_graph."""
+    spark = graph.sparkSession
+    frames: list[DataFrame] = []
+    consts = [(v, k == "iri") for k, v in ast.select if k != "var"]
+    if consts:
+        frames.append(
+            spark.createDataFrame(consts, "_n string, _n_isuri boolean")
+        )
+    var_names = [v for k, v in ast.select if k == "var"]
+    if var_names:
+        df = _compile_group(graph, ast.where)
+        for name in var_names:
+            if name not in df.columns:
+                raise SparqlSyntaxError(f"DESCRIBE variable never bound: ?{name}")
+            flag = f"__isuri_{name}"
+            frames.append(
+                df.select(
+                    F.col(name).alias("_n"),
+                    (F.col(flag) if flag in df.columns else F.lit(True)).alias(
+                        "_n_isuri"
+                    ),
+                )
+            )
+    nodes = frames[0]
+    for fr in frames[1:]:
+        nodes = nodes.unionByName(fr)
+    nodes = nodes.filter(F.col("_n_isuri")).select("_n").distinct()
+    return graph.join(
+        nodes, graph["subject"] == nodes["_n"], "left_semi"
+    ).distinct()
+
+
 def query_graph(
     graph: DataFrame, q: str, prefixes: dict[str, str] | None = None
 ) -> DataFrame:
@@ -1155,6 +1566,8 @@ def query_graph(
     schema as the input graph."""
     parser = _Parser(_tokenize(q), prefixes or {})
     ast = parser.parse_query()
+    if ast.form == "describe":
+        return _describe(graph, ast)
     df = _compile_group(graph, ast.where)
     if ast.form == "ask":
         # emptiness probe: limit(1) stops every scan at the first match
@@ -1177,7 +1590,7 @@ def query_graph(
             df = df.limit(ast.limit)
         return _construct(df, ast.template)
     has_aggs = ast.select != ["*"] and any(s[0] == "agg" for s in ast.select)
-    if has_aggs or ast.group_by:
+    if has_aggs or ast.group_by or ast.having:
         out = _aggregate(df, ast)
     elif ast.select == ["*"]:
         out_cols = [c for c in df.columns if not c.startswith("__isuri_") and not c.startswith("_bn")]
@@ -1208,8 +1621,10 @@ def query_graph(
 _AGG_BUILDERS = {
     "min": F.min,
     "max": F.max,
-    "sum": lambda c: F.sum(F.col(c).cast("double")),
-    "avg": lambda c: F.avg(F.col(c).cast("double")),
+    # try_cast: non-numeric lexical forms become NULL and are ignored by
+    # the aggregate (SPARQL error-drop; ANSI cast would throw instead)
+    "sum": lambda c: F.sum(F.col(c).try_cast("double")),
+    "avg": lambda c: F.avg(F.col(c).try_cast("double")),
 }
 
 
@@ -1233,28 +1648,44 @@ def _aggregate(df: DataFrame, ast: Query) -> DataFrame:
     missing = [v for v in ast.group_by if v not in df.columns]
     if missing:
         raise SparqlSyntaxError(f"GROUP BY variables never bound: {missing}")
-    aggs = []
-    for s in ast.select:
-        if s[0] != "agg":
-            continue
-        _, fn, arg, agg_distinct, alias = s
+    def _agg_col(fn: str, arg: str, agg_distinct: bool) -> F.Column:
         if arg != "*" and arg not in df.columns:
             raise SparqlSyntaxError(f"aggregate over unbound variable ?{arg}")
         if fn == "count":
             if arg == "*":
                 if agg_distinct:
                     raise SparqlUnsupported("COUNT(DISTINCT *)")
-                col = F.count(F.lit(1))
-            elif agg_distinct:
-                col = F.countDistinct(arg)
-            else:
-                col = F.count(arg)
-        else:
+                return F.count(F.lit(1))
             if agg_distinct:
-                raise SparqlUnsupported(f"{fn.upper()}(DISTINCT …)")
-            col = _AGG_BUILDERS[fn](arg)
-        aggs.append(col.alias(alias))
+                return F.countDistinct(arg)
+            return F.count(arg)
+        if agg_distinct:
+            raise SparqlUnsupported(f"{fn.upper()}(DISTINCT …)")
+        return _AGG_BUILDERS[fn](arg)
+
+    aggs = []
+    for s in ast.select:
+        if s[0] != "agg":
+            continue
+        _, fn, arg, agg_distinct, alias = s
+        aggs.append(_agg_col(fn, arg, agg_distinct).alias(alias))
+    # HAVING aggregates ride the same hash aggregate as internal columns,
+    # filtered post-agg and dropped by the final projection — one shuffle.
+    for i, (fn, arg, agg_distinct, _op, _num) in enumerate(ast.having):
+        aggs.append(_agg_col(fn, arg, agg_distinct).alias(f"__hav_{i}"))
     grouped = df.groupBy(*ast.group_by) if ast.group_by else df.groupBy()
     out = grouped.agg(*aggs)
+    for i, (_fn, _arg, _d, op, num) in enumerate(ast.having):
+        hcol = F.col(f"__hav_{i}").cast("double")
+        out = out.filter(
+            {
+                "=": hcol == num,
+                "!=": hcol != num,
+                "<": hcol < num,
+                ">": hcol > num,
+                "<=": hcol <= num,
+                ">=": hcol >= num,
+            }[op]
+        )
     names = [s[1] if s[0] == "var" else s[4] for s in ast.select]
     return out.select(*names)

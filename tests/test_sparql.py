@@ -109,7 +109,10 @@ def test_unsupported_constructs_raise(graph):
     with pytest.raises(SparqlUnsupported):
         query_graph(graph, "SELECT ?s WHERE { GRAPH <urn:t:g> { ?s ?p ?o } }")
     with pytest.raises((SparqlUnsupported, SparqlSyntaxError)):
-        query_graph(graph, "SELECT ?s WHERE { ?s ?p ?o . FILTER(?s > 3) }")
+        query_graph(graph, 'SELECT ?s WHERE { ?s ?p ?o . FILTER(regex(?s, "x")) }')
+    # numeric < > against a non-numeric constant is refused, not guessed
+    with pytest.raises(SparqlUnsupported):
+        query_graph(graph, 'SELECT ?s WHERE { ?s ?p ?o . FILTER(?o > "abc") }')
     with pytest.raises(SparqlSyntaxError):
         query_graph(graph, "SELECT ?s WHERE { ?s unknown:px ?o . }")
     # UNION branches binding different variable sets would need NULL
@@ -632,3 +635,167 @@ def test_construct_rejects_out_of_fragment():
             _tokenize('CONSTRUCT { "lit" <urn:p> ?o . } WHERE { ?s <urn:p> ?o . }'),
             {},
         ).parse_query()
+
+
+# ---------------------------------------------------------------------------
+# Generalized property paths: sequence / alternation / inverse / '?' /
+# closures nested in sequences (SPARQL 1.1 §9 fragment)
+
+
+def test_path_sequence(graph):
+    # two-hop sequence ending at a literal
+    q = "PREFIX t: <urn:t:> SELECT ?l WHERE { ?t t:chemical/t:label ?l }"
+    assert [r.l for r in query_graph(graph, q).collect()] == ["copper"]
+
+
+def test_path_alternation(graph):
+    # c2's label (literal "zinc") OR note (literal whose lexical form
+    # collides with the c1 URI) — both come back, with literal kind
+    q = "PREFIX t: <urn:t:> SELECT ?v WHERE { t:c2 (t:label|t:note) ?v }"
+    assert {r.v for r in query_graph(graph, q).collect()} == {"zinc", NS + "c1"}
+
+
+def test_path_inverse(graph):
+    q = "PREFIX t: <urn:t:> SELECT ?t WHERE { t:c1 ^t:chemical ?t }"
+    assert [r.t for r in query_graph(graph, q).collect()] == [NS + "t1"]
+
+
+def test_path_inverse_in_sequence(graph):
+    # t1 --chemical--> c1 <--ref-- c2 : inverse step mid-sequence
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { t:t1 t:chemical/^t:ref ?x }"
+    assert [r.x for r in query_graph(graph, q).collect()] == [NS + "c2"]
+
+
+def test_path_respects_term_identity_through_literals(graph):
+    # c2 t:note "urn:t:c1" is a LITERAL whose lexical form equals the c1
+    # URI; the sequence's middle node after t:chemical is the c1 URI, so
+    # ^t:note (whose source side is that literal) must NOT join it.
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { t:t1 t:chemical/^t:note ?x }"
+    assert query_graph(graph, q).count() == 0
+
+
+def test_path_opt_modifier(chain_graph):
+    # d2 --sub--> c1 (--sub--> b1)? : zero-or-one arm
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { t:d2 t:sub/t:sub? ?x }"
+    assert {r.x for r in query_graph(chain_graph, q).collect()} == {
+        NS + "c1",
+        NS + "b1",
+    }
+
+
+def test_path_star_in_seeded_sequence(chain_graph):
+    # the zero-length arm of t:sub* keeps the seed d1 itself in the node
+    # set, so its own label is reachable
+    q = "PREFIX t: <urn:t:> SELECT ?l WHERE { t:d1 t:sub*/t:label ?l }"
+    assert [r.l for r in query_graph(chain_graph, q).collect()] == ["dee-one"]
+
+
+def test_path_star_mid_sequence_var_var(chain_graph):
+    # ?x t:sub/t:sub* ?y == t:sub+ pairs: the accumulated prefix relation
+    # bounds the closure's zero arm
+    q = "PREFIX t: <urn:t:> SELECT ?a ?b WHERE { ?a t:sub/t:sub* ?b }"
+    pairs = {(r.a, r.b) for r in query_graph(chain_graph, q).collect()}
+    assert (NS + "d1", NS + "a1") in pairs
+    assert len(pairs) == 10
+
+
+def test_path_alt_under_closure(chain_graph):
+    # closure over an alternation: sub+ pairs plus d1's one label edge
+    q = "PREFIX t: <urn:t:> SELECT ?a ?b WHERE { ?a (t:sub|t:label)+ ?b }"
+    pairs = {(r.a, r.b) for r in query_graph(chain_graph, q).collect()}
+    assert (NS + "d1", "dee-one") in pairs
+    assert (NS + "d1", NS + "a1") in pairs
+    assert len(pairs) == 11
+
+
+def test_path_star_leading_unseeded_sequence_raises(chain_graph):
+    q = "PREFIX t: <urn:t:> SELECT ?a ?b WHERE { ?a t:sub*/t:label ?b }"
+    with pytest.raises(SparqlUnsupported, match="unrestricted domain"):
+        query_graph(chain_graph, q)
+
+
+def test_path_same_var_both_ends(chain_graph):
+    # cycles only — the chain fixture is acyclic, so no solutions
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { ?x t:sub+ ?x }"
+    assert query_graph(chain_graph, q).count() == 0
+
+
+def test_path_negated_property_set_raises(graph):
+    with pytest.raises(SparqlUnsupported, match="negated property set"):
+        query_graph(graph, "SELECT ?s WHERE { ?s !(<urn:t:label>) ?o }")
+
+
+# ---------------------------------------------------------------------------
+# Numeric FILTER comparisons, HAVING, DESCRIBE
+
+
+def test_filter_numeric_compare(graph):
+    rdfp = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    q = (
+        f"PREFIX rdf: <{rdfp}> SELECT ?r WHERE "
+        "{ ?r rdf:value ?v . FILTER(?v > 40) }"
+    )
+    assert [r.r for r in query_graph(graph, q).collect()] == [NS + "r1"]
+    q2 = (
+        f"PREFIX rdf: <{rdfp}> SELECT ?r WHERE "
+        "{ ?r rdf:value ?v . FILTER(?v <= 40) }"
+    )
+    assert query_graph(graph, q2).count() == 0
+
+
+def test_filter_numeric_drops_non_numeric_lexicals(graph):
+    # every object is either a URI or a non-numeric literal except "42";
+    # non-numeric lexical forms cast to NULL and the solution drops
+    # (SPARQL type-error semantics), never errors
+    q = "SELECT ?s WHERE { ?s ?p ?o . FILTER(?o > 1000) }"
+    assert query_graph(graph, q).count() == 0
+    q2 = "SELECT ?o WHERE { ?s ?p ?o . FILTER(?o >= 42) }"
+    assert [r.o for r in query_graph(graph, q2).collect()] == ["42"]
+
+
+def test_having_filters_groups(graph):
+    q = """
+        SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t }
+        GROUP BY ?t HAVING(COUNT(?s) >= 2)"""
+    rows = query_graph(graph, q).collect()
+    assert [(r.t, r.n) for r in rows] == [(NS + "Chem", 2)]
+
+
+def test_having_without_select_aggregate(graph):
+    q = "SELECT ?t WHERE { ?s a ?t } GROUP BY ?t HAVING(COUNT(?s) = 1)"
+    assert [r.t for r in query_graph(graph, q).collect()] == [NS + "Test"]
+
+
+def test_having_chained_and_non_numeric_raises(graph):
+    q = """
+        SELECT ?t WHERE { ?s a ?t }
+        GROUP BY ?t HAVING(COUNT(?s) >= 1 && COUNT(DISTINCT ?s) < 2)"""
+    assert [r.t for r in query_graph(graph, q).collect()] == [NS + "Test"]
+    with pytest.raises(SparqlUnsupported):
+        query_graph(
+            graph,
+            'SELECT ?t WHERE { ?s a ?t } GROUP BY ?t HAVING(COUNT(?s) > "x")',
+        )
+
+
+def test_describe_constant(graph):
+    out = query_graph(graph, "DESCRIBE <urn:t:c2>")
+    assert out.columns == ["subject", "predicate", "object", "obj_is_literal"]
+    rows = out.collect()
+    assert len(rows) == 4 and {r.subject for r in rows} == {NS + "c2"}
+
+
+def test_describe_var_where_composes(graph):
+    q = "PREFIX t: <urn:t:> DESCRIBE ?c WHERE { ?c a t:Chem }"
+    desc = query_graph(graph, q)
+    assert desc.count() == 6  # c1: type+label ; c2: type+label+ref+note
+    # the description is a graph frame: query it again
+    labs = query_graph(
+        desc, "PREFIX t: <urn:t:> SELECT ?l WHERE { ?c t:label ?l }"
+    )
+    assert {r.l for r in labs.collect()} == {"copper", "zinc"}
+
+
+def test_describe_var_without_where_raises(graph):
+    with pytest.raises(SparqlSyntaxError, match="without a WHERE"):
+        query_graph(graph, "DESCRIBE ?x")
