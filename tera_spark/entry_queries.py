@@ -1704,6 +1704,43 @@ def _queries() -> dict:
 
     q["curation_quota_sample"] = quota
 
+    def split_assign(spark, sf):
+        # deterministic md5 train/val/test split: pure projection, zero
+        # shuffle, append-stable (oracle replays the md5 arithmetic)
+        from tera_spark.operators.corpus import hash_split
+
+        docs = _t(spark, sf, "documents")
+        return hash_split(docs).select("doc_id", "split")
+
+    q["curation_hash_split"] = split_assign
+
+    def pack(spark, sf):
+        # GPT-style concat-and-chunk packing: one sharded window sort,
+        # cumulative token offsets cut every 256 tokens
+        from tera_spark.operators.corpus import pack_sequences
+
+        docs = _t(spark, sf, "documents")
+        return pack_sequences(docs, budget=256, n_shards=8).select(
+            "doc_id", "n_tokens", "shard", "offset", "seq_idx", "offset_in_seq"
+        )
+
+    q["curation_pack_sequences"] = pack
+
+    def contamination(spark, sf):
+        # benchmark decontamination: winnow-fingerprint containment of an
+        # eval-set-sized benchmark (every 97th doc) inside training docs;
+        # benchmark fingerprints broadcast, corpus explodes once. The
+        # planted truth: every benchmark doc flags itself at 1.0.
+        from tera_spark.operators.corpus import contamination_pairs
+
+        docs = _t(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        return contamination_pairs(docs, bench, threshold=0.5, portable=True)
+
+    q["text_contamination"] = contamination
+
     def winnow(spark, sf):
         # portable (md5-prefix) k-gram hash so every winnow value is
         # oracle-checked; the xxhash64 default stays the scale path
@@ -2023,6 +2060,9 @@ _SAMPLE_PRIORITY = [
     "q26_sparql_path_inverse_closure",
     "q27_sparql_having",
     "q28_sparql_describe",
+    "curation_hash_split",
+    "curation_pack_sequences",
+    "text_contamination",
 ]
 
 
@@ -2453,6 +2493,51 @@ SELECT doc_id, lang_pred FROM r WHERE rn <= 20
 SELECT doc_id, md5({_SQL_NORMTEXT}) AS fp_md5 FROM documents
 """
     o["text_winnow_fingerprint"] = _SQL_WINNOW_MD5
+
+    o["curation_hash_split"] = """
+SELECT doc_id,
+  CASE WHEN frac < 0.9 THEN 'train'
+       WHEN frac < 0.95 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+    ('0x'||substr(md5('split|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+      / 1152921504606846976.0 AS frac
+  FROM documents
+)
+"""
+    o["curation_pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))::BIGINT AS n_tokens,
+    md5('pack|'||CAST(doc_id AS VARCHAR)) AS key,
+    (('0x'||substr(md5('pack|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 8)::INTEGER AS shard
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens, shard,
+    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+  FROM t
+)
+SELECT doc_id, n_tokens, shard, "offset",
+       ("offset" // 256)::BIGINT AS seq_idx,
+       ("offset" % 256)::BIGINT AS offset_in_seq
+FROM o
+"""
+    o["text_contamination"] = f"""
+WITH {_SQL_WINNOW_CTES},
+dfp AS (SELECT DISTINCT doc_id, unnest(ws) AS fp FROM wins),
+bfp AS (SELECT doc_id AS bench_id, fp FROM dfp WHERE doc_id % 97 = 0),
+bn AS (SELECT bench_id, count(*) AS _bn FROM bfp GROUP BY bench_id),
+sh AS (
+  SELECT d.doc_id, b.bench_id, count(*) AS shared
+  FROM dfp d JOIN bfp b USING (fp) GROUP BY d.doc_id, b.bench_id
+)
+SELECT doc_id, bench_id, shared, round(shared * 1.0 / _bn, 6) AS containment
+FROM sh JOIN bn USING (bench_id)
+WHERE round(shared * 1.0 / _bn, 6) >= 0.5
+"""
 
     o["text_repetition"] = r"""
 SELECT doc_id,

@@ -168,3 +168,151 @@ def winnow_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a", "b", F.round("containment", 6).alias("containment"))
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split step of a
+    training-data pipeline. Each row's fraction is the first 60 bits of
+    ``md5(salt|id)`` scaled to [0, 1); cumulative weight thresholds cut
+    the range. Properties a ``rand()`` split lacks: reproducible across
+    runs, engines, and partitionings; stable under append (new rows never
+    move old rows between splits); re-saltable for independent re-splits.
+
+    Scale shape: a pure projection — zero shuffles, zero state. The md5
+    arithmetic is replayed verbatim by the DuckDB oracle.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        # round the cumulative threshold so it equals the decimal literal
+        # an oracle writes (0.9 + 0.05 in binary is 0.9500000000000001)
+        acc = round(acc + weights[name], 12)
+        branch = F.when(frac < acc, name)
+        expr = branch if expr is None else expr.when(frac < acc, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn("split", expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    batching step: documents are concatenated in a deterministic order
+    and the stream is cut every ``budget`` tokens, so every training
+    sequence is exactly full (documents may span a cut; the attention
+    mask handles the boundary downstream). Returns one row per document
+    with its placement: ``shard``, ``offset`` (tokens before it in the
+    shard's stream), ``seq_idx`` (the sequence its first token lands in),
+    ``offset_in_seq``, and ``n_tokens``.
+
+    Global concat order is inherently sequential, so packing is sharded:
+    ``shard = crc32-free md5 bucket of the id``, and within a shard docs
+    order by the md5 permutation (append-stable shuffle of the corpus,
+    same trick as quota_sample). One window (= one hash-partition sort)
+    per call; the cumulative sum is the only state and it is per-shard,
+    so a 100 TB corpus packs with reducers bounded by corpus/n_shards —
+    raise ``n_shards`` with the corpus (it only changes WHICH stream a
+    doc lands in, never the packing rule).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    toks = F.size(_tokens(F.col(text_col)))
+    key = F.md5(F.concat_ws("|", F.lit("pack"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    out = (
+        docs.select(
+            F.col(id_col),
+            toks.alias("n_tokens"),
+            shard.alias("shard"),
+            key.alias("_key"),
+        )
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("seq_idx", (F.col("offset") / budget).cast("long"))
+        .withColumn("offset_in_seq", F.col("offset") % budget)
+        .drop("_key")
+    )
+    return out
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents whose n-gram
+    content CONTAINS a benchmark item: |fp(doc) ∩ fp(bench)| / |fp(bench)|
+    ≥ threshold over winnowing fingerprints (the eval-leakage check every
+    serious pretraining pipeline runs; containment, not Jaccard, because
+    a short benchmark item inside a long document is exactly the case).
+
+    Scale shape: the benchmark is eval-set-sized (thousands of rows, not
+    corpus-sized), so its exploded fingerprint table broadcasts; the
+    corpus side explodes ONCE and semi-joins the broadcast before any
+    aggregation — corpus rows sharing no fingerprint with any benchmark
+    item never reach a shuffle. Returns (doc, bench, shared, containment)
+    pairs at or above the threshold.
+    """
+    d_fp = (
+        with_fingerprint(docs.select(id_col, text_col), text_col, portable=portable)
+        .select(F.col(id_col).alias("_d"), F.explode("fp_winnow").alias("fp"))
+        .distinct()
+    )
+    b_fp = (
+        with_fingerprint(
+            benchmark.select(bench_id_col, text_col), text_col, portable=portable
+        )
+        .select(F.col(bench_id_col).alias("_b"), F.explode("fp_winnow").alias("fp"))
+        .distinct()
+    )
+    b_sizes = b_fp.groupBy("_b").agg(F.count("*").alias("_bn"))
+    shared = (
+        d_fp.join(F.broadcast(b_fp), "fp")
+        .groupBy("_d", "_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(F.broadcast(b_sizes), "_b")
+        .withColumn("containment", F.round(F.col("shared") / F.col("_bn"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            F.col("_d").alias(id_col),
+            F.col("_b").alias(bench_id_col),
+            F.col("shared"),
+            F.col("containment"),
+        )
+    )

@@ -325,3 +325,71 @@ def test_quota_sample(spark):
     more = docs.union(spark.createDataFrame([(100 + i, "en") for i in range(5)], "doc_id long, stratum string"))
     out3 = {(r.stratum, r.doc_id) for r in quota_sample(more, "stratum", 5, id_col="doc_id").collect()}
     assert {(s, d) for s, d in out3 if s == "de"} == {(s, d) for s, d in {(r.stratum, r.doc_id) for r in out} if s == "de"}
+
+
+def test_hash_split(spark):
+    from tera_spark.operators.corpus import hash_split
+
+    docs = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = hash_split(docs).collect()
+    by = {}
+    for r in out:
+        by[r.split] = by.get(r.split, 0) + 1
+    # md5 is uniform: 1000 rows land near 900/50/50
+    assert 850 <= by["train"] <= 950 and by["val"] >= 20 and by["test"] >= 20
+    # deterministic and append-stable: old rows never move
+    sub = {r.doc_id: r.split for r in hash_split(docs.limit(400)).collect()}
+    full = {r.doc_id: r.split for r in out}
+    assert all(full[d] == s for d, s in sub.items())
+    # re-salting produces an independent assignment
+    resalt = {r.doc_id: r.split for r in hash_split(docs, salt="v2").collect()}
+    assert any(resalt[d] != full[d] for d in full)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(docs, weights={"a": 0.5, "b": 0.4})
+
+
+def test_pack_sequences(spark):
+    from tera_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (5 + i % 7))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs, budget=32, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        assert 0 <= r.offset_in_seq < 32
+        assert r.seq_idx == r.offset // 32 and r.offset_in_seq == r.offset % 32
+        by_shard.setdefault(r.shard, []).append(r)
+    # within a shard the stream is gapless: offsets are the exclusive
+    # prefix sums of token counts in placement order
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.offset)
+        acc = 0
+        for r in rs:
+            assert r.offset == acc
+            acc += r.n_tokens
+    # deterministic across repartitionings
+    out2 = pack_sequences(docs.repartition(13), budget=32, n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.offset) for r in out} == {
+        (r.doc_id, r.shard, r.offset) for r in out2
+    }
+
+
+def test_contamination_pairs(spark):
+    from tera_spark.operators.corpus import contamination_pairs
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, "intro words " + bench_text + " trailing content goes here and here"),  # contains it
+        (2, "completely unrelated text about spark dataframes and shuffle partitions in a cluster"),
+        (3, bench_text),  # verbatim copy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(10, bench_text)], "bench_id long, text string")
+    out = {r.doc_id: r for r in contamination_pairs(docs, bench, threshold=0.5).collect()}
+    assert 3 in out and out[3].containment == 1.0
+    assert 1 in out and out[1].containment >= 0.5  # embedded copy caught
+    assert 2 not in out
