@@ -1269,6 +1269,25 @@ def _queries() -> dict:
 
     q["q28_sparql_describe"] = q28_describe
 
+    def q29_subquery(spark, sf):
+        # Q29: subquery (SPARQL 1.1 §12) — per-nation customer counts
+        # aggregated bottom-up in a { SELECT ... GROUP BY } block, then
+        # joined to the outer nickname pattern on the shared variable
+        # (with term-kind flags, so the join is on full RDF term identity)
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            """
+            PREFIX x: <urn:x:>
+            SELECT ?n ?nick ?cnt WHERE {
+                { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c x:nation ?n } GROUP BY ?n }
+                ?n x:nickname ?nick .
+            }""",
+        )
+
+    q["q29_sparql_subquery"] = q29_subquery
+
     def q14_pairs(spark, sf):
         # J9: the reference's per-(chemical, species) query loop
         # (DataAccess.py:995-1022, O(|c|·|s|) full-graph SPARQL) as ONE
@@ -2060,6 +2079,7 @@ _SAMPLE_PRIORITY = [
     "q26_sparql_path_inverse_closure",
     "q27_sparql_having",
     "q28_sparql_describe",
+    "q29_sparql_subquery",
     "curation_hash_split",
     "curation_pack_sequences",
     "text_contamination",
@@ -2224,6 +2244,12 @@ SELECT DISTINCT c_name AS l FROM customer JOIN d ON c_custkey = d.k
 SELECT 'urn:x:nation/'||n_name AS n, count(*) AS cnt
 FROM customer JOIN nation ON c_nationkey=n_nationkey
 GROUP BY n_name HAVING count(*) >= 60
+"""
+    # Q29: the subquery aggregate joined to the nickname pattern == the
+    # relational per-nation count with lower(n_name)
+    o["q29_sparql_subquery"] = """
+SELECT 'urn:x:nation/'||n_name AS n, lower(n_name) AS nick, count(*) AS cnt
+FROM customer JOIN nation ON c_nationkey=n_nationkey GROUP BY n_name
 """
     # Q28: DESCRIBE == the node's three out-edges in the nations graph
     o["q28_sparql_describe"] = f"""

@@ -79,6 +79,10 @@ triples frame (subject, predicate, object, obj_is_literal):
   concise-bounded description without bnode chasing, since this engine's
   bnodes are already skolemized IRIs); returns the graph frame schema
   so the output composes with query_graph;
+- ``{ SELECT ... }`` subqueries (SPARQL 1.1 §12): evaluated bottom-up in
+  isolation, the projected solutions join the enclosing group on shared
+  variables like one more pattern — term-kind flags ride along, and the
+  inner GROUP BY groups on full term identity (value + flag);
 - ``FILTER [NOT] EXISTS {...}`` → a left-semi (resp. left-anti) join on
   the shared variables + term-identity flags — the §8.1.1 substitution
   semantics coincide with the join because the shared columns are
@@ -94,11 +98,11 @@ triples frame (subject, predicate, object, obj_is_literal):
   output has the graph frame's own schema, so constructed graphs
   compose: ``query_graph(query_graph(g, construct_q), select_q)``.
 
-Anything outside the fragment (subqueries, ``GRAPH``/``SERVICE``,
-``UNDEF`` in VALUES, zero-length paths with both ends unbound, negated
-property sets ``!(...)``, UNION branches with unequal variable sets,
-aggregates over expressions) raises ``SparqlUnsupported`` loudly rather
-than mis-answering.
+Anything outside the fragment (``GRAPH``/``SERVICE``, ``UNDEF`` in
+VALUES, zero-length paths with both ends unbound, negated property sets
+``!(...)``, UNION branches with unequal variable sets, aggregates over
+expressions, ``SELECT *`` subqueries) raises ``SparqlUnsupported``
+loudly rather than mis-answering.
 """
 
 from __future__ import annotations
@@ -187,6 +191,7 @@ class Group:
     binds: list = field(default_factory=list)  # [(alias, expr AST)] in order
     minuses: list = field(default_factory=list)  # [Group]
     exists: list = field(default_factory=list)  # [(positive?, Group)]
+    subqueries: list = field(default_factory=list)  # [Query]
 
 
 # select item = ("var", name) | ("agg", fn, arg, distinct?, alias)
@@ -217,6 +222,10 @@ class _Parser:
     # -- token helpers ------------------------------------------------
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else ("eof", "")
+
+    def peek2(self):
+        j = self.i + 1
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
 
     def next(self):
         t = self.peek()
@@ -295,7 +304,7 @@ class _Parser:
             self.expect("punct", "}")
             if (
                 tmpl.optionals or tmpl.unions or tmpl.filters or tmpl.values
-                or tmpl.binds or tmpl.minuses or tmpl.exists
+                or tmpl.binds or tmpl.minuses or tmpl.exists or tmpl.subqueries
             ):
                 raise SparqlSyntaxError(
                     "CONSTRUCT template must contain only triple patterns"
@@ -316,6 +325,12 @@ class _Parser:
                 order=order, offset=offset, form="construct",
                 template=tmpl.patterns,
             )
+        return self.parse_select_query()
+
+    def parse_select_query(self, in_subquery: bool = False) -> Query:
+        """SELECT form, used for the top-level query and (with
+        ``in_subquery``) for ``{ SELECT ... }`` blocks, whose modifiers
+        stop at the closing brace instead of end-of-input."""
         self.expect("kw", "select")
         distinct = False
         if self.peek() == ("kw", "distinct"):
@@ -336,20 +351,27 @@ class _Parser:
                 break
         if not select:
             raise SparqlSyntaxError("empty SELECT clause")
+        if select == ["*"] and in_subquery:
+            raise SparqlUnsupported(
+                "SELECT * in a subquery (project explicit variables)"
+            )
         if self.peek() == ("kw", "where"):
             self.next()
         self.expect("punct", "{")
         where = self.parse_group()
         self.expect("punct", "}")
-        group_by, order, limit, offset, having = self._parse_modifiers()
+        group_by, order, limit, offset, having = self._parse_modifiers(
+            in_subquery=in_subquery
+        )
         return Query(
             select=select, where=where, limit=limit, distinct=distinct,
             group_by=group_by, order=order, offset=offset, having=having,
         )
 
-    def _parse_modifiers(self):
+    def _parse_modifiers(self, in_subquery: bool = False):
         """Solution modifiers after the WHERE group: GROUP BY, HAVING,
-        ORDER BY, LIMIT, OFFSET — then end of query."""
+        ORDER BY, LIMIT, OFFSET — then end of query (or the subquery's
+        closing brace)."""
         group_by: list[str] = []
         order: list[tuple[str, bool]] = []
         having: list = []
@@ -400,7 +422,12 @@ class _Parser:
             else:
                 break
         k, v = self.peek()
-        if k != "eof":
+        if in_subquery:
+            if (k, v) != ("punct", "}"):
+                raise SparqlUnsupported(
+                    f"trailing syntax not in the supported fragment: {v!r}"
+                )
+        elif k != "eof":
             raise SparqlUnsupported(f"trailing syntax not in the supported fragment: {v!r}")
         return group_by, order, limit, offset, having
 
@@ -508,6 +535,12 @@ class _Parser:
                 g.binds.append(self.parse_bind())
             elif k == "word" and v.lower() in ("graph", "service"):
                 raise SparqlUnsupported(f"{v.upper()} is outside the supported fragment")
+            elif (k, v) == ("punct", "{") and self.peek2() == ("kw", "select"):
+                # { SELECT ... } — a subquery: evaluated independently,
+                # its projected solutions join the group like a pattern
+                self.next()
+                g.subqueries.append(self.parse_select_query(in_subquery=True))
+                self.expect("punct", "}")
             elif (k, v) == ("punct", "{"):
                 # { A } UNION { B } [UNION { C } ...] — a single braced
                 # group degenerates to a one-branch union (= plain join)
@@ -991,7 +1024,8 @@ def _expr_vars(expr) -> set:
 
 def _group_pattern_vars(g: Group) -> set:
     """Variables a group's joinable elements (patterns, VALUES, UNION
-    branches) consume — the set a BIND alias must stay out of."""
+    branches, subquery projections) consume — the set a BIND alias must
+    stay out of."""
     out: set = set()
     for p in g.patterns:
         out |= _pattern_vars(p)
@@ -1000,6 +1034,8 @@ def _group_pattern_vars(g: Group) -> set:
     for branches in g.unions:
         for br in branches:
             out |= _group_pattern_vars(br)
+    for sq in g.subqueries:
+        out |= {s[1] if s[0] == "var" else s[4] for s in sq.select}
     return out
 
 
@@ -1399,7 +1435,7 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
     genuinely disconnected BGP. UNION blocks join the tree like one more
     pattern (on their shared variables); property paths compile to
     closure slices and join identically."""
-    if not g.patterns and not g.unions and not g.values:
+    if not g.patterns and not g.unions and not g.values and not g.subqueries:
         raise SparqlUnsupported("group with no triple pattern")
     df = None
     bound: set = set()
@@ -1437,6 +1473,12 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
     for branches in g.unions:
         u = _compile_union(graph, branches)
         df = u if df is None else _merge(df, u)
+    for sq in g.subqueries:
+        # a subquery evaluates bottom-up in isolation (SPARQL 1.1 §12)
+        # and its projected solutions join the group on shared variables
+        # like any other pattern; flags ride along for term identity
+        sub = _compile_select(graph, sq, keep_flags=True)
+        df = sub if df is None else _merge(df, sub)
     if (g.binds or g.exists) and df is None:
         raise SparqlUnsupported("BIND/EXISTS in a group with no triple pattern")
     joinable = _group_pattern_vars(g) if g.binds else set()
@@ -1589,9 +1631,22 @@ def query_graph(
         if ast.limit is not None:
             df = df.limit(ast.limit)
         return _construct(df, ast.template)
+    return _shape_select(df, ast)
+
+
+def _compile_select(graph: DataFrame, ast: Query, keep_flags: bool = False) -> DataFrame:
+    """Compile a SELECT query (top-level or subquery) to its projected
+    solution frame. ``keep_flags`` preserves the ``__isuri_`` term-kind
+    columns of projected variables so a subquery result joins the outer
+    group on full RDF term identity."""
+    df = _compile_group(graph, ast.where)
+    return _shape_select(df, ast, keep_flags=keep_flags)
+
+
+def _shape_select(df: DataFrame, ast: Query, keep_flags: bool = False) -> DataFrame:
     has_aggs = ast.select != ["*"] and any(s[0] == "agg" for s in ast.select)
     if has_aggs or ast.group_by or ast.having:
-        out = _aggregate(df, ast)
+        out = _aggregate(df, ast, keep_flags=keep_flags)
     elif ast.select == ["*"]:
         out_cols = [c for c in df.columns if not c.startswith("__isuri_") and not c.startswith("_bn")]
         out = df.select(*out_cols).distinct()
@@ -1600,7 +1655,10 @@ def query_graph(
         missing = [v for v in names if v not in df.columns]
         if missing:
             raise SparqlSyntaxError(f"SELECT variables never bound: {missing}")
-        out = df.select(*names).distinct()
+        cols = list(names)
+        if keep_flags:
+            cols += [f"__isuri_{v}" for v in names if f"__isuri_{v}" in df.columns]
+        out = df.select(*cols).distinct()
     if ast.order:
         bad = [v for v, _ in ast.order if v not in out.columns]
         if bad:
@@ -1628,7 +1686,7 @@ _AGG_BUILDERS = {
 }
 
 
-def _aggregate(df: DataFrame, ast: Query) -> DataFrame:
+def _aggregate(df: DataFrame, ast: Query, keep_flags: bool = False) -> DataFrame:
     """GROUP BY / aggregate SELECT — standard SPARQL 1.1 semantics: the
     aggregate consumes the solution BAG the BGP joins produce (the final
     set-projection never runs), grouped by the GROUP BY variables (global
@@ -1673,7 +1731,15 @@ def _aggregate(df: DataFrame, ast: Query) -> DataFrame:
     # filtered post-agg and dropped by the final projection — one shuffle.
     for i, (fn, arg, agg_distinct, _op, _num) in enumerate(ast.having):
         aggs.append(_agg_col(fn, arg, agg_distinct).alias(f"__hav_{i}"))
-    grouped = df.groupBy(*ast.group_by) if ast.group_by else df.groupBy()
+    # group on full RDF term identity: a grouping variable's __isuri_
+    # flag is one more group key (a URI and a literal sharing a lexical
+    # form are different terms and must land in different groups)
+    group_cols = []
+    for v in ast.group_by:
+        group_cols.append(v)
+        if f"__isuri_{v}" in df.columns:
+            group_cols.append(f"__isuri_{v}")
+    grouped = df.groupBy(*group_cols) if group_cols else df.groupBy()
     out = grouped.agg(*aggs)
     for i, (_fn, _arg, _d, op, num) in enumerate(ast.having):
         hcol = F.col(f"__hav_{i}").cast("double")
@@ -1688,4 +1754,10 @@ def _aggregate(df: DataFrame, ast: Query) -> DataFrame:
             }[op]
         )
     names = [s[1] if s[0] == "var" else s[4] for s in ast.select]
+    if keep_flags:
+        names += [
+            f"__isuri_{s[1]}"
+            for s in ast.select
+            if s[0] == "var" and f"__isuri_{s[1]}" in out.columns
+        ]
     return out.select(*names)

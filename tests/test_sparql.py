@@ -799,3 +799,71 @@ def test_describe_var_where_composes(graph):
 def test_describe_var_without_where_raises(graph):
     with pytest.raises(SparqlSyntaxError, match="without a WHERE"):
         query_graph(graph, "DESCRIBE ?x")
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (SPARQL 1.1 §12)
+
+
+def test_subquery_aggregate_joined_with_outer(graph):
+    # per-type counts computed in a subquery, joined to the outer pattern
+    # binding each type's instances — the "aggregate per key then use it"
+    # shape subqueries exist for
+    q = """
+        SELECT ?s ?t ?n WHERE {
+            { SELECT ?t (COUNT(?x) AS ?n) WHERE { ?x a ?t } GROUP BY ?t }
+            ?s a ?t .
+        }"""
+    rows = {(r.s, r.t, r.n) for r in query_graph(graph, q).collect()}
+    assert rows == {
+        (NS + "c1", NS + "Chem", 2),
+        (NS + "c2", NS + "Chem", 2),
+        (NS + "t1", NS + "Test", 1),
+    }
+
+
+def test_subquery_plain_projection_narrows(graph):
+    # subquery projects a narrower binding set; outer OPTIONAL hangs off it
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s ?lab WHERE {
+            { SELECT ?s WHERE { ?s a t:Chem } }
+            OPTIONAL { ?s t:label ?lab }
+        }"""
+    rows = {(r.s, r.lab) for r in query_graph(graph, q).collect()}
+    assert rows == {(NS + "c1", "copper"), (NS + "c2", "zinc")}
+
+
+def test_subquery_respects_term_identity(graph):
+    # the subquery projects object bindings: URI c1 (via t:ref) and the
+    # LITERAL "urn:t:c1" (via t:note) are different terms — joining the
+    # outer type pattern must keep only the URI
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?z WHERE {
+            { SELECT ?z WHERE { ?s ?p ?z } }
+            ?z a t:Chem .
+        }"""
+    rows = [r.z for r in query_graph(graph, q).collect()]
+    assert rows == [NS + "c1"]  # c1 is the only Chem in object position
+
+
+def test_subquery_group_by_groups_on_term_identity(graph):
+    # GROUP BY ?z must keep the URI c1 and the literal "urn:t:c1" apart:
+    # both lexical forms appear in object position (t:ref vs t:note)
+    q = """
+        SELECT ?z (COUNT(?s) AS ?n) WHERE { ?s ?p ?z } GROUP BY ?z
+    """
+    rows = [(r.z, r.n) for r in query_graph(graph, q).collect()]
+    counts = {}
+    for z, n in rows:
+        counts[z] = counts.get(z, 0) + 1
+    assert counts[NS + "c1"] == 2  # two groups with the same lexical form
+
+
+def test_subquery_select_star_raises(graph):
+    with pytest.raises(SparqlUnsupported, match="subquery"):
+        query_graph(
+            graph,
+            "SELECT ?s WHERE { { SELECT * WHERE { ?s ?p ?o } } }",
+        )
