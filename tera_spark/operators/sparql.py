@@ -812,11 +812,20 @@ class _Parser:
 
     def parse_condition(self):
         k, v = self.peek()
+        if (k, v) == ("punct", "!"):  # logical negation of one condition
+            self.next()
+            return ("not", self.parse_condition())
         if (k, v) == ("punct", "("):  # nested parenthesized condition
             self.next()
             inner = self.parse_condition_group()
             self.expect("punct", ")")
             return inner
+        if k == "word" and v.lower() == "bound":
+            self.next()
+            self.expect("punct", "(")
+            var = self.expect("var")[1:]
+            self.expect("punct", ")")
+            return ("bound", var)
         if k == "word" and v.lower() == "isuri":
             self.next()
             self.expect("punct", "(")
@@ -834,6 +843,26 @@ class _Parser:
         if k == "var":
             self.next()
             ok, ov = self.next()
+            if ok == "word" and ov.lower() in ("in", "not"):
+                negate = ov.lower() == "not"
+                if negate:
+                    wk, wv = self.next()
+                    if wk != "word" or wv.lower() != "in":
+                        raise SparqlSyntaxError(f"expected IN, got {wv!r}")
+                self.expect("punct", "(")
+                terms = []
+                while True:
+                    if self.peek()[0] == "num":
+                        terms.append(("lit", self.next()[1]))
+                    else:
+                        terms.append(self.parse_term())
+                    if self.peek() == ("punct", ","):
+                        self.next()
+                        continue
+                    break
+                self.expect("punct", ")")
+                cond = ("in", v[1:], terms)
+                return ("not", cond) if negate else cond
             if ok != "punct" or ov not in self._CMP_OPS:
                 raise SparqlUnsupported(
                     f"FILTER comparator {ov!r} is outside the supported fragment"
@@ -955,6 +984,17 @@ def _filter_col(df: DataFrame, cond) -> F.Column:
         for c in cond[1]:
             out = out | _filter_col(df, c)
         return out
+    if op == "not":
+        # NULL-safe negation: SPARQL's !error is still an error (row
+        # drops), and Spark's ~NULL is NULL (row drops) — they agree
+        return ~_filter_col(df, cond[1])
+    if op == "bound":
+        v = cond[1]
+        return F.col(v).isNotNull() if v in df.columns else F.lit(False)
+    if op == "in":
+        # lexical membership, same same-kind contract as eq
+        _, v, terms = cond
+        return F.col(v).isin([t[1] for t in terms])
     if op == "isuri":
         v = cond[1]
         col = f"__isuri_{v}"
@@ -1497,8 +1537,6 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
             raise SparqlSyntaxError(f"BIND over unbound variables: {missing}")
         val, flag = _bind_cols(df, expr)
         df = df.withColumn(alias, val).withColumn(f"__isuri_{alias}", flag)
-    for cond in g.filters:
-        df = df.filter(_filter_col(df, cond))
     for positive, eg in g.exists:
         df = _apply_exists(df, graph, eg, positive)
     pre_opt = set(df.columns) if df is not None else set()
@@ -1509,6 +1547,16 @@ def _compile_group(graph: DataFrame, g: Group) -> DataFrame:
     }
     for mg in g.minuses:
         df = _apply_minus(df, graph, mg, nullable)
+    # plain FILTERs evaluate over the WHOLE group result (SPARQL 1.1
+    # §18.2.2.7 collects them to the end), i.e. after OPTIONAL and MINUS:
+    # BOUND(?v) can see optional bindings, and a comparison against an
+    # unbound (NULL) binding drops the row — Spark's NULL propagation is
+    # exactly SPARQL's type-error-eliminates-the-solution rule. Filters
+    # on mandatory variables still push below the joins (Catalyst moves
+    # deterministic left-side predicates through inner and left joins),
+    # so this costs nothing on the fragment's existing queries.
+    for cond in g.filters:
+        df = df.filter(_filter_col(df, cond))
     return df
 
 

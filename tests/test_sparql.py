@@ -867,3 +867,64 @@ def test_subquery_select_star_raises(graph):
             graph,
             "SELECT ?s WHERE { { SELECT * WHERE { ?s ?p ?o } } }",
         )
+
+
+# ---------------------------------------------------------------------------
+# Group-scoped FILTER: BOUND / ! / IN (filters run after OPTIONAL per
+# SPARQL 1.1 §18.2.2.7)
+
+
+def test_filter_not_bound_after_optional(graph):
+    # the "antijoin via OPTIONAL + !BOUND" classic: Chems WITHOUT a ref
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE {
+            ?s a t:Chem .
+            OPTIONAL { ?s t:ref ?r }
+            FILTER(!BOUND(?r))
+        }"""
+    assert [r.s for r in query_graph(graph, q).collect()] == [NS + "c1"]
+
+
+def test_filter_bound_after_optional(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE {
+            ?s a t:Chem .
+            OPTIONAL { ?s t:ref ?r }
+            FILTER(BOUND(?r))
+        }"""
+    assert [r.s for r in query_graph(graph, q).collect()] == [NS + "c2"]
+
+
+def test_filter_eq_on_optional_var_drops_unbound(graph):
+    # comparison against an unbound binding is a type error: the row
+    # drops instead of erroring (NULL propagation == SPARQL error-drop)
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE {
+            ?s a t:Chem .
+            OPTIONAL { ?s t:ref ?r }
+            FILTER(?r = t:c1)
+        }"""
+    assert [r.s for r in query_graph(graph, q).collect()] == [NS + "c2"]
+
+
+def test_filter_in_and_not_in(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE { ?s t:label ?l . FILTER(?l IN ("copper", "lead")) }"""
+    assert [r.s for r in query_graph(graph, q).collect()] == [NS + "c1"]
+    q2 = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE { ?s t:label ?l . FILTER(?l NOT IN ("copper", "lead")) }"""
+    assert [r.s for r in query_graph(graph, q2).collect()] == [NS + "c2"]
+
+
+def test_filter_negated_isuri(graph):
+    # !isURI over object bindings keeps only literals
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?z WHERE { <urn:t:c2> ?p ?z . FILTER(!isURI(?z)) }"""
+    vals = {r.z for r in query_graph(graph, q).collect()}
+    assert vals == {"zinc", NS + "c1"}  # the literal-typed note, not the ref
