@@ -1288,6 +1288,30 @@ def _queries() -> dict:
 
     q["q29_sparql_subquery"] = q29_subquery
 
+    def q30_strings(spark, sf):
+        # Q30: string FILTER functions (REGEX with flags, CONTAINS,
+        # STRENDS, STRLEN) + GROUP_CONCAT/SAMPLE aggregates — the
+        # string-shaping surface of SPARQL 1.1 over the same nations
+        # graph. GROUP_CONCAT sorts elements (deterministic under any
+        # partitioning); SAMPLE is min (a valid §18.5.1.8 choice).
+        from tera_spark.operators.sparql import query_graph
+
+        return query_graph(
+            nations_graph(spark, sf),
+            """
+            PREFIX x: <urn:x:>
+            SELECT ?n (GROUP_CONCAT(DISTINCT ?seg; SEPARATOR="|") AS ?segs)
+                   (SAMPLE(?c) AS ?first) (COUNT(*) AS ?cnt) WHERE {
+                ?c a x:Customer .
+                ?c x:nation ?n .
+                ?c x:segment ?seg .
+                FILTER(REGEX(?seg, "^(build|mach)", "i") && STRLEN(?seg) >= 9)
+                FILTER(CONTAINS(?n, "NATION") && !STRENDS(?n, "_3"))
+            } GROUP BY ?n""",
+        )
+
+    q["q30_sparql_strings"] = q30_strings
+
     def q14_pairs(spark, sf):
         # J9: the reference's per-(chemical, species) query loop
         # (DataAccess.py:995-1022, O(|c|·|s|) full-graph SPARQL) as ONE
@@ -2250,6 +2274,22 @@ GROUP BY n_name HAVING count(*) >= 60
     o["q29_sparql_subquery"] = """
 SELECT 'urn:x:nation/'||n_name AS n, lower(n_name) AS nick, count(*) AS cnt
 FROM customer JOIN nation ON c_nationkey=n_nationkey GROUP BY n_name
+"""
+    # Q30: the string-FILTER + GROUP_CONCAT/SAMPLE query — MACHINERY is
+    # the only segment matching ^(build|mach)/i at length ≥ 9; STRENDS
+    # runs over the full nation URI (NATION_3, _13, _23 all end in _3)
+    o["q30_sparql_strings"] = """
+SELECT n, string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segs,
+       min('urn:x:customer/'||CAST(c_custkey AS VARCHAR)) AS first,
+       count(*) AS cnt
+FROM (
+  SELECT 'urn:x:nation/'||n_name AS n, c_mktsegment, c_custkey
+  FROM customer JOIN nation ON c_nationkey=n_nationkey
+  WHERE regexp_matches(c_mktsegment, '^(build|mach)', 'i')
+    AND len(c_mktsegment) >= 9
+    AND contains('urn:x:nation/'||n_name, 'NATION')
+    AND NOT ends_with('urn:x:nation/'||n_name, '_3')
+) GROUP BY n
 """
     # Q28: DESCRIBE == the node's three out-edges in the nations graph
     o["q28_sparql_describe"] = f"""

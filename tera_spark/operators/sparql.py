@@ -45,7 +45,9 @@ triples frame (subject, predicate, object, obj_is_literal):
 - ``VALUES`` → an inline broadcast table joined FIRST (the most selective
   constraint in the group, so every pattern scan is probe-side of a
   broadcast join instead of filtered at the end);
-- ``GROUP BY`` + ``COUNT/MIN/MAX/SUM/AVG`` SELECT expressions → a
+- ``GROUP BY`` + ``COUNT/MIN/MAX/SUM/AVG/SAMPLE/GROUP_CONCAT`` SELECT
+  expressions (GROUP_CONCAT with ``; SEPARATOR="..."``, elements sorted
+  for determinism) → a
   hash aggregate over the solution bag (standard SPARQL 1.1 §18.4
   semantics — partial map-side aggregation for free);
 - ``ORDER BY`` / ``OFFSET`` → a total sort only at the result shaping
@@ -66,8 +68,10 @@ triples frame (subject, predicate, object, obj_is_literal):
   compatible) and compiles to a no-op;
 - ``FILTER`` conditions compose with ``&&`` and ``||`` (one connective
   per parenthesization level — mixed levels need explicit parens, which
-  the fragment's queries all use), over ``=`` / ``!=`` / ``isURI`` /
-  ``STRSTARTS``, plus numeric ``<`` / ``>`` / ``<=`` / ``>=`` (both
+  the fragment's queries all use), over ``=`` / ``!=`` / ``IN`` /
+  ``isURI`` / ``BOUND`` / ``!`` / ``STRSTARTS`` / ``STRENDS`` /
+  ``CONTAINS`` / ``REGEX`` (i/s/m flags) / ``STRLEN cmp n``, plus
+  numeric ``<`` / ``>`` / ``<=`` / ``>=`` (both
   sides cast to double — the graph stores literals lexically; a
   non-numeric lexical form casts to NULL and the row drops, which is
   exactly SPARQL's type-error-eliminates-the-solution rule);
@@ -195,7 +199,7 @@ class Group:
 
 
 # select item = ("var", name) | ("agg", fn, arg, distinct?, alias)
-#   fn ∈ {count,min,max,sum,avg}; arg = var name or "*" (COUNT only)
+#   fn ∈ {count,min,max,sum,avg,sample,group_concat}; arg = var or "*"
 
 
 @dataclass
@@ -431,7 +435,7 @@ class _Parser:
             raise SparqlUnsupported(f"trailing syntax not in the supported fragment: {v!r}")
         return group_by, order, limit, offset, having
 
-    _AGG_FNS = ("count", "min", "max", "sum", "avg")
+    _AGG_FNS = ("count", "min", "max", "sum", "avg", "sample", "group_concat")
 
     _CMP_OPS = ("=", "!=", "<", ">", "<=", ">=")
 
@@ -496,11 +500,24 @@ class _Parser:
             raise SparqlUnsupported(
                 "aggregate over an expression is outside the supported fragment"
             )
+        extra = None
+        if fn == "group_concat":
+            extra = " "  # SPARQL 1.1 §18.5.1.7 default separator
+            if self.peek() == ("punct", ";"):
+                self.next()
+                wk, wv = self.next()
+                if wk != "word" or wv.lower() != "separator":
+                    raise SparqlSyntaxError(f"expected SEPARATOR, got {wv!r}")
+                self.expect("punct", "=")
+                lk, lv = self.next()
+                if lk != "lit":
+                    raise SparqlSyntaxError("SEPARATOR must be a string literal")
+                extra = lv[1:-1].replace('\\"', '"').replace("\\\\", "\\")
         self.expect("punct", ")")
         self.expect("kw", "as")
         alias = self.expect("var")[1:]
         self.expect("punct", ")")
-        return ("agg", fn, arg, agg_distinct, alias)
+        return ("agg", fn, arg, agg_distinct, alias, extra)
 
     def parse_group(self) -> Group:
         g = Group()
@@ -832,14 +849,41 @@ class _Parser:
             var = self.expect("var")[1:]
             self.expect("punct", ")")
             return ("isuri", var)
-        if k == "word" and v.lower() == "strstarts":
+        if k == "word" and v.lower() in ("strstarts", "strends", "contains"):
+            fn = v.lower()
             self.next()
             self.expect("punct", "(")
             var = self._parse_str_arg_var()
             self.expect("punct", ",")
-            prefix = self._parse_str_arg_const()
+            needle = self._parse_str_arg_const()
             self.expect("punct", ")")
-            return ("strstarts", var, prefix)
+            return (fn, var, needle)
+        if k == "word" and v.lower() == "regex":
+            self.next()
+            self.expect("punct", "(")
+            var = self._parse_str_arg_var()
+            self.expect("punct", ",")
+            pattern = self._parse_str_arg_const()
+            flags = ""
+            if self.peek() == ("punct", ","):
+                self.next()
+                flags = self._parse_str_arg_const()
+            self.expect("punct", ")")
+            if not set(flags) <= {"i", "s", "m"}:
+                raise SparqlUnsupported(f"REGEX flags {flags!r}")
+            return ("regex", var, pattern, flags)
+        if k == "word" and v.lower() == "strlen":
+            self.next()
+            self.expect("punct", "(")
+            var = self._parse_str_arg_var()
+            self.expect("punct", ")")
+            ok, ov = self.next()
+            if ok != "punct" or ov not in self._CMP_OPS:
+                raise SparqlUnsupported(f"STRLEN comparator {ov!r}")
+            nk, nv = self.next()
+            if nk != "num":
+                raise SparqlUnsupported("STRLEN compared to a non-numeric constant")
+            return ("strlen", ov, var, float(nv))
         if k == "var":
             self.next()
             ok, ov = self.next()
@@ -1001,6 +1045,29 @@ def _filter_col(df: DataFrame, cond) -> F.Column:
         return F.col(col) if col in df.columns else F.lit(True)
     if op == "strstarts":
         return F.col(cond[1]).startswith(cond[2])
+    if op == "strends":
+        return F.col(cond[1]).endswith(cond[2])
+    if op == "contains":
+        return F.col(cond[1]).contains(cond[2])
+    if op == "regex":
+        # SPARQL REGEX is XPath regex; the fragment's patterns are the
+        # Java-compatible core (classes, anchors, alternation,
+        # quantifiers). Flags i/s/m map to embedded Java flag groups.
+        _, v, pattern, flags = cond
+        if flags:
+            pattern = f"(?{flags})" + pattern
+        return F.col(v).rlike(pattern)
+    if op == "strlen":
+        _, cmp_op, v, num = cond
+        lcol = F.length(F.col(v)).cast("double")
+        return {
+            "=": lcol == num,
+            "!=": lcol != num,
+            "<": lcol < num,
+            ">": lcol > num,
+            "<=": lcol <= num,
+            ">=": lcol >= num,
+        }[cmp_op]
     if op in ("eq", "neq"):
         _, v, rhs = cond
         rhs_col = F.col(rhs[1]) if rhs[0] == "var" else F.lit(rhs[1])
@@ -1731,6 +1798,9 @@ _AGG_BUILDERS = {
     # the aggregate (SPARQL error-drop; ANSI cast would throw instead)
     "sum": lambda c: F.sum(F.col(c).try_cast("double")),
     "avg": lambda c: F.avg(F.col(c).try_cast("double")),
+    # SAMPLE may return ANY value of the group (§18.5.1.8); min is a
+    # valid choice and the only deterministic one under parallel merge
+    "sample": F.min,
 }
 
 
@@ -1754,7 +1824,7 @@ def _aggregate(df: DataFrame, ast: Query, keep_flags: bool = False) -> DataFrame
     missing = [v for v in ast.group_by if v not in df.columns]
     if missing:
         raise SparqlSyntaxError(f"GROUP BY variables never bound: {missing}")
-    def _agg_col(fn: str, arg: str, agg_distinct: bool) -> F.Column:
+    def _agg_col(fn: str, arg: str, agg_distinct: bool, extra=None) -> F.Column:
         if arg != "*" and arg not in df.columns:
             raise SparqlSyntaxError(f"aggregate over unbound variable ?{arg}")
         if fn == "count":
@@ -1765,6 +1835,14 @@ def _aggregate(df: DataFrame, ast: Query, keep_flags: bool = False) -> DataFrame
             if agg_distinct:
                 return F.countDistinct(arg)
             return F.count(arg)
+        if fn == "group_concat":
+            # the spec leaves element order undefined; sorting makes the
+            # result deterministic under any partitioning (and matches a
+            # DuckDB string_agg(... ORDER BY ...) oracle exactly)
+            vals = F.collect_list(arg)
+            if agg_distinct:
+                vals = F.array_distinct(vals)
+            return F.array_join(F.sort_array(vals), extra if extra is not None else " ")
         if agg_distinct:
             raise SparqlUnsupported(f"{fn.upper()}(DISTINCT …)")
         return _AGG_BUILDERS[fn](arg)
@@ -1773,8 +1851,8 @@ def _aggregate(df: DataFrame, ast: Query, keep_flags: bool = False) -> DataFrame
     for s in ast.select:
         if s[0] != "agg":
             continue
-        _, fn, arg, agg_distinct, alias = s
-        aggs.append(_agg_col(fn, arg, agg_distinct).alias(alias))
+        _, fn, arg, agg_distinct, alias, extra = s
+        aggs.append(_agg_col(fn, arg, agg_distinct, extra).alias(alias))
     # HAVING aggregates ride the same hash aggregate as internal columns,
     # filtered post-agg and dropped by the final projection — one shuffle.
     for i, (fn, arg, agg_distinct, _op, _num) in enumerate(ast.having):

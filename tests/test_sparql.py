@@ -109,7 +109,7 @@ def test_unsupported_constructs_raise(graph):
     with pytest.raises(SparqlUnsupported):
         query_graph(graph, "SELECT ?s WHERE { GRAPH <urn:t:g> { ?s ?p ?o } }")
     with pytest.raises((SparqlUnsupported, SparqlSyntaxError)):
-        query_graph(graph, 'SELECT ?s WHERE { ?s ?p ?o . FILTER(regex(?s, "x")) }')
+        query_graph(graph, 'SELECT ?s WHERE { ?s ?p ?o . FILTER(langMatches(lang(?o), "en")) }')
     # numeric < > against a non-numeric constant is refused, not guessed
     with pytest.raises(SparqlUnsupported):
         query_graph(graph, 'SELECT ?s WHERE { ?s ?p ?o . FILTER(?o > "abc") }')
@@ -351,7 +351,7 @@ def test_aggregate_misuse_raises(graph):
     with pytest.raises(SparqlUnsupported, match="UNDEF"):
         query_graph(graph, "SELECT ?s WHERE { VALUES ?s { UNDEF } ?s ?p ?o . }")
     with pytest.raises(SparqlUnsupported, match="expression"):
-        query_graph(graph, "SELECT (SAMPLE(?s) AS ?x) WHERE { ?s ?p ?o . }")
+        query_graph(graph, "SELECT (SUM(STRLEN(?s)) AS ?x) WHERE { ?s ?p ?o . }")
     # ORDER BY a variable the projection dropped
     with pytest.raises(SparqlUnsupported, match="unprojected"):
         query_graph(graph, "SELECT ?s WHERE { ?s ?p ?o . } ORDER BY ?p")
@@ -928,3 +928,77 @@ def test_filter_negated_isuri(graph):
         SELECT ?z WHERE { <urn:t:c2> ?p ?z . FILTER(!isURI(?z)) }"""
     vals = {r.z for r in query_graph(graph, q).collect()}
     assert vals == {"zinc", NS + "c1"}  # the literal-typed note, not the ref
+
+
+# ---------------------------------------------------------------------------
+# FILTER string functions: CONTAINS / STRENDS / REGEX / STRLEN
+
+
+def test_filter_contains_and_strends(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE { ?s t:label ?l . FILTER(CONTAINS(?l, "opp")) }"""
+    assert [r.s for r in query_graph(graph, q).collect()] == [NS + "c1"]
+    q2 = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE { ?s t:label ?l . FILTER(STRENDS(?l, "nc")) }"""
+    assert [r.s for r in query_graph(graph, q2).collect()] == [NS + "c2"]
+
+
+def test_filter_regex_with_flag(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE { ?s t:label ?l . FILTER(REGEX(?l, "^COP.*R$", "i")) }"""
+    assert [r.s for r in query_graph(graph, q).collect()] == [NS + "c1"]
+    q2 = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE { ?s t:label ?l . FILTER(!REGEX(?l, "c")) }"""
+    # 'copper' matches, 'zinc' matches; negation keeps nothing
+    assert query_graph(graph, q2).count() == 0
+
+
+def test_filter_regex_bad_flags_raises(graph):
+    with pytest.raises(SparqlUnsupported):
+        query_graph(
+            graph,
+            'SELECT ?s WHERE { ?s <urn:t:label> ?l . FILTER(REGEX(?l, "x", "q")) }',
+        )
+
+
+def test_filter_strlen(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE { ?s t:label ?l . FILTER(STRLEN(?l) > 4) }"""
+    assert [r.s for r in query_graph(graph, q).collect()] == [NS + "c1"]
+    q2 = """
+        PREFIX t: <urn:t:>
+        SELECT ?s WHERE { ?s t:label ?l . FILTER(STRLEN(?l) = 4) }"""
+    assert [r.s for r in query_graph(graph, q2).collect()] == [NS + "c2"]
+
+
+# ---------------------------------------------------------------------------
+# GROUP_CONCAT / SAMPLE aggregates
+
+
+def test_group_concat_sorted_with_separator(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?k (GROUP_CONCAT(?l; SEPARATOR="|") AS ?labs) WHERE {
+            ?s a t:Chem . ?s t:label ?l . ?s a ?k .
+        } GROUP BY ?k"""
+    rows = query_graph(graph, q).collect()
+    assert [(r.k, r.labs) for r in rows] == [(NS + "Chem", "copper|zinc")]
+
+
+def test_group_concat_default_separator_and_distinct(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT (GROUP_CONCAT(DISTINCT ?l) AS ?labs) WHERE { ?s t:label ?l }"""
+    assert query_graph(graph, q).collect()[0].labs == "copper zinc"
+
+
+def test_sample_is_deterministic_min(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT (SAMPLE(?l) AS ?one) WHERE { ?s t:label ?l }"""
+    assert query_graph(graph, q).collect()[0].one == "copper"
