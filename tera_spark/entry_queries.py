@@ -1769,6 +1769,36 @@ def _queries() -> dict:
 
     q["curation_pack_sequences"] = pack
 
+    def dsir_weights(spark, sf):
+        # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+        # features, add-one-smoothed target-vs-raw log ratio; target domain
+        # = every 97th doc (the same deterministic slice contamination
+        # uses as its benchmark). Distributions are ≤1024-row broadcast
+        # tables; the corpus shuffles once.
+        from tera_spark.operators.corpus import dsir_importance_weights
+
+        docs = _t(spark, sf, "documents")
+        target = docs.filter(F.col("doc_id") % 97 == 0)
+        return dsir_importance_weights(docs, target, n_buckets=1024)
+
+    q["curation_dsir_weights"] = dsir_weights
+
+    def dsir_select(spark, sf):
+        # DSIR selection: Gumbel top-k resampling over the importance
+        # weights — deterministic md5-derived noise, distributed top-k
+        # (per-partition heaps, no global sort)
+        from tera_spark.operators.corpus import (
+            dsir_gumbel_topk,
+            dsir_importance_weights,
+        )
+
+        docs = _t(spark, sf, "documents")
+        target = docs.filter(F.col("doc_id") % 97 == 0)
+        w = dsir_importance_weights(docs, target, n_buckets=1024)
+        return dsir_gumbel_topk(w, k=100)
+
+    q["curation_dsir_select"] = dsir_select
+
     def contamination(spark, sf):
         # benchmark decontamination: winnow-fingerprint containment of an
         # eval-set-sized benchmark (every 97th doc) inside training docs;
@@ -2571,6 +2601,49 @@ FROM (
       / 1152921504606846976.0 AS frac
   FROM documents
 )
+"""
+    _dsir_cte = r"""
+tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, 'u|'||f AS f FROM (SELECT doc_id, unnest(toks) AS f FROM tk)
+  UNION ALL
+  SELECT doc_id, 'b|'||toks[i]||' '||toks[i+1] AS f
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM tk WHERE len(toks) >= 2)
+),
+docf AS (
+  SELECT doc_id, ('0x'||substr(md5(f),1,15))::BIGINT % 1024 AS bucket, count(*) AS c
+  FROM feats GROUP BY 1, 2
+),
+raw AS (SELECT bucket, sum(c) AS r FROM docf GROUP BY 1),
+tgt AS (SELECT bucket, sum(c) AS t FROM docf WHERE doc_id % 97 = 0 GROUP BY 1),
+tot AS (SELECT (SELECT sum(r) FROM raw) AS rtot, (SELECT sum(t) FROM tgt) AS ttot),
+dist AS (
+  SELECT coalesce(raw.bucket, tgt.bucket) AS bucket,
+         ln((coalesce(t,0) + 1) / (ttot + 1024)) - ln((coalesce(r,0) + 1) / (rtot + 1024)) AS lr
+  FROM raw FULL OUTER JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot
+),
+wts AS (
+  SELECT d.doc_id, sum(c)::BIGINT AS n_feats,
+         round(sum(c * lr), 6) AS logweight_sum,
+         round(sum(c * lr) / sum(c), 6) AS logweight_avg
+  FROM docf d JOIN dist USING (bucket) GROUP BY 1
+)"""
+    o["curation_dsir_weights"] = f"""
+WITH {_dsir_cte}
+SELECT doc_id, coalesce(n_feats, 0)::BIGINT AS n_feats, logweight_sum, logweight_avg
+FROM documents LEFT JOIN wts USING (doc_id)
+"""
+    o["curation_dsir_select"] = f"""
+WITH {_dsir_cte}
+SELECT doc_id, logweight_avg,
+       round(logweight_avg
+             - ln(-ln((('0x'||substr(md5('dsir|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT + 0.5)
+                      / 1152921504606846976.0)), 6) AS score
+FROM wts WHERE logweight_avg IS NOT NULL
+ORDER BY score DESC, doc_id LIMIT 100
 """
     o["curation_pack_sequences"] = r"""
 WITH t AS (

@@ -316,3 +316,162 @@ def contamination_pairs(
             F.col("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection with importance resampling (Xie et al. 2023)
+
+
+def _hashed_feature_counts(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """Per-doc hashed n-gram feature counts — DSIR's representation: every
+    unigram and bigram of the whitespace-normalized token stream hashes
+    into one of ``n_buckets`` buckets (md5-based, so any engine replays
+    it bit-for-bit). Returns (doc_id, bucket, c) with c = occurrences.
+    All JVM array expressions; the only shuffle is the (doc, bucket)
+    count aggregate, partially aggregated map-side."""
+    toks = _tokens(F.col(text_col))
+    t = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    n = F.size("_t")
+    uni = F.transform(F.col("_t"), lambda w: F.concat(F.lit("u|"), w))
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat(
+                F.lit("b|"),
+                F.get(F.col("_t"), i),
+                F.lit(" "),
+                F.get(F.col("_t"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = t.select("doc_id", F.explode(F.concat(uni, bi)).alias("_f"))
+    h = F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
+    return (
+        feats.select("doc_id", F.pmod(h, F.lit(n_buckets)).cast("long").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights: score every raw document by how much more
+    likely its hashed-n-gram features are under the TARGET domain's
+    distribution than under the raw corpus's own (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling").
+    Per-bucket add-one-smoothed log ratio
+
+        lr(b) = ln((t_b + 1) / (T + B)) - ln((r_b + 1) / (R + B))
+
+    (t/r = target/raw bucket counts, T/R totals, B = n_buckets); a doc's
+    log importance weight is the count-weighted sum of lr over its
+    features, and ``logweight_avg`` normalizes by feature count (the
+    length-robust form to rank by).
+
+    Scale shape: the two distributions are bucket tables of ≤ B rows —
+    aggregated once each, then BROADCAST onto the per-doc feature counts;
+    the raw corpus is scanned once and shuffled once (the (doc, bucket)
+    partial-agg). No driver-side model, no collect; the target side is
+    typically tiny (a quality slice) but nothing assumes it.
+
+    Returns (doc_id, n_feats, logweight_sum, logweight_avg), rounded to
+    6dp so double summation order can't leak into comparisons; docs with
+    zero features keep n_feats = 0 and NULL weights.
+    """
+    doc_f = _hashed_feature_counts(docs, id_col, text_col, n_buckets)
+    raw = doc_f.groupBy("bucket").agg(F.sum("c").alias("r"))
+    tgt = (
+        _hashed_feature_counts(target, id_col, text_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("t"))
+    )
+    dist = (
+        raw.join(tgt, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("r", F.lit(0)).alias("r"),
+            F.coalesce("t", F.lit(0)).alias("t"),
+        )
+        .crossJoin(
+            F.broadcast(
+                raw.agg(F.sum("r").alias("_rtot")).crossJoin(
+                    tgt.agg(F.sum("t").alias("_ttot"))
+                )
+            )
+        )
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t") + 1) / (F.col("_ttot") + n_buckets))
+                - F.log((F.col("r") + 1) / (F.col("_rtot") + n_buckets))
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        doc_f.join(F.broadcast(dist), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("_lr")), 6).alias("logweight_sum"),
+            F.round(
+                F.sum(F.col("c") * F.col("_lr")) / F.sum("c"), 6
+            ).alias("logweight_avg"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+        "logweight_sum",
+        "logweight_avg",
+    )
+
+
+def dsir_gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    weight_col: str = "logweight_avg",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR's selection step: importance RESAMPLING without replacement
+    via the Gumbel top-k trick — add independent Gumbel(0,1) noise to
+    each log weight and take the k largest, which samples k docs
+    proportionally to their importance weights. The noise is
+    deterministic (md5-derived uniform, inverse-CDF'd), so the sample is
+    reproducible across runs/engines and re-saltable for independent
+    draws.
+
+    Scale shape: a projection plus a distributed top-k (TakeOrdered —
+    per-partition heaps, never a global sort). Score ties break by id;
+    scores round to 6dp so the ordering an oracle replays is exact.
+    Zero-feature docs (NULL weight) never enter the draw.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 60))
+    gumbel = -F.log(-F.log(u))
+    score = F.round(F.col(weight_col) + gumbel, 6)
+    return (
+        weights.filter(F.col(weight_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.col(weight_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

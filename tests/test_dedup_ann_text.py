@@ -393,3 +393,43 @@ def test_contamination_pairs(spark):
     assert 3 in out and out[3].containment == 1.0
     assert 1 in out and out[1].containment >= 0.5  # embedded copy caught
     assert 2 not in out
+
+
+def test_dsir_importance_weights(spark):
+    # target domain is "feline" docs: docs about cats must outrank docs
+    # about stocks, and a doc with no tokens gets NULL weights
+    from tera_spark.operators.corpus import dsir_importance_weights
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "a cat and a cat chase the cat"),
+        (3, "stocks fell sharply on tuesday trading"),
+        (4, "bond yields rose as stocks slid again"),
+        (5, "the cat watched stocks fall"),
+        (6, "   "),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    target = docs.filter("doc_id in (1, 2)")
+    out = {r.doc_id: r for r in dsir_importance_weights(docs, target, n_buckets=512).collect()}
+    assert len(out) == 6
+    # cat docs score above stock docs; the mixed doc lands between
+    assert out[1].logweight_avg > out[5].logweight_avg > out[3].logweight_avg
+    assert out[2].logweight_avg > out[4].logweight_avg
+    assert out[6].n_feats == 0 and out[6].logweight_avg is None
+    # unigrams + bigrams: "the cat sat on the mat" = 6 uni + 5 bi
+    assert out[1].n_feats == 11
+
+
+def test_dsir_gumbel_topk_deterministic(spark):
+    from tera_spark.operators.corpus import dsir_gumbel_topk, dsir_importance_weights
+
+    corpus = [(i, f"token{i % 7} filler text common words here") for i in range(40)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    target = docs.filter("doc_id % 7 = 0")
+    w = dsir_importance_weights(docs, target, n_buckets=256)
+    a = [r.doc_id for r in dsir_gumbel_topk(w, 10).collect()]
+    b = [r.doc_id for r in dsir_gumbel_topk(w, 10).collect()]
+    assert a == b and len(a) == 10
+    # a different salt draws a different sample (same weights)
+    c = [r.doc_id for r in dsir_gumbel_topk(w, 10, salt="other").collect()]
+    assert a != c
