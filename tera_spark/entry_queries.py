@@ -398,15 +398,11 @@ SELECT query_id, nn_id, round(cos_raw, 6) AS cos, rank FROM (
 """
 
 
-def _sql_ivf_topk(
-    k: int = 10, n_centroids: int = 16, n_probe: int = 4, iterations: int = 3,
-    dim: int = 64,
-) -> str:
-    """ann.ivf_topk replay (round-2 verdict next-round #2): the md5-portable
-    seed hash makes the k-means seeding engine-identical, and each Lloyd
-    round is one CTE pair (argmin assignment → per-dimension mean) over the
-    long-format (vec_id, dim, value) table — so the oracle replays the FULL
-    IVF path: seeding, 3 Lloyd rounds, list assignment, probing, rerank."""
+def _sql_kmeans_lists(n_centroids: int, iterations: int, dim: int) -> str:
+    """Shared CTE prefix replaying ann.kmeans_centroids + final assignment:
+    md5-portable seeding, ``iterations`` Lloyd rounds (one argmin/mean CTE
+    pair each, long-format (vec_id, dim, value)), ending in
+    ``lists(nn_id, centroid_id)``. Used by the IVF and SemDeDup oracles."""
     itr = ""
     prev = "c0"
     for it in range(iterations):
@@ -428,8 +424,7 @@ a{it} AS (
   FROM a{it} a JOIN ed ON a.vec_id = ed.vec_id GROUP BY 1, 2
 )"""
         prev = nxt
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 dims AS (SELECT unnest(generate_series(1, {dim})) AS di),
 ed AS (SELECT vec_id, di, v[di] AS x FROM e CROSS JOIN dims),
 seeds AS (
@@ -450,7 +445,36 @@ lists AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, centroid_id ASC) AS rn
     FROM cd
   ) WHERE rn = 1
-),
+)"""
+
+
+def _sql_semantic_dedup(
+    threshold: float = 0.40, n_centroids: int = 16, iterations: int = 3,
+    dim: int = 64,
+) -> str:
+    """dedup.semantic_dedup_pairs replay: same k-means lists, then
+    within-cluster pairwise cosine at the threshold."""
+    return f"""
+WITH {_sql_kmeans_lists(n_centroids, iterations, dim)}
+SELECT la.nn_id AS a, lb.nn_id AS b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+FROM lists la JOIN lists lb ON la.centroid_id = lb.centroid_id AND la.nn_id < lb.nn_id
+JOIN e ea ON la.nn_id = ea.vec_id JOIN e eb ON lb.nn_id = eb.vec_id
+WHERE list_cosine_similarity(ea.v, eb.v) >= {threshold}
+"""
+
+
+def _sql_ivf_topk(
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4, iterations: int = 3,
+    dim: int = 64,
+) -> str:
+    """ann.ivf_topk replay (round-2 verdict next-round #2): the md5-portable
+    seed hash makes the k-means seeding engine-identical, and each Lloyd
+    round is one CTE pair (argmin assignment → per-dimension mean) over the
+    long-format (vec_id, dim, value) table — so the oracle replays the FULL
+    IVF path: seeding, 3 Lloyd rounds, list assignment, probing, rerank."""
+    return f"""
+WITH {_sql_kmeans_lists(n_centroids, iterations, dim)},
 probes AS (
   SELECT vec_id AS query_id, centroid_id FROM (
     SELECT vec_id, centroid_id,
@@ -1865,6 +1889,17 @@ def _queries() -> dict:
         _emb(spark, sf), threshold=0.40
     )
 
+    def semantic(spark, sf):
+        # SemDeDup: k-means-cluster blocking (portable md5 seeding so the
+        # oracle replays the clustering), within-cluster cosine pairs
+        from tera_spark.operators.dedup import semantic_dedup_pairs
+
+        return semantic_dedup_pairs(
+            _emb(spark, sf), threshold=0.40, n_clusters=16, dim=64, portable=True
+        )
+
+    q["dedup_semantic"] = semantic
+
     # --- ANN -----------------------------------------------------------------------
     def ann(spark, sf):
         from tera_spark.operators.ann import cosine_topk
@@ -2799,6 +2834,7 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.40
 """
     o["dedup_embedding_lsh"] = _sql_lsh_neardup(threshold=0.40)
     o["ann_lsh_topk"] = _sql_lsh_topk(k=10)
+    o["dedup_semantic"] = _sql_semantic_dedup(threshold=0.40)
     o["ann_ivf_topk"] = _sql_ivf_topk(k=10)
     o["mm_features"] = _sql_mm_features(64)
     o["kg_structure_triples"] = _sql_kg_structure()

@@ -301,3 +301,67 @@ def embedding_neardup_lsh_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    k-means cluster the embedding space, then compare pairs WITHIN each
+    cluster only — cosine ≥ threshold emits the pair. The deliberate
+    recall tradeoff of the paper: a dup pair split across cluster
+    boundaries is missed, in exchange for Σ_clusters C(|cluster|, 2)
+    candidate cost instead of C(N, 2) (with balanced clusters, a
+    1/n_clusters fraction of all-pairs — and at web scale n_clusters grows
+    with N to keep cluster sizes bounded). Complements
+    ``embedding_neardup_lsh_pairs`` (probabilistic recall at ANY angle)
+    with the partition-exhaustive shape the paper argues dedups better
+    near decision boundaries.
+
+    Scale shape: the centroid table (deterministic k-means,
+    ``operators/ann.py:kmeans_centroids``) broadcasts; assignment is one
+    map-side argmin; the self-join shuffles on centroid_id once. Skew
+    guard at 100 TB: a mega-cluster's C(n,2) blowup is bounded by raising
+    n_clusters (the paper uses 50k clusters for LAION) — cluster sizes
+    are observable from the assignment aggregate before the join.
+    ``portable=True`` uses the md5 seed hash so a SQL oracle replays the
+    clustering bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from tera_spark.operators.ann import cosine, kmeans_centroids
+
+    cents = kmeans_centroids(
+        embeddings, k=n_clusters, id_col=id_col, vec_col=vec_col, dim=dim,
+        portable=portable,
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
+    assigned = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .join(F.broadcast(cents))
+        .withColumn("d", d)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "_v", "centroid_id")
+    )
+    a = assigned.select(F.col("id").alias("a"), F.col("_v").alias("va"), "centroid_id")
+    b = assigned.select(F.col("id").alias("b"), F.col("_v").alias("vb"), "centroid_id")
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )

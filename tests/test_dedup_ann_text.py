@@ -433,3 +433,32 @@ def test_dsir_gumbel_topk_deterministic(spark):
     # a different salt draws a different sample (same weights)
     c = [r.doc_id for r in dsir_gumbel_topk(w, 10, salt="other").collect()]
     assert a != c
+
+
+def test_semantic_dedup_pairs(spark):
+    # planted near-dups in two well-separated clusters: the pair inside
+    # each cluster is found, the cross-cluster pair is (by design) not
+    # compared even though its cosine would pass the threshold
+    import math
+
+    from tera_spark.operators.dedup import semantic_dedup_pairs
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    rows = [
+        (1, unit(1.0, 0.02, 0.0, 0.0)),
+        (2, unit(1.0, 0.0, 0.02, 0.0)),   # near-dup of 1
+        (3, unit(0.0, 0.0, 1.0, 0.02)),
+        (4, unit(0.0, 0.02, 1.0, 0.0)),   # near-dup of 3
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.a, r.b): r.cos
+        for r in semantic_dedup_pairs(
+            vecs, threshold=0.95, n_clusters=2, dim=4, portable=True
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2), (3, 4)}
+    assert all(c >= 0.95 for c in pairs.values())
