@@ -82,6 +82,8 @@ def main() -> None:
         "text_bigram_lm",
         "graph_pagerank",
         "ev_sessionize",
+        "curation_dsir_weights",
+        "dedup_semantic",
     ]
     # Steady-state per query: each query runs twice and the WARM run is the
     # headline number (first-run codegen/broadcast/page-cache cost is paid
