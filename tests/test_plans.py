@@ -139,3 +139,44 @@ def test_pagerank_plan_stays_bounded(spark):
     p3 = len(explain_str(pagerank(edges, iterations=3), "simple"))
     p10 = len(explain_str(pagerank(edges, iterations=10), "simple"))
     assert p10 < 3 * p3  # linear lineage growth would blow far past this
+
+
+def test_dsir_distribution_broadcasts_onto_features(spark):
+    # the per-bucket log-ratio table (≤ n_buckets rows) must broadcast
+    # onto the corpus-sized feature counts, never shuffle them for it
+    from tera_spark.operators.corpus import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"some words here token{i % 5}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    w = dsir_importance_weights(docs, docs.filter("doc_id % 5 = 0"), n_buckets=64)
+    assert uses_broadcast_join(w)
+
+
+def test_semantic_dedup_centroids_broadcast_no_cartesian(spark):
+    # centroid assignment must be a broadcast join of the (tiny) centroid
+    # table; the only shuffle-join is the within-cluster self-join
+    import math
+
+    from tera_spark.operators.dedup import semantic_dedup_pairs
+
+    vecs = spark.createDataFrame(
+        [(i, [math.sin(i * j + 1.0) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = explain_str(semantic_dedup_pairs(vecs, threshold=0.9, n_clusters=4, dim=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dsir_gumbel_topk_is_take_ordered(spark):
+    # the selection is a distributed top-k (per-partition heaps), not a
+    # global sort
+    from tera_spark.operators.corpus import dsir_gumbel_topk
+
+    w = spark.createDataFrame(
+        [(i, float(-i % 7)) for i in range(100)], "doc_id long, logweight_avg double"
+    )
+    plan = explain_str(dsir_gumbel_topk(w, 10))
+    assert "TakeOrderedAndProject" in plan
