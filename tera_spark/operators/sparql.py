@@ -45,6 +45,9 @@ triples frame (subject, predicate, object, obj_is_literal):
 - ``VALUES`` → an inline broadcast table joined FIRST (the most selective
   constraint in the group, so every pattern scan is probe-side of a
   broadcast join instead of filtered at the end);
+- ``SELECT (expr AS ?v)`` projection expressions (BIND fragment:
+  vars, constants, ``STR``, ``CONCAT``) — compiled as output-only
+  withColumn, zero shuffle;
 - ``GROUP BY`` + ``COUNT/MIN/MAX/SUM/AVG/SAMPLE/GROUP_CONCAT`` SELECT
   expressions (GROUP_CONCAT with ``; SEPARATOR="..."``, elements sorted
   for determinism) → a
@@ -475,14 +478,19 @@ class _Parser:
     def parse_select_agg(self):
         """``( COUNT([DISTINCT] ?x | *) AS ?alias )`` — the aggregate form
         of a SELECT item (SPARQL 1.1 §18.4, restricted to one aggregate per
-        parenthesized expression, which is every use the fragment needs)."""
+        parenthesized expression, which is every use the fragment needs) —
+        or ``( expr AS ?alias )`` with a BIND-fragment expr (vars,
+        constants, STR, CONCAT): a projection expression, compiled exactly
+        like an output-only BIND."""
         self.expect("punct", "(")
-        k, fn = self.next()
+        k, fn = self.peek()
         if k != "word" or fn.lower() not in self._AGG_FNS:
-            raise SparqlUnsupported(
-                f"SELECT expression {fn!r} is outside the supported fragment "
-                f"(aggregates: {', '.join(self._AGG_FNS)})"
-            )
+            expr = self.parse_bind_expr()
+            self.expect("kw", "as")
+            alias = self.expect("var")[1:]
+            self.expect("punct", ")")
+            return ("exprsel", expr, None, None, alias, None)
+        self.next()
         fn = fn.lower()
         self.expect("punct", "(")
         agg_distinct = False
@@ -1766,7 +1774,13 @@ def _shape_select(df: DataFrame, ast: Query, keep_flags: bool = False) -> DataFr
         out_cols = [c for c in df.columns if not c.startswith("__isuri_") and not c.startswith("_bn")]
         out = df.select(*out_cols).distinct()
     else:
-        names = [s[1] for s in ast.select]
+        # projection expressions (SELECT (expr AS ?v)) evaluate first —
+        # same machinery and output-only scope as BIND
+        for s in ast.select:
+            if s[0] == "exprsel":
+                val, flag = _bind_cols(df, s[1])
+                df = df.withColumn(s[4], val).withColumn(f"__isuri_{s[4]}", flag)
+        names = [s[1] if s[0] == "var" else s[4] for s in ast.select]
         missing = [v for v in names if v not in df.columns]
         if missing:
             raise SparqlSyntaxError(f"SELECT variables never bound: {missing}")
@@ -1815,6 +1829,11 @@ def _aggregate(df: DataFrame, ast: Query, keep_flags: bool = False) -> DataFrame
     ignored, matching SPARQL's error-drop semantics."""
     if ast.select == ["*"]:
         raise SparqlUnsupported("SELECT * with GROUP BY")
+    if any(s[0] == "exprsel" for s in ast.select):
+        raise SparqlUnsupported(
+            "SELECT expression combined with GROUP BY/aggregates — "
+            "BIND the expression in the group instead"
+        )
     plain = [s[1] for s in ast.select if s[0] == "var"]
     stray = [v for v in plain if v not in ast.group_by]
     if stray:

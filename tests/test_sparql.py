@@ -1002,3 +1002,33 @@ def test_sample_is_deterministic_min(graph):
         PREFIX t: <urn:t:>
         SELECT (SAMPLE(?l) AS ?one) WHERE { ?s t:label ?l }"""
     assert query_graph(graph, q).collect()[0].one == "copper"
+
+
+# ---------------------------------------------------------------------------
+# SELECT projection expressions: (expr AS ?v)
+
+
+def test_select_expression_concat(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT ?s (CONCAT("label:", STR(?l)) AS ?tag) WHERE { ?s t:label ?l }"""
+    rows = {(r.s, r.tag) for r in query_graph(graph, q).collect()}
+    assert rows == {(NS + "c1", "label:copper"), (NS + "c2", "label:zinc")}
+
+
+def test_select_expression_rename_and_const(graph):
+    q = """
+        PREFIX t: <urn:t:>
+        SELECT (?l AS ?name) ("x" AS ?mark) WHERE { <urn:t:c1> t:label ?l }"""
+    r = query_graph(graph, q).collect()[0]
+    assert (r.name, r.mark) == ("copper", "x")
+
+
+def test_select_expression_with_groupby_raises(graph):
+    with pytest.raises(SparqlUnsupported, match="BIND the expression"):
+        query_graph(
+            graph,
+            """PREFIX t: <urn:t:>
+            SELECT (STR(?k) AS ?x) (COUNT(*) AS ?n)
+            WHERE { ?s a ?k } GROUP BY ?k""",
+        )
