@@ -1793,6 +1793,16 @@ def _queries() -> dict:
 
     q["curation_pack_sequences"] = pack
 
+    def dup_spans(spark, sf):
+        # substring-level duplicate spans (Lee et al. 2022): rolling
+        # k-token window hashes, repeated-anywhere windows merged into
+        # maximal per-doc spans via the island trick
+        from tera_spark.operators.textops import duplicate_spans
+
+        return duplicate_spans(_t(spark, sf, "documents"), k=8)
+
+    q["text_duplicate_spans"] = dup_spans
+
     def dsir_weights(spark, sf):
         # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
         # features, add-one-smoothed target-vs-raw log ratio; target domain
@@ -2636,6 +2646,27 @@ FROM (
       / 1152921504606846976.0 AS frac
   FROM documents
 )
+"""
+    o["text_duplicate_spans"] = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS g
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        FROM tk WHERE len(toks) >= 8)
+),
+dup AS (SELECT g FROM w GROUP BY g HAVING count(*) > 1),
+m AS (SELECT doc_id, pos FROM w WHERE g IN (SELECT g FROM dup)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, island
 """
     _dsir_cte = r"""
 tk AS (

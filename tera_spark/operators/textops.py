@@ -202,3 +202,67 @@ def with_fingerprint(
         .withColumn("fp_winnow", F.array_distinct(windows))
         .drop("_kg")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal run
+    of token positions whose k-token windows also occur elsewhere in the
+    corpus — the span-granular signal (boilerplate, licenses, quoted
+    chunks) that doc-level dedup can't see. The paper's suffix array is a
+    single-machine structure; the distributed equivalent is rolling
+    k-token window hashes: a window repeated ANYWHERE (across docs or
+    within one) marks its positions, and adjacent marked positions merge
+    into maximal spans via the island trick (pos - row_number() is
+    constant within a run — one window sort per doc).
+
+    Output: (doc_id, span_start, span_end, n_windows) with token
+    positions 0-based, span_end exclusive-of-window-start + k (i.e. the
+    duplicated text is tokens [span_start, span_end)); docs shorter than
+    k tokens never emit.
+
+    Scale shape: one explode (corpus token count rows), one groupBy on
+    the window hash with map-side partial agg (zipfian — the hot grams
+    ARE the result), one join back, one per-doc window sort. The gram
+    count table is corpus-sized, so the join is shuffle-hash, not
+    broadcast — correct at 100 TB where the dup-gram set doesn't fit a
+    driver. md5 grams make any engine replay bit-identical.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(F.col(text_col))
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    n = F.size("_t")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),  # slice() is 1-based
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                F.md5(F.array_join(F.slice(F.col("_t"), i, k), " ")).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,g:string>>"))
+    w = t.select("doc_id", F.explode(grams).alias("_w")).select(
+        "doc_id", F.col("_w.pos").alias("pos"), F.col("_w.g").alias("g")
+    )
+    dup_g = w.groupBy("g").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") > 1)
+    marked = w.join(dup_g.select("g"), "g", "left_semi")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    island = F.col("pos") - F.row_number().over(win)
+    return (
+        marked.withColumn("_is", island)
+        .groupBy("doc_id", "_is")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_is")
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )

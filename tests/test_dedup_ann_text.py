@@ -462,3 +462,25 @@ def test_semantic_dedup_pairs(spark):
     }
     assert set(pairs) == {(1, 2), (3, 4)}
     assert all(c >= 0.95 for c in pairs.values())
+
+
+def test_duplicate_spans(spark):
+    from tera_spark.operators.textops import duplicate_spans
+
+    boiler = "this license text is repeated verbatim in many documents"
+    corpus = [
+        (1, f"unique preamble one {boiler} unique tail alpha beta"),
+        (2, f"other intro {boiler} different ending entirely here"),
+        (3, "no duplication in this document at all whatsoever truly"),
+        (4, "short"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in duplicate_spans(docs, k=5).collect()
+    }
+    # the 9-token boilerplate yields 5 five-token windows in each doc;
+    # doc 1 starts it at token 3, doc 2 at token 2
+    assert spans[1] == (3, 12, 5)
+    assert spans[2] == (2, 11, 5)
+    assert 3 not in spans and 4 not in spans
