@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -318,7 +319,9 @@ def write_report() -> None:
     if r2 and r8:
         sw_pairs = _same_window_pairs(t_head, (0, 2))
         if sw_pairs:
-            med = sorted(sw_pairs)[len(sw_pairs) // 2]
+            # true median: mean of the two middle values for even counts
+            # (upper-middle alone overstates by up to one inter-pair gap)
+            med = float(statistics.median(sw_pairs))
             verdict = "PASS" if med >= 0.8 else "BELOW TARGET"
             crit.append(
                 f"## Criterion verdict (corpus {t_head:,} turns)\n\n"
