@@ -508,8 +508,15 @@ def write_report() -> None:
                     "JVMs); host-ceiling-bound on this guest, see the "
                     "Criterion verdict and attribution lines"
                 )
-            elif sc == 2:
+            elif sc == 2 and turns == t_head:
                 note = " — **the criterion pair (target ≥ 0.8)**"
+            elif sc == 2:
+                note = (
+                    " — same shape as the criterion pair but at a "
+                    "sub-headline corpus (fixed per-job driver cost weighs "
+                    "more here); the criterion verdict above names only the "
+                    "largest corpus"
+                )
             else:
                 note = (
                     " — single-JVM 8→32 threads: capped by one JVM's memory "
