@@ -273,9 +273,13 @@ def write_report() -> None:
         "report the fastest WARM run over the whole recorded history\n"
         "(`BENCH/scaling_runs.jsonl`, every run + its host-CPU window) as\n"
         "the best estimate of each level's steal-free rate.\n"
-        "The larger corpus is the headline: the rule's design point\n"
-        "is 10^12 turns, and a bigger input amortizes the fixed per-job\n"
-        "driver/scheduler component exactly as a real cluster run would.\n\n"
+        "The criterion corpus is the largest one with a real pair history\n"
+        "(>= 3 same-window pairs — one stray pair can neither establish\n"
+        "nor overturn a median on this host): the rule's design point is\n"
+        "10^12 turns, and a bigger input amortizes the fixed per-job\n"
+        "driver/scheduler component exactly as a real cluster run would,\n"
+        "so corpora are promoted to criterion duty as they accumulate\n"
+        "pairs.\n\n"
     ]
 
     # ------------------------------------------------------------------
@@ -313,7 +317,20 @@ def write_report() -> None:
         return out
 
     crit = []
-    t_head = _largest_with((0, 2), (0, 8))
+    # The criterion corpus: the LARGEST corpus with enough same-window
+    # interleaved A/B pairs to carry a median (>= 3). On a host whose
+    # windows swing identical runs 2x, a single stray pair at some corpus
+    # size can neither establish nor overturn the verdict — it shows up
+    # in that corpus's own section below (fully visible), and the corpus
+    # is promoted to criterion duty once it accumulates a pair history.
+    cand = [
+        t
+        for t in corpora
+        if (0, 2) in corpora[t]
+        and (0, 8) in corpora[t]
+        and len(_same_window_pairs(t, (0, 2))) >= 3
+    ]
+    t_head = max(cand) if cand else _largest_with((0, 2), (0, 8))
     r2 = _best_rate(t_head, 0, 2) if t_head else None
     r8 = _best_rate(t_head, 0, 8) if t_head else None
     if r2 and r8:
@@ -510,12 +527,22 @@ def write_report() -> None:
                 )
             elif sc == 2 and turns == t_head:
                 note = " — **the criterion pair (target ≥ 0.8)**"
-            elif sc == 2:
+            elif sc == 2 and turns < (t_head or 0):
                 note = (
                     " — same shape as the criterion pair but at a "
                     "sub-headline corpus (fixed per-job driver cost weighs "
                     "more here); the criterion verdict above names only the "
-                    "largest corpus"
+                    "criterion corpus"
+                )
+            elif sc == 2:
+                n_pairs = len(_same_window_pairs(turns, (0, 2)))
+                note = (
+                    f" — same shape as the criterion pair at a LARGER corpus; "
+                    f"{n_pairs} same-window pair(s) so far, below the >= 3 "
+                    f"needed for a median on a host whose windows swing 2x, "
+                    f"so this corpus does not yet carry the criterion (it is "
+                    f"promoted automatically once it has a pair history); "
+                    f"see BENCH/NOTES.md for the per-stage decomposition"
                 )
             else:
                 note = (
