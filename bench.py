@@ -84,6 +84,7 @@ def main() -> None:
         "ev_sessionize",
         "curation_dsir_weights",
         "dedup_semantic",
+        "text_bm25_topk",
     ]
     # Steady-state per query: each query runs twice and the WARM run is the
     # headline number (first-run codegen/broadcast/page-cache cost is paid

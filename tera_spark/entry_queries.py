@@ -1803,6 +1803,18 @@ def _queries() -> dict:
 
     q["text_duplicate_spans"] = dup_spans
 
+    def bm25(spark, sf):
+        # Okapi BM25 top-k retrieval (Lucene idf variant) for a fixed
+        # 4-term query; postings are filtered to the query vocabulary
+        # before any shuffle
+        from tera_spark.operators.textops import bm25_topk
+
+        return bm25_topk(
+            _t(spark, sf, "documents"), ["hash", "join", "spark", "window"], k=25
+        )
+
+    q["text_bm25_topk"] = bm25
+
     def dsir_weights(spark, sf):
         # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
         # features, add-one-smoothed target-vs-raw log ratio; target domain
@@ -2182,6 +2194,14 @@ _SAMPLE_PRIORITY = [
     "curation_hash_split",
     "curation_pack_sequences",
     "text_contamination",
+    # added late in round 4, after the first rotation pass — without a
+    # priority slot they sit past the driver's ~50-query sampling cut
+    "q30_sparql_strings",
+    "text_duplicate_spans",
+    "curation_dsir_weights",
+    "curation_dsir_select",
+    "dedup_semantic",
+    "text_bm25_topk",
 ]
 
 
@@ -2667,6 +2687,34 @@ isl AS (
 SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
        count(*)::BIGINT AS n_windows
 FROM isl GROUP BY doc_id, island
+"""
+    o["text_bm25_topk"] = r"""
+WITH tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, len(toks) AS dl, toks FROM tk),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base) u
+  WHERE term IN ('hash', 'join', 'spark', 'window')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         round(sum(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         ), 6) AS bm25,
+         count(*)::BIGINT AS n_terms_hit
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms_hit FROM scored
+ORDER BY bm25 DESC, doc_id LIMIT 25
 """
     _dsir_cte = r"""
 tk AS (

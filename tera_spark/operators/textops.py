@@ -266,3 +266,55 @@ def duplicate_spans(
         .drop("_is")
         .select("doc_id", "span_start", "span_end", "n_windows")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a bag-of-words query over a document
+    table (Robertson & Zaragoza 2009), with Lucene's +1-inside-the-log idf
+    so every matched term contributes a positive score.
+
+    Scale shape: the postings explode is filtered to the query's terms
+    BEFORE the (doc, term) aggregation, so the shuffle carries only
+    |matching docs| x |Q| rows — never the corpus vocabulary; corpus
+    stats (N, avgdl) ride a broadcast 1-row aggregate and the per-term
+    document frequencies a |Q|-row broadcast join. Scores are rounded
+    to 6 decimals before the top-k sort so the (score, doc_id) order —
+    and therefore the k-cut — is engine-portable.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = _tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_t")).withColumn(
+        "dl", F.size("_t")
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        base.select("doc_id", "dl", F.explode("_t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # tf is unique per (doc, term), so plain count = document frequency
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_c"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)

@@ -484,3 +484,37 @@ def test_duplicate_spans(spark):
     assert spans[1] == (3, 12, 5)
     assert spans[2] == (2, 11, 5)
     assert 3 not in spans and 4 not in spans
+
+
+def test_bm25_topk(spark):
+    from math import log
+
+    from tera_spark.operators.textops import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join join join"),  # tf(join)=3, dl=4
+            (2, "spark scan scan scan"),  # tf(spark)=1, dl=4
+            (3, "filter scan merge sort"),  # no query term
+            (4, "join spark"),  # short doc: length normalization boosts it
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bm25_topk(docs, ["join", "spark"], k=10).collect()}
+    assert 3 not in rows  # docs without any query term never surface
+    assert rows[1]["n_terms_hit"] == 2 and rows[4]["n_terms_hit"] == 2
+    # hand-computed: N=4, avgdl=3.5; df(join)=2, df(spark)=3
+    k1, b = 1.2, 0.75
+
+    def score(tf, df, dl):
+        idf = log((4 - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 3.5))
+
+    exp1 = round(score(3, 2, 4) + score(1, 3, 4), 6)
+    assert abs(rows[1]["bm25"] - exp1) < 1e-6
+    # doc 4 beats doc 2: same spark tf, plus a join hit and a shorter dl
+    assert rows[4]["bm25"] > rows[2]["bm25"]
+    # k-cut is deterministic: doc 1's tf=3 join hit outweighs doc 4's
+    # shorter length (1.394 vs 1.273 by the reference formula above)
+    top = bm25_topk(docs, ["join", "spark"], k=1).collect()
+    assert len(top) == 1 and top[0]["doc_id"] == 1
