@@ -1432,6 +1432,31 @@ def _queries() -> dict:
 
     q["graph_pagerank"] = pr
 
+    def tri(spark, sf):
+        # per-node triangle counts + local clustering coefficient over
+        # the co-supplier graph (suppliers sharing an order, sparse
+        # slice: every 97th order). Spark side uses the degree-ordered
+        # node-iterator orientation (Suri & Vassilvitskii 2011) — the
+        # triangle SET is orientation-invariant, so the oracle verifies
+        # with plain id-ordering.
+        from tera_spark.operators.graph_metrics import triangle_stats
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+        edges = (
+            a.join(b, "ok")
+            .filter(F.col("sa") < F.col("sb"))
+            .select(
+                F.concat(F.lit("s"), F.col("sa").cast("string")).alias("u"),
+                F.concat(F.lit("s"), F.col("sb").cast("string")).alias("v"),
+            )
+            .dropDuplicates(["u", "v"])
+        )
+        return triangle_stats(edges)
+
+    q["graph_triangles"] = tri
+
     # --- mapping / conversion ------------------------------------------------
     def j2(spark, sf):
         nation = _t(spark, sf, "nation")
@@ -1815,6 +1840,16 @@ def _queries() -> dict:
 
     q["text_bm25_topk"] = bm25
 
+    def tfidf(spark, sf):
+        # TF-IDF keyword extraction: top-5 terms per doc, smoothed idf
+        # (sklearn form); ties break on the rounded score then term text
+        # so ranking is engine-portable
+        from tera_spark.operators.corpus import tfidf_keywords
+
+        return tfidf_keywords(_t(spark, sf, "documents"), k=5)
+
+    q["text_tfidf_keywords"] = tfidf
+
     def dsir_weights(spark, sf):
         # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
         # features, add-one-smoothed target-vs-raw log ratio; target domain
@@ -1921,6 +1956,19 @@ def _queries() -> dict:
         )
 
     q["dedup_semantic"] = semantic
+
+    def resolve(spark, sf):
+        # the final stage a dedup pipeline actually ships: LSH pairs →
+        # connected components (transitive closure of pairwise verdicts)
+        # → one kept doc per duplicate cluster (longest copy, ties to
+        # the smallest id); singletons always kept
+        from tera_spark.operators.dedup import resolve_duplicate_clusters
+
+        docs = _t(spark, sf, "documents")
+        pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+        return resolve_duplicate_clusters(docs, pairs)
+
+    q["dedup_resolve_clusters"] = resolve
 
     # --- ANN -----------------------------------------------------------------------
     def ann(spark, sf):
@@ -2198,6 +2246,9 @@ _SAMPLE_PRIORITY = [
     # priority slot they sit past the driver's ~50-query sampling cut
     "q30_sparql_strings",
     "text_duplicate_spans",
+    "dedup_resolve_clusters",
+    "text_tfidf_keywords",
+    "graph_triangles",
     "curation_dsir_weights",
     "curation_dsir_select",
     "dedup_semantic",
@@ -2460,6 +2511,51 @@ UNION
 SELECT DISTINCT 'n:'||cast(s_nationkey AS varchar), 'n:'||cast(s_nationkey AS varchar) FROM supplier
 """
     o["graph_pagerank"] = _sql_pagerank(iterations=5, damping=0.85)
+
+    # triangle SET is orientation-invariant: the oracle enumerates each
+    # triangle once by id-ordering (x < y < z) where the Spark operator
+    # uses degree-ordering; per-node credits and lcc must still match.
+    o["graph_triangles"] = """
+WITH raw AS (
+  SELECT DISTINCT 's' || cast(a.l_suppkey AS varchar) AS u, 's' || cast(b.l_suppkey AS varchar) AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_orderkey % 97 = 0 AND b.l_orderkey % 97 = 0
+),
+und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw WHERE u <> v),
+deg AS (SELECT node, count(*) AS degree FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+per AS (SELECT node, count(*) AS triangles FROM
+        (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1)
+SELECT deg.node, deg.degree, coalesce(per.triangles, 0) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN round(2.0 * coalesce(per.triangles, 0) / (deg.degree * (deg.degree - 1.0)), 6)
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN per USING (node)
+"""
+
+    o["text_tfidf_keywords"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                                    t -> length(t) >= 3)) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)::DOUBLE) + 1.0), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
 
     # DuckDB's native ASOF JOIN is the independent check of the union+window
     # formulation (same `l.ts >= r.ts` inclusive-backward semantics).
@@ -2903,6 +2999,42 @@ banded AS (
 )
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    # same pairs as dedup_minhash_lsh, then transitive closure (recursive
+    # CTE over the symmetric pair edges; min reachable label == the CC
+    # component min) and the keep-longest pick. lpad-12 labels make the
+    # lexicographic component min equal the numeric min, matching the
+    # Spark operator.
+    o["dedup_resolve_clusters"] = f"""
+WITH RECURSIVE {_SQL_SHINGLES.strip().lstrip()},
+sig AS (SELECT doc_id, {mh_min} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, '0|' || h0 || '|' || h1 AS bucket FROM sig
+  UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc_id, '2|' || h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc_id, '3|' || h6 || '|' || h7 FROM sig
+),
+pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT lpad(cast(a AS varchar), 12, '0') AS u, lpad(cast(b AS varchar), 12, '0') AS v FROM pairs
+  UNION SELECT lpad(cast(b AS varchar), 12, '0'), lpad(cast(a AS varchar), 12, '0') FROM pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (
+  SELECT d.doc_id,
+         coalesce(c.component, lpad(cast(d.doc_id AS varchar), 12, '0')) AS cluster_id,
+         length({_SQL_NORMTEXT}) AS len
+  FROM documents d LEFT JOIN comp c ON lpad(cast(d.doc_id AS varchar), 12, '0') = c.node
+)
+SELECT doc_id, cluster_id,
+       (row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id ASC)) = 1 AS keep
+FROM lab
 """
     o["dedup_simhash"] = _sql_simhash_md5(max_hamming=8)
     o["dedup_embedding_cosine"] = """

@@ -475,3 +475,69 @@ def dsir_gumbel_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Top-k keywords per document by TF-IDF over the corpus itself.
+
+    Terms are lowercase alphabetic runs of ≥ ``min_token_len`` chars
+    (engine-portable: the same regex runs in a SQL oracle). tf is the raw
+    in-document term count; idf is the smoothed
+    ``ln((N + 1) / (df + 1)) + 1`` (sklearn's ``smooth_idf`` form, so a
+    term present in every document still scores > 0 and an unseen-df=0
+    division can't occur). Ranking ties break on the ROUNDED score then
+    term text, so the order is identical across engines despite float
+    formatting.
+
+    Scale shape: no driver-side vocabulary — term counts and document
+    frequencies are distributed aggregates. Two shuffles total: one
+    groupBy (doc_id, term) for tf (df rides the same exploded table as a
+    second aggregate, and N is a broadcast 1-row count), one window over
+    doc_id for the per-doc top-k whose partitions are single documents.
+    The df table joins back on term — skew-safe: df is ≤ |vocabulary|
+    rows and near-uniform after the min-length filter.
+
+    Returns (doc_id, term, score, rank) with score rounded to 6 places.
+    """
+    terms = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "),
+        lambda t: F.length(t) >= min_token_len,
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(terms).alias("term")
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )

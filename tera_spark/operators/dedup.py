@@ -365,3 +365,65 @@ def semantic_dedup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
+
+
+def resolve_duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Final stage of a near-dup dedup pipeline: verified PAIRS → duplicate
+    CLUSTERS → one kept document per cluster.
+
+    ``pairs`` is any (a, b) table produced by the blockers in this module
+    (minhash_lsh_pairs, simhash_pairs, ngram_jaccard_pairs,
+    embedding_neardup_lsh_pairs, ...). Pairwise verdicts alone cannot be
+    applied — A~B and B~C must collapse {A, B, C} into ONE cluster even
+    though A and C never shared a bucket — so cluster ids come from the
+    same large-star/small-star connected components the KG canonicalizer
+    uses (operators/canonical.py:connected_components), never a
+    driver-side union-find. The kept doc per cluster is deterministic:
+    longest normalized text first, ties to the smallest id ("keep the
+    richest copy"). Docs in no pair are singleton clusters and always
+    kept.
+
+    Scale shape: CC runs over the PAIR table only (tiny vs the corpus —
+    bounded by the blockers' band/bucket caps); the corpus-sized work is
+    one join of docs against the component map (broadcastable whenever
+    the dup fraction is small, the common case) and one window over
+    cluster_id whose partitions are duplicate clusters — bounded by
+    cluster size, not corpus size. Node labels are lpad-12 zero-padded id
+    strings so the CC component min (lexicographic) equals the numeric
+    min for integer ids.
+
+    Returns (doc_id, cluster_id string, keep boolean).
+    """
+    from pyspark.sql import Window
+
+    from tera_spark.operators.canonical import connected_components
+
+    def _tag(c):
+        return F.lpad(c.cast("string"), 12, "0")
+
+    edges = pairs.select(
+        _tag(F.col(pairs.columns[0])).alias("u"),
+        _tag(F.col(pairs.columns[1])).alias("v"),
+    )
+    comp = connected_components(edges)
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tag(F.col(id_col)).alias("node"),
+        F.length(_norm_text(F.col(text_col))).alias("_len"),
+    )
+    lab = keyed.join(comp, "node", "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("node")).alias("cluster_id"),
+        "_len",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("_len"), F.asc("doc_id"))
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == F.lit(1)).alias("keep"),
+    )

@@ -149,3 +149,38 @@ def test_pagerank_empty_and_trivial(spark):
     got = {r.node: r.rank for r in pagerank(pair, iterations=3).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["b"] > got["a"]
+
+
+def test_triangle_stats_known_graph(spark):
+    from tera_spark.operators.graph_metrics import triangle_stats
+
+    # K4 on a-d (4 triangles, every node in 3), plus a pendant e-a
+    # (degree 1, no triangle) and an isolated edge f-g.
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("e", "a"),
+        ("f", "g"),
+        # noise the operator must ignore: duplicate, reversed, self-loop
+        ("b", "a"), ("a", "b"), ("c", "c"),
+    ]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {r.node: (r.degree, r.triangles, r.lcc) for r in triangle_stats(df).collect()}
+    assert got["a"] == (4, 3, 0.5)  # K4 member + pendant e
+    for n in "bcd":
+        assert got[n] == (3, 3, 1.0)  # pure K4 members: fully clustered
+    assert got["e"] == (1, 0, 0.0)
+    assert got["f"] == (1, 0, 0.0) and got["g"] == (1, 0, 0.0)
+    total = sum(t for _, t, _ in got.values())
+    assert total == 3 * 4  # 4 triangles, 3 credits each
+
+
+def test_triangle_stats_star_has_none(spark):
+    from tera_spark.operators.graph_metrics import triangle_stats
+
+    # a hot hub with no closing edges: the degree-ordered orientation
+    # must pivot the leaves (degree 1), never the hub — and find nothing
+    edges = [("hub", f"leaf{i}") for i in range(20)]
+    df = spark.createDataFrame(edges, "u string, v string")
+    rows = triangle_stats(df).collect()
+    assert all(r.triangles == 0 and r.lcc == 0.0 for r in rows)
+    assert {r.degree for r in rows} == {1, 20}

@@ -518,3 +518,52 @@ def test_bm25_topk(spark):
     # shorter length (1.394 vs 1.273 by the reference formula above)
     top = bm25_topk(docs, ["join", "spark"], k=1).collect()
     assert len(top) == 1 and top[0]["doc_id"] == 1
+
+
+def test_resolve_duplicate_clusters_transitive(spark):
+    from tera_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs_df = spark.createDataFrame(
+        [
+            (1, "short copy"),
+            (2, "the much longer canonical copy of this text"),
+            (3, "medium length copy here"),
+            (4, "unrelated singleton document"),
+        ],
+        "doc_id long, text string",
+    )
+    # pairwise verdicts never connect 1-3 directly; the cluster must
+    # still collapse {1,2,3} transitively through 2
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    rows = {r.doc_id: r for r in resolve_duplicate_clusters(docs_df, pairs).collect()}
+    assert rows[1].cluster_id == rows[2].cluster_id == rows[3].cluster_id
+    assert rows[4].cluster_id != rows[1].cluster_id
+    # longest text (doc 2) is the kept copy; the singleton is kept too
+    assert [rows[i].keep for i in (1, 2, 3, 4)] == [False, True, False, True]
+
+
+def test_tfidf_keywords_ranking(spark):
+    from tera_spark.operators.corpus import tfidf_keywords
+
+    docs_df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs_df, k=2)
+    rows = [(r.doc_id, r.rank, r.term, r.score) for r in out.collect()]
+    byrank = {(d, rk): (t, s) for d, rk, t, s in rows}
+    # 'common' is in every doc -> smoothed idf = 1.0 exactly; rarer terms
+    # with tf=2 outscore it, tf=1 terms lose to common's tf=2
+    assert byrank[(1, 1)][0] == "apple"
+    assert byrank[(1, 2)] == ("common", 2.0)
+    assert byrank[(3, 1)][0] == "cherry"
+    import math
+
+    idf1 = math.log(4 / 2) + 1  # apple: df=1, smoothed
+    assert abs(byrank[(1, 1)][1] - round(2 * idf1, 6)) < 1e-9
+    # every doc yields exactly min(k, vocab) rows with ranks 1..k
+    assert sorted(rk for d, rk, _, _ in rows if d == 2) == [1, 2]
