@@ -85,6 +85,8 @@ def main() -> None:
         "curation_dsir_weights",
         "dedup_semantic",
         "text_bm25_topk",
+        "dedup_resolve_clusters",
+        "graph_triangles",
     ]
     # Steady-state per query: each query runs twice and the WARM run is the
     # headline number (first-run codegen/broadcast/page-cache cost is paid
