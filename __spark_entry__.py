@@ -5,7 +5,7 @@ the ECOTOX-shaped mapping of the driver tables at sf0.001. ``queries`` /
 ``oracle_sql`` pair every implemented SURVEY.md §2 operator with a DuckDB
 oracle (see tera_spark/entry_queries.py). Round 4: registration is
 rotated so never-driver-sampled entries come first (the driver samples
-~50 of the 89); new oracle-checked entries are the SPARQL property-path /
+~50 of the 94); new oracle-checked entries are the SPARQL property-path /
 UNION / VALUES / ORDER BY / GROUP BY-aggregate compilers (q16-q19), the
 PORTABLE fuzzy mode — ``j6_string_matching_portable`` and
 ``kg_pipeline_triples_portable`` run the real linking/pipeline code with
@@ -13,9 +13,12 @@ a levenshtein+token-sort scorer that DuckDB replays exactly, so the FULL
 transcript→KG pipeline is hash-verified end to end — and
 ``kg_forget_triples_portable``: the right-to-be-forgotten operator
 (pipeline/forget.py) checked by replaying the whole build in DuckDB over
-the remaining conversations only. The only rows-only entries left are the
-two WRatio-default twins (Python difflib reference-parity mode, by
-design; golden-tested in pytest).
+the remaining conversations only. Late round-4 additions (all
+oracle-checked): triangle counting + clustering coefficient, k-core
+decomposition, near-dup cluster resolution (pairs → CC → keep-list),
+TF-IDF keywords, and the corpus Zipf head. The only rows-only entries
+left are the two WRatio-default twins (Python difflib reference-parity
+mode, by design; golden-tested in pytest).
 """
 
 from __future__ import annotations

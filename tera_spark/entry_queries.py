@@ -564,6 +564,42 @@ r{k} AS (SELECT n.node,
     return "".join(parts)
 
 
+def _sql_kcore(k: int, rounds: int) -> str:
+    """k-core oracle: replays the peeling as a fixed chain of ``rounds``
+    degree-filter CTEs over the co-supplier graph. Peeling is monotone —
+    any round count ≥ the convergence round (4 on this graph at k=12)
+    reproduces the fixpoint exactly, so the chain matches the Spark
+    operator's run-to-convergence loop.
+
+    Every CTE is MATERIALIZED: without it DuckDB inlines each reference,
+    and since round i references round i-1 three times (degree count ×2 +
+    join source) the scan tree grows 3^rounds — measured as an fd
+    explosion at rounds=8."""
+    parts = [
+        """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT 's' || cast(a.l_suppkey AS varchar) AS a, 's' || cast(b.l_suppkey AS varchar) AS b
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_orderkey % 97 = 0 AND b.l_orderkey % 97 = 0
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+k{i} AS MATERIALIZED (SELECT node FROM (SELECT node, count(*) AS c FROM
+         (SELECT a AS node FROM e{p} UNION ALL SELECT b FROM e{p}) GROUP BY 1) WHERE c >= {k}),
+e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{p} e JOIN k{i} ka ON e.a = ka.node JOIN k{i} kb ON e.b = kb.node)"""
+        )
+    parts.append(
+        f"""
+SELECT node, count(*) AS core_degree FROM
+(SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) GROUP BY node
+"""
+    )
+    return "".join(parts)
+
+
 def _kg_fixture_sql_cte(exclude: tuple = ()) -> str:
     """The deterministic 20-conv transcript corpus as a VALUES CTE — the
     oracle's INPUT data (same bytes the Spark entries generate), so DuckDB
@@ -1432,19 +1468,14 @@ def _queries() -> dict:
 
     q["graph_pagerank"] = pr
 
-    def tri(spark, sf):
-        # per-node triangle counts + local clustering coefficient over
-        # the co-supplier graph (suppliers sharing an order, sparse
-        # slice: every 97th order). Spark side uses the degree-ordered
-        # node-iterator orientation (Suri & Vassilvitskii 2011) — the
-        # triangle SET is orientation-invariant, so the oracle verifies
-        # with plain id-ordering.
-        from tera_spark.operators.graph_metrics import triangle_stats
-
+    def _cosupplier_edges(spark, sf):
+        # sparse co-supplier graph: suppliers sharing an order, every
+        # 97th order only (the unfiltered sf0.01 graph is complete —
+        # degenerate for triangle/core structure)
         li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
         a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
         b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
-        edges = (
+        return (
             a.join(b, "ok")
             .filter(F.col("sa") < F.col("sb"))
             .select(
@@ -1453,9 +1484,28 @@ def _queries() -> dict:
             )
             .dropDuplicates(["u", "v"])
         )
-        return triangle_stats(edges)
+
+    def tri(spark, sf):
+        # per-node triangle counts + local clustering coefficient.
+        # Spark side uses the degree-ordered node-iterator orientation
+        # (Suri & Vassilvitskii 2011) — the triangle SET is
+        # orientation-invariant, so the oracle verifies with plain
+        # id-ordering.
+        from tera_spark.operators.graph_metrics import triangle_stats
+
+        return triangle_stats(_cosupplier_edges(spark, sf))
 
     q["graph_triangles"] = tri
+
+    def kcore(spark, sf):
+        # 12-core of the co-supplier graph: iterative peeling to
+        # fixpoint. Peeling is monotone, so the oracle's fixed 8-round
+        # replay (≥ the 4 rounds this graph needs) is exact.
+        from tera_spark.operators.graph_metrics import k_core
+
+        return k_core(_cosupplier_edges(spark, sf), k=12)
+
+    q["graph_kcore"] = kcore
 
     # --- mapping / conversion ------------------------------------------------
     def j2(spark, sf):
@@ -1850,6 +1900,16 @@ def _queries() -> dict:
 
     q["text_tfidf_keywords"] = tfidf
 
+    def zipf(spark, sf):
+        # corpus vocabulary head (Zipf table): top-100 tokens with
+        # corpus share — distributed TakeOrdered first, so the ranking
+        # window only ever sees k rows
+        from tera_spark.operators.textops import top_tokens
+
+        return top_tokens(_t(spark, sf, "documents"), k=100)
+
+    q["text_top_tokens"] = zipf
+
     def dsir_weights(spark, sf):
         # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
         # features, add-one-smoothed target-vs-raw log ratio; target domain
@@ -2081,6 +2141,16 @@ def _queries() -> dict:
 
     q["kg_structure_triples"] = kg_struct
 
+    def kg_conv_stats(spark, sf):
+        # per-conversation transcript profile (role mix, tool usage,
+        # contiguity invariant) — one shuffle-free groupBy on the
+        # bucket key
+        from tera_spark.pipeline.kg import conversation_stats
+
+        return conversation_stats(_kg_fixture(spark))
+
+    q["kg_conversation_stats"] = kg_conv_stats
+
     def kg_exact(spark, sf):
         # the REAL extract→link path, filtered to its deterministic bands
         # (exact lexicon hits + rule-linked codes) — the oracle replays
@@ -2249,6 +2319,9 @@ _SAMPLE_PRIORITY = [
     "dedup_resolve_clusters",
     "text_tfidf_keywords",
     "graph_triangles",
+    "graph_kcore",
+    "text_top_tokens",
+    "kg_conversation_stats",
     "curation_dsir_weights",
     "curation_dsir_select",
     "dedup_semantic",
@@ -2535,6 +2608,21 @@ SELECT deg.node, deg.degree, coalesce(per.triangles, 0) AS triangles,
             THEN round(2.0 * coalesce(per.triangles, 0) / (deg.degree * (deg.degree - 1.0)), 6)
             ELSE 0.0 END AS lcc
 FROM deg LEFT JOIN per USING (node)
+"""
+
+    o["graph_kcore"] = _sql_kcore(k=12, rounds=8)
+
+    o["text_top_tokens"] = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+                            t -> length(t) >= 1)) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+total AS (SELECT sum(cnt) AS total FROM counts)
+SELECT token, cnt, round(cnt::DOUBLE / (SELECT total FROM total), 6) AS share, rank FROM (
+  SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM counts
+) WHERE rank <= 100
 """
 
     o["text_tfidf_keywords"] = """
@@ -3049,6 +3137,18 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.40
     o["ann_ivf_topk"] = _sql_ivf_topk(k=10)
     o["mm_features"] = _sql_mm_features(64)
     o["kg_structure_triples"] = _sql_kg_structure()
+    o["kg_conversation_stats"] = f"""
+WITH {_kg_fixture_sql_cte()}
+SELECT conv_id, count(*) AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_calls,
+       count(DISTINCT tool) AS n_tools,
+       sum(length(text)) AS total_chars,
+       (max(turn_idx) - min(turn_idx) + 1 = count(*)) AS contiguous,
+       max_by(role, turn_idx) AS last_role
+FROM transcripts GROUP BY conv_id
+"""
     o["kg_refcount_keys"] = _sql_kg_refcount_keys()
     o["kg_exact_link_triples"] = _sql_kg_exact_link()
     o["ann_topk_cosine"] = """

@@ -389,13 +389,14 @@ def resolve_duplicate_clusters(
     kept.
 
     Scale shape: CC runs over the PAIR table only (tiny vs the corpus —
-    bounded by the blockers' band/bucket caps); the corpus-sized work is
-    one join of docs against the component map (broadcastable whenever
-    the dup fraction is small, the common case) and one window over
-    cluster_id whose partitions are duplicate clusters — bounded by
-    cluster size, not corpus size. Node labels are lpad-12 zero-padded id
-    strings so the CC component min (lexicographic) equals the numeric
-    min for integer ids.
+    bounded by the blockers' band/bucket caps), and so does the argmax
+    window: the corpus-sized side takes exactly ONE join against the
+    component map (broadcastable whenever the dup fraction is small, the
+    common case) — docs matching no component are singletons, emitted
+    keep=true map-side without ever entering a shuffle. Only clustered
+    docs (pair-table-sized) flow through the per-cluster window. Node
+    labels are lpad-12 zero-padded id strings so the CC component min
+    (lexicographic) equals the numeric min for integer ids.
 
     Returns (doc_id, cluster_id string, keep boolean).
     """
@@ -416,14 +417,18 @@ def resolve_duplicate_clusters(
         _tag(F.col(id_col)).alias("node"),
         F.length(_norm_text(F.col(text_col))).alias("_len"),
     )
-    lab = keyed.join(comp, "node", "left").select(
-        "doc_id",
-        F.coalesce("component", F.col("node")).alias("cluster_id"),
-        "_len",
+    lab = keyed.join(comp, "node", "left")
+    singles = lab.filter(F.col("component").isNull()).select(
+        "doc_id", F.col("node").alias("cluster_id"), F.lit(True).alias("keep")
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("_len"), F.asc("doc_id"))
-    return lab.select(
-        "doc_id",
-        "cluster_id",
-        (F.row_number().over(w) == F.lit(1)).alias("keep"),
+    clustered = (
+        lab.filter(F.col("component").isNotNull())
+        .select("doc_id", F.col("component").alias("cluster_id"), "_len")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.row_number().over(w) == F.lit(1)).alias("keep"),
+        )
     )
+    return singles.unionByName(clustered)

@@ -200,3 +200,62 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .na.fill({"triangles": 0})
         .select("node", "degree", "triangles", lcc.alias("lcc"))
     )
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """Nodes of the k-core — the maximal induced subgraph in which every
+    node has degree ≥ k — with their within-core degrees. Undirected
+    2-column string-id edge input; direction, duplicates and self-loops
+    ignored.
+
+    Iterative peeling: drop every node of degree < k, recompute degrees
+    on the induced subgraph, repeat to fixpoint. Peeling is MONOTONE
+    (once a node is out it can never come back; once stable, further
+    rounds are identity), which is what makes a fixed-round SQL replay an
+    exact oracle: any round count ≥ the convergence round yields the same
+    table.
+
+    Scale shape: each round is one degree aggregate + one double
+    semi-join, all on the (only-shrinking) edge set; ``localCheckpoint``
+    per round keeps the plan constant-size, and the convergence check is
+    the edge count already forced by the checkpoint — one job per round.
+    At 100 TB the edge table is fact-sized but each round's survivors
+    shrink geometrically for realistic degree distributions; the loop
+    never touches a corpus-sized window.
+
+    Returns (node, core_degree).
+    """
+    u0, v0 = edges.columns[0], edges.columns[1]
+    e = (
+        edges.select(
+            F.least(F.col(u0), F.col(v0)).alias("a"),
+            F.greatest(F.col(u0), F.col(v0)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint()
+    )
+    prev = -1
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n = e.count()  # the count IS the checkpoint materialization — one job/round
+        if n == prev:
+            break
+        prev = n
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )

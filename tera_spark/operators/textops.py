@@ -318,3 +318,43 @@ def bm25_topk(
         )
     )
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def top_tokens(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus-level token frequency head (the Zipf table): top-k lowercase
+    alphabetic tokens with count, corpus share, and rank. The standard
+    first look at any crawl/corpus — vocabulary head inspection,
+    stopword-list derivation, boilerplate smells (a too-heavy head is a
+    template-duplication signal).
+
+    Scale shape: one explode + one groupBy(token) aggregate (map-side
+    partial combine carries the weight — token keys are Zipf-skewed but
+    partial aggregation collapses the hot head before the shuffle), then
+    a global top-k. The total-token count is a broadcast 1-row aggregate;
+    no driver-side vocabulary. Ties break on token text so the ranking is
+    engine-portable; share is rounded to 6 places.
+
+    Returns (token, cnt, share, rank), k rows.
+    """
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "), " "),
+        lambda t: F.length(t) >= 1,
+    )
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.select(F.sum("cnt").alias("total"))
+    # distributed top-k (TakeOrdered) FIRST, so the ranking window only
+    # ever sees k rows — never a single-partition sort of the vocabulary
+    head = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        head.join(F.broadcast(total))
+        .withColumn("share", F.round(F.col("cnt").cast("double") / F.col("total"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .select("token", "cnt", "share", "rank")
+    )

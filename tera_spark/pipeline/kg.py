@@ -231,3 +231,32 @@ def shared_row_expr():
     ).startswith(NS_KG + "conv/")
     is_tl = F.col("predicate").isin(RDF_TYPE, RDFS_LABEL)
     return F.col("predicate").isin(*SHARED_PREDS) | (is_tl & ~conv)
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation profile of the transcript table — the first
+    operational look at an agent-transcript corpus before it enters the
+    KG pipeline: turn counts by role, tool usage, size, and the
+    contiguity invariant the north rule's stable (conv_id, turn_idx)
+    ordering depends on (``contiguous`` false = dropped/duplicated turn
+    indexes — data that would silently skew per-turn provenance).
+
+    Scale shape: exactly one groupBy(conv_id) aggregate — map-side
+    partial aggregation does the heavy lifting and conv_id is the
+    table's own bucket key, so on the bucketed Iceberg layout this is
+    shuffle-free. No window, no join, no Python.
+
+    Returns one row per conversation:
+    (conv_id, n_turns, n_user, n_assistant, n_tool_calls, n_tools,
+    total_chars, contiguous, last_role).
+    """
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias("n_assistant"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_calls"),
+        F.count_distinct(F.col("tool")).alias("n_tools"),
+        F.sum(F.length("text")).alias("total_chars"),
+        ((F.max("turn_idx") - F.min("turn_idx") + 1) == F.count("*")).alias("contiguous"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+    )

@@ -184,3 +184,31 @@ def test_triangle_stats_star_has_none(spark):
     rows = triangle_stats(df).collect()
     assert all(r.triangles == 0 and r.lcc == 0.0 for r in rows)
     assert {r.degree for r in rows} == {1, 20}
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    from tera_spark.operators.graph_metrics import k_core
+
+    # K4 (a,b,c,d) + a tail c-e-f: 2-core is exactly the K4 (the tail
+    # peels in two rounds: f first, then e), core degrees all 3
+    edges = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("c", "e"), ("e", "f"),
+    ]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {r.node: r.core_degree for r in k_core(df, k=2).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k above the max degree: empty core
+    assert k_core(df, k=4).count() == 0
+
+
+def test_k_core_extra_rounds_are_identity(spark):
+    from tera_spark.operators.graph_metrics import k_core
+
+    # triangle: already a 2-core; the loop must stop at the fixpoint and
+    # return every node with degree 2 regardless of max_iter headroom
+    df = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("x", "z")], "u string, v string"
+    )
+    got = {r.node: r.core_degree for r in k_core(df, k=2, max_iter=10).collect()}
+    assert got == {"x": 2, "y": 2, "z": 2}

@@ -567,3 +567,23 @@ def test_tfidf_keywords_ranking(spark):
     assert abs(byrank[(1, 1)][1] - round(2 * idf1, 6)) < 1e-9
     # every doc yields exactly min(k, vocab) rows with ranks 1..k
     assert sorted(rk for d, rk, _, _ in rows if d == 2) == [1, 2]
+
+
+def test_top_tokens_zipf_head(spark):
+    from tera_spark.operators.textops import top_tokens
+
+    docs_df = spark.createDataFrame(
+        [
+            (1, "the cat and the hat"),
+            (2, "the cat sat!"),
+            (3, "Dogs 123 bark."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [(r.rank, r.token, r.cnt, r.share) for r in top_tokens(docs_df, k=3).collect()]
+    rows.sort()
+    # 10 alpha tokens total: the×3, cat×2, five singles ("123" and "!"/"."
+    # are not tokens); ties break on token text
+    assert rows[0] == (1, "the", 3, round(3 / 10, 6))
+    assert rows[1] == (2, "cat", 2, round(2 / 10, 6))
+    assert rows[2] == (3, "and", 1, round(1 / 10, 6))

@@ -449,3 +449,30 @@ def test_incremental_crash_retry(spark, lexicon, tmp_path, monkeypatch):
     res = inc.run_pipeline_incremental(spark, t2, lexicon, inc_dir, batch_id="cr")
     assert len(res.stages_run) == 6
     _assert_tables_equal(spark, full_dir, inc_dir, inc.read_live, via_live=True)
+
+
+def test_conversation_stats_profile(spark):
+    from datetime import datetime
+
+    from tera_spark.pipeline.kg import conversation_stats
+
+    rows = [
+        # c1: contiguous 0..2, tool on turn 1, ends with assistant
+        ("c1", 0, "user", "hi", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", "let me check", "search", datetime(2024, 1, 1, 0, 0, 1)),
+        ("c1", 2, "assistant", "done", None, datetime(2024, 1, 1, 0, 0, 2)),
+        # c2: GAP in turn_idx (0 then 2) → contiguous must be false
+        ("c2", 0, "user", "a", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("c2", 2, "user", "b", None, datetime(2024, 1, 1, 0, 0, 2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r.conv_id: r for r in conversation_stats(df).collect()}
+    c1 = got["c1"]
+    assert (c1.n_turns, c1.n_user, c1.n_assistant) == (3, 1, 2)
+    assert (c1.n_tool_calls, c1.n_tools) == (1, 1)
+    assert c1.total_chars == len("hi") + len("let me check") + len("done")
+    assert c1.contiguous and c1.last_role == "assistant"
+    c2 = got["c2"]
+    assert not c2.contiguous and c2.n_turns == 2 and c2.last_role == "user"

@@ -180,3 +180,36 @@ def test_dsir_gumbel_topk_is_take_ordered(spark):
     )
     plan = explain_str(dsir_gumbel_topk(w, 10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_resolve_clusters_singletons_skip_window(spark):
+    """The keep-list operator's corpus-sized singleton branch must emit
+    keep=true map-side — exactly ONE Window in the whole plan, on the
+    (pair-table-sized) clustered branch; the singleton branch is a plain
+    filter+project union arm."""
+    from tera_spark.operators.dedup import resolve_duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+    out = resolve_duplicate_clusters(docs, pairs)
+    plan = explain_str(out, "simple")  # one line per node, so count == nodes
+    assert plan.count("Window") == 1, plan
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].keep and not rows[2].keep  # equal lengths → min id kept
+    assert all(rows[i].keep for i in range(5, 50))
+
+
+def test_top_tokens_is_take_ordered(spark):
+    """Global top-k must be a distributed TakeOrdered, never a
+    single-partition sort of the vocabulary; the rank window runs over k
+    rows only (below the limit in the plan)."""
+    from tera_spark.operators.textops import top_tokens
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * (i % 3 + 1)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = explain_str(top_tokens(docs, k=2))
+    assert "TakeOrderedAndProject" in plan, plan
