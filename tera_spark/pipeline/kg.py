@@ -69,21 +69,65 @@ def _label_ok_expr():
     return F.col("link_method").isin("exact", "rule", "provisional")
 
 
+def _mention_elems() -> list:
+    """Conditional mention-triple elements (see ``t``): guarded so they can
+    be fused with the quantity elements into ONE emit over the full linked
+    table (build_triples). Label triples only from exact/rule links (the
+    mention text IS the lexicon label) and provisionals (their only name) —
+    fuzzy mentions would attach misspellings as entity labels."""
+    is_m = F.col("entity").isNotNull() & (F.col("kind") != "quantity")
+    turn = _turn_uri()
+    return [
+        t(turn, NS_KG + "mentions", F.col("entity"), when=is_m),
+        t(F.col("entity"), RDF_TYPE, _kind_class_expr(), when=is_m),
+        t(
+            F.col("entity"),
+            RDFS_LABEL,
+            F.col("mention"),
+            lit=True,
+            when=is_m & _label_ok_expr(),
+        ),
+    ]
+
+
+def _quantity_elems() -> list:
+    """Conditional quantity-triple elements; requires ``_pu``/``_digits``
+    columns (``_quantity_prep``). Guarded on kind=='quantity' so they fuse
+    with the mention elements over unfiltered linked rows."""
+    b = bnode(F.col("conv_id"), F.col("turn_idx"), F.col("pos"), F.col("mention"), tag="kg-q")
+    turn = _turn_uri()
+    has_v = (F.col("kind") == "quantity") & (F.length("_digits") > 0)
+    return [
+        t(b, RDF_VALUE, F.col("_digits"), lit=True, when=has_v),
+        t(b, NS_UNIT + "units", F.concat(F.lit(NS_UNIT), F.col("_pu")), when=has_v & (F.col("_pu") != "")),
+        t(turn, NS_KG + "quantity", b, when=has_v),
+    ]
+
+
+def _quantity_prep(linked: DataFrame) -> DataFrame:
+    """Add ``_pu`` (parsed unit) and ``_digits`` columns. The unit
+    vocabulary is distinct-ed from the QUANTITY rows only (the tiny
+    subset that has units), then broadcast back onto all rows — the
+    full-width fused emitter never pays a second full-table scan for the
+    dictionary build (same dictionary-encoding rule as F1)."""
+    from tera_spark.functions.units import unit_parser_udf
+
+    vocab = (
+        linked.filter(F.col("kind") == "quantity")
+        .select(F.col("unit").alias("_u"))
+        .na.drop()
+        .distinct()
+        .withColumn("_p", unit_parser_udf(F.col("_u")))
+    )
+    df = linked.join(F.broadcast(vocab), linked["unit"] == vocab["_u"], "left").drop("_u")
+    df = df.withColumn("_pu", F.coalesce(F.col("_p"), F.lit(""))).drop("_p")
+    return df.withColumn("_digits", F.regexp_replace(F.col("value"), "[^0-9.]", ""))
+
+
 def mention_triples(linked: DataFrame) -> DataFrame:
     """Entity mentions: (turn kg:mentions entity), entity typing + label."""
     df = linked.filter(F.col("entity").isNotNull() & (F.col("kind") != "quantity"))
-    turn = _turn_uri()
-    kind_class = _kind_class_expr()
-    # Label triples only from exact/rule links (the mention text IS the
-    # lexicon label) and provisionals (their only name) — fuzzy mentions
-    # would attach misspellings as entity labels.
-    label_ok = _label_ok_expr()
-    return emit(
-        df,
-        t(turn, NS_KG + "mentions", F.col("entity")),
-        t(F.col("entity"), RDF_TYPE, kind_class),
-        t(F.col("entity"), RDFS_LABEL, F.col("mention"), lit=True, when=label_ok),
-    )
+    return emit(df, *_mention_elems())
 
 
 def quantity_triples(linked: DataFrame) -> DataFrame:
@@ -92,34 +136,42 @@ def quantity_triples(linked: DataFrame) -> DataFrame:
     df = linked.filter(F.col("kind") == "quantity")
     df = with_parsed_unit(df, "unit", "_pu")
     df = df.withColumn("_digits", F.regexp_replace(F.col("value"), "[^0-9.]", ""))
-    b = bnode(F.col("conv_id"), F.col("turn_idx"), F.col("pos"), F.col("mention"), tag="kg-q")
-    turn = _turn_uri()
-    has_v = F.length("_digits") > 0
-    return emit(
-        df,
-        t(b, RDF_VALUE, F.col("_digits"), lit=True, when=has_v),
-        t(b, NS_UNIT + "units", F.concat(F.lit(NS_UNIT), F.col("_pu")), when=has_v & (F.col("_pu") != "")),
-        t(turn, NS_KG + "quantity", b, when=has_v),
+    return emit(df, *_quantity_elems())
+
+
+def _cooc_pairs(linked: DataFrame) -> DataFrame:
+    """Per-turn chemical×species pairs with SELF-JOIN multiplicity
+    (|chem rows| × |spec rows| per turn), computed as ONE scan + ONE
+    shuffle: groupBy(conv, turn) collect_list + double explode. The
+    equivalent two-filter shuffle join reads the linked table twice and
+    exchanges both sides; arrays here are bounded by per-turn mention
+    counts, so no skew. Shared by cooccurrence_triples and
+    emission_refcounts so pair multiplicity is pinned to one definition."""
+    ent = linked.filter(
+        F.col("entity").isNotNull()
+        & F.col("entity_kind").isin("chemical", "species")
+    ).select("conv_id", "turn_idx", "entity", "entity_kind")
+    per_turn = (
+        ent.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.collect_list(
+                F.when(F.col("entity_kind") == "chemical", F.col("entity"))
+            ).alias("_chems"),
+            F.collect_list(
+                F.when(F.col("entity_kind") == "species", F.col("entity"))
+            ).alias("_specs"),
+        )
+        .filter((F.size("_chems") > 0) & (F.size("_specs") > 0))
     )
+    return per_turn.select(
+        "conv_id", "turn_idx", F.explode("_chems").alias("chem"), "_specs"
+    ).select("conv_id", "turn_idx", "chem", F.explode("_specs").alias("spec"))
 
 
 def cooccurrence_triples(linked: DataFrame) -> DataFrame:
     """Per-turn chemical×species co-occurrence edges — the KG's payload
-    (the analogue of TERA's test→chemical/species star, J8). Self-join on
-    (conv_id, turn_idx); both sides pre-filtered to the two kinds so the
-    join is small and skew-free."""
-    ent = linked.filter(F.col("entity").isNotNull()).select(
-        "conv_id", "turn_idx", "entity", "entity_kind"
-    )
-    chem = ent.filter(F.col("entity_kind") == "chemical").select(
-        "conv_id", "turn_idx", F.col("entity").alias("chem")
-    )
-    spec = ent.filter(F.col("entity_kind") == "species").select(
-        "conv_id", "turn_idx", F.col("entity").alias("spec")
-    )
-    pairs = chem.join(spec, ["conv_id", "turn_idx"]).select(
-        "conv_id", "turn_idx", "chem", "spec"
-    )
+    (the analogue of TERA's test→chemical/species star, J8)."""
+    pairs = _cooc_pairs(linked)
     turn = _turn_uri()
     return emit(
         pairs,
@@ -138,11 +190,17 @@ def build_triples(
     write's bucket shuffle; pipeline/incremental.py dropDuplicates the
     delta) pass ``deduplicate=False`` — the pre-rewrite dedup would be a
     second full shuffle of the triple set whose only effect is shrinking
-    the input of a map-side broadcast join."""
+    the input of a map-side broadcast join.
+
+    Scan economy: mention + quantity emission share ONE pass over the
+    linked table (both element sets are fully guarded, so they fuse into
+    a single explode), co-occurrence adds one aggregated pass
+    (_cooc_pairs), structure one pass over raw transcripts — 2 scans of
+    linked + 1 of transcripts total, vs 5 in the naive per-emitter plan."""
+    mq = emit(_quantity_prep(linked), *_mention_elems(), *_quantity_elems())
     out = (
         transcript_structure_triples(transcripts)
-        .unionByName(mention_triples(linked))
-        .unionByName(quantity_triples(linked))
+        .unionByName(mq)
         .unionByName(cooccurrence_triples(linked))
     )
     return dedup(out) if deduplicate else out
@@ -180,30 +238,33 @@ def emission_refcounts(linked: DataFrame) -> DataFrame:
     so any consistent counting rule is exact — the cheapest one wins.
     """
     df = linked.filter(F.col("entity").isNotNull() & (F.col("kind") != "quantity"))
-    typ = df.select(
-        F.lit("type").alias("rk"),
-        F.col("entity").alias("k1"),
-        _kind_class_expr().alias("k2"),
+    # type + label keys in ONE scan: conditional struct array + explode
+    # (the label element is null for non-label_ok rows and dropped), same
+    # fusion trick as the triple emitters.
+    key = lambda rk, k2: F.struct(  # noqa: E731
+        F.lit(rk).alias("rk"), F.col("entity").alias("k1"), k2.alias("k2")
     )
-    lab = df.filter(_label_ok_expr()).select(
-        F.lit("label").alias("rk"),
-        F.col("entity").alias("k1"),
-        F.col("mention").alias("k2"),
+    tl = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        key("type", _kind_class_expr()),
+                        F.when(_label_ok_expr(), key("label", F.col("mention"))),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("_k")
+        )
+        .select("_k.rk", "_k.k1", "_k.k2")
     )
-    ent = df.select("conv_id", "turn_idx", "entity", "entity_kind")
-    chem = ent.filter(F.col("entity_kind") == "chemical").select(
-        "conv_id", "turn_idx", F.col("entity").alias("k1")
-    )
-    spec = ent.filter(F.col("entity_kind") == "species").select(
-        "conv_id", "turn_idx", F.col("entity").alias("k2")
-    )
-    cooc = (
-        chem.join(spec, ["conv_id", "turn_idx"])
-        .select(F.lit("cooc").alias("rk"), "k1", "k2")
+    cooc = _cooc_pairs(linked).select(
+        F.lit("cooc").alias("rk"),
+        F.col("chem").alias("k1"),
+        F.col("spec").alias("k2"),
     )
     return (
-        typ.unionByName(lab)
-        .unionByName(cooc)
+        tl.unionByName(cooc)
         .groupBy("rk", "k1", "k2")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -132,17 +132,37 @@ def run_pipeline(
     res = PipelineResult(out_dir=out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    def stage(name: str, key: str, produce, dedup_cols: list[str] | None = None):
+    def stage(
+        name: str,
+        key: str,
+        produce,
+        dedup_cols: list[str] | None = None,
+        aligned: bool = False,
+    ):
         """One Spark job per stage: bucket-cluster (one shuffle), optional
         set-semantics dedup RIDING that same shuffle (keys prefixed with
         the bucket column, so Catalyst needs no second exchange), lineage
-        counts observed on the write itself, partitioned write."""
+        counts observed on the write itself, partitioned write.
+
+        ``aligned``: the producing DataFrame derives by filter/project
+        from a table ALREADY written bucketed on the same key values
+        (e.g. edges from triples — src IS subject), so every input split
+        is single-bucket under the identical ``pmod(xxhash64(key), N)``;
+        materialize the bucket column map-side and skip the repartition —
+        a zero-shuffle write with the same layout (file count stays
+        ~1 per bucket per input split)."""
         path = os.path.join(out_dir, name)
         if not force and _done(path):
             res.stages_skipped.append(name)
             return read_table(spark, path)
         t0 = time.time()
-        df = bucketize(produce(), N_BUCKETS, key)
+        if aligned:
+            assert not dedup_cols, "aligned writes carry no dedup shuffle"
+            df = produce().withColumn(
+                "_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(N_BUCKETS)).cast("int")
+            )
+        else:
+            df = bucketize(produce(), N_BUCKETS, key)
         if dedup_cols:
             df = df.dropDuplicates(["_bucket", *dedup_cols])
         obs = Observation()
@@ -172,81 +192,141 @@ def run_pipeline(
 
     linked = stage("linked", "conv_id", _link)
 
-    # raw-keyed emission refcounts (vocabulary-sized): the side table that
-    # lets a later forget decide row survival with counter arithmetic
-    # instead of re-emitting evidence from the remaining corpus
-    # (pipeline/forget.py). Raw keys are canonical-merge-invariant, so
-    # incremental applies maintain this with pure adds (pipeline/kg.py
-    # emission_refcounts).
-    from tera_spark.pipeline.kg import emission_refcounts
+    from concurrent.futures import ThreadPoolExecutor
 
-    stage("refcounts", "k1", lambda: emission_refcounts(linked))
+    from tera_spark.pipeline.kg import emission_refcounts, shared_row_expr
 
-    # canonical map persisted as its own stage: downstream incremental
-    # applies read it instead of re-running connected components over the
-    # whole alias universe (pipeline/incremental.py runs CC only over the
-    # batch's CONTRACTED delta edges and composes)
-    cmap = stage(
-        "canonical_map",
-        "old",
-        lambda: canonical_mapping(read_table(spark, os.path.join(out_dir, "alias_edges"))),
-    )
+    # ---- independent-branch scheduling -----------------------------------
+    # The DAG after `linked` has independent branches; running them as
+    # concurrent Spark jobs (plain driver threads — Spark schedules tasks
+    # from all live jobs into free slots) overlaps each job's fixed
+    # latency (planning, parquet footer reads, commit protocol, shuffle
+    # barriers) with another job's compute. That fixed latency is the
+    # Amdahl floor of the measured N→4N scaling criterion — serial small
+    # stages cost the 4N leg proportionally more (BENCH/BASELINE.md
+    # per-stage decomposition), so overlap directly buys efficiency.
+    # Bookkeeping stays deterministic: lists are re-sorted to canonical
+    # stage order below, and each stage writes its own driver-side files.
 
-    def _canon():
-        # deduplicate=False: the post-rewrite set-semantics dedup is fused
-        # into the stage write's bucket shuffle (dedup_cols below) — one
-        # shuffle instead of two over the full triple table
-        triples = build_triples(transcripts, linked, deduplicate=False)
-        if salts is None:
-            return replace_entities(
-                triples, cmap, broadcast_mapping=True, deduplicate=False
-            )
-        return replace_entities_salted(triples, cmap, salts, deduplicate=False)
+    def _refcounts():
+        # raw-keyed emission refcounts (vocabulary-sized): the side table
+        # that lets a later forget decide row survival with counter
+        # arithmetic instead of re-emitting evidence from the remaining
+        # corpus (pipeline/forget.py). Raw keys are canonical-merge-
+        # invariant, so incremental applies maintain this with pure adds
+        # (pipeline/kg.py emission_refcounts). Depends only on `linked` —
+        # runs concurrent with canonical_map + triples.
+        return stage("refcounts", "k1", lambda: emission_refcounts(linked))
 
-    triples = stage(
-        "triples", "subject", _canon, dedup_cols=["subject", "predicate", "object"]
-    )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        ref_future = pool.submit(_refcounts)
 
-    # shared-row index (vocabulary-sized): the rows incremental applies
-    # must consult history for — materialized at base time so an apply
-    # never scans the corpus-sized triple table (pipeline/incremental.py)
-    from tera_spark.pipeline.kg import shared_row_expr
+        # canonical map persisted as its own stage: downstream incremental
+        # applies read it instead of re-running connected components over
+        # the whole alias universe (pipeline/incremental.py runs CC only
+        # over the batch's CONTRACTED delta edges and composes)
+        cmap = stage(
+            "canonical_map",
+            "old",
+            lambda: canonical_mapping(
+                read_table(spark, os.path.join(out_dir, "alias_edges"))
+            ),
+        )
 
-    stage("ent_index", "subject", lambda: triples.filter(shared_row_expr()))
+        def _canon():
+            # deduplicate=False: the post-rewrite set-semantics dedup is
+            # fused into the stage write's bucket shuffle (dedup_cols
+            # below) — one shuffle instead of two over the full table
+            triples = build_triples(transcripts, linked, deduplicate=False)
+            if salts is None:
+                return replace_entities(
+                    triples, cmap, broadcast_mapping=True, deduplicate=False
+                )
+            return replace_entities_salted(triples, cmap, salts, deduplicate=False)
 
-    def _nodes():
+        triples = stage(
+            "triples", "subject", _canon, dedup_cols=["subject", "predicate", "object"]
+        )
+        ref_future.result()
+
+    def _ent_index():
+        # shared-row index (vocabulary-sized): the rows incremental
+        # applies must consult history for — materialized at base time so
+        # an apply never scans the corpus-sized triple table
+        # (pipeline/incremental.py). Filter of triples keyed on the same
+        # column triples is bucketed by → aligned, zero-shuffle.
+        return stage(
+            "ent_index",
+            "subject",
+            lambda: triples.filter(shared_row_expr()),
+            aligned=True,
+        )
+
+    def _nodes_stage():
         from tera_spark.constants import RDF_TYPE, RDFS_LABEL
 
-        types = triples.filter(F.col("predicate") == RDF_TYPE).select(
-            F.col("subject").alias("id"), F.col("object").alias("kind")
-        )
-        labels = triples.filter(F.col("predicate") == RDFS_LABEL).select(
-            F.col("subject").alias("id"), F.col("object").alias("label")
-        )
-        return (
-            types.join(labels, "id", "left")
-            .groupBy("id")
-            .agg(F.min("kind").alias("kind"), F.min("label").alias("label"))
+        def _nodes():
+            # single pass: conditional aggregation over the type/label
+            # slice (one scan of triples; the join formulation reads it
+            # twice and shuffles three times). kind-not-null keeps the
+            # type-anchored semantics of the former types⟕labels join.
+            tl = triples.filter(F.col("predicate").isin(RDF_TYPE, RDFS_LABEL))
+            return (
+                tl.groupBy(F.col("subject").alias("id"))
+                .agg(
+                    F.min(
+                        F.when(F.col("predicate") == RDF_TYPE, F.col("object"))
+                    ).alias("kind"),
+                    F.min(
+                        F.when(F.col("predicate") == RDFS_LABEL, F.col("object"))
+                    ).alias("label"),
+                )
+                .filter(F.col("kind").isNotNull())
+            )
+
+        return stage("nodes", "id", _nodes)
+
+    def _edges_stage():
+        # filter/project of triples with src = subject → aligned write,
+        # zero shuffle for the corpus-sized edge table.
+        return stage(
+            "edges",
+            "src",
+            lambda: triples.filter(~F.col("obj_is_literal")).select(
+                F.col("subject").alias("src"),
+                F.col("predicate").alias("pred"),
+                F.col("object").alias("dst"),
+            ),
+            aligned=True,
         )
 
-    stage("nodes", "id", _nodes)
-    stage(
-        "edges",
-        "src",
-        lambda: triples.filter(~F.col("obj_is_literal")).select(
-            F.col("subject").alias("src"),
-            F.col("predicate").alias("pred"),
-            F.col("object").alias("dst"),
-        ),
-    )
+    def _convs_applied():
+        # applied-conversation guard state for incremental maintenance
+        # (pipeline/incremental.py): materialized here so the FIRST
+        # --append never pays a bootstrap scan of the triple table. Not a
+        # recorded stage — maintenance state, not pipeline output.
+        convs_path = os.path.join(out_dir, "convs_applied")
+        if not _done(convs_path):
+            bucketize(
+                transcripts.select("conv_id").distinct(), 8, "conv_id"
+            ).write.mode("overwrite").partitionBy("_bucket").parquet(convs_path)
 
-    # applied-conversation guard state for incremental maintenance
-    # (pipeline/incremental.py): materialized here so the FIRST --append
-    # never pays a bootstrap scan of the triple table. Not a recorded
-    # stage — maintenance state, not pipeline output.
-    convs_path = os.path.join(out_dir, "convs_applied")
-    if not _done(convs_path):
-        bucketize(
-            transcripts.select("conv_id").distinct(), 8, "conv_id"
-        ).write.mode("overwrite").partitionBy("_bucket").parquet(convs_path)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(f)
+            for f in (_ent_index, _nodes_stage, _edges_stage, _convs_applied)
+        ]
+        for f in futures:
+            f.result()
+
+    _ORDER = {
+        n: i
+        for i, n in enumerate(
+            ["mentions", "linked", "refcounts", "canonical_map", "triples",
+             "ent_index", "nodes", "edges"]
+        )
+    }
+    res.stages_run.sort(key=lambda n: _ORDER.get(n, len(_ORDER)))
+    res.stages_skipped.sort(key=lambda n: _ORDER.get(n, len(_ORDER)))
+    res.metrics.sort(key=lambda m: _ORDER.get(m["stage"], len(_ORDER)))
     return res
