@@ -600,6 +600,102 @@ SELECT node, count(*) AS core_degree FROM
     return "".join(parts)
 
 
+_SQL_COSUPPLIER_SPARSE = """
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+    SELECT 's' || cast(a.l_suppkey AS varchar) AS u,
+           's' || cast(b.l_suppkey AS varchar) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    WHERE a.l_orderkey % 997 = 0 AND b.l_orderkey % 997 = 0
+  )"""
+
+
+def _sql_link_pred(max_pivot_degree: int = 40) -> str:
+    """Adamic-Adar/Jaccard/common-neighbor link-prediction oracle: replays
+    the wedge enumeration (including the celebrity-pivot degree cap, which
+    is part of the operator contract) over the sparse co-supplier graph.
+    Jaccard uses FULL degrees; only wedge pivots are capped — same as the
+    Spark operator. round(…, 6) absorbs float summation-order fuzz."""
+    return f"""
+WITH und AS MATERIALIZED ({_SQL_COSUPPLIER_SPARSE}
+),
+nb AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+deg AS MATERIALIZED (SELECT node, count(*) AS degree FROM nb GROUP BY node),
+piv AS MATERIALIZED (
+  SELECT nb.nbr AS w, nb.node AS node, d.degree AS degw
+  FROM nb JOIN deg d ON d.node = nb.nbr
+  WHERE d.degree <= {max_pivot_degree}
+),
+pairs AS (
+  SELECT l.node AS u, r.node AS v,
+         count(*) AS common_neighbors,
+         sum(1.0 / ln(l.degw)) AS aa
+  FROM piv l JOIN piv r ON l.w = r.w AND l.node < r.node
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT p.* FROM pairs p LEFT JOIN und e ON p.u = e.a AND p.v = e.b
+  WHERE e.a IS NULL
+)
+SELECT n.u, n.v, n.common_neighbors,
+       round(CAST(n.common_neighbors AS DOUBLE)
+             / (du.degree + dv.degree - n.common_neighbors), 6) AS jaccard,
+       round(n.aa, 6) AS adamic_adar
+FROM nonadj n JOIN deg du ON du.node = n.u JOIN deg dv ON dv.node = n.v
+"""
+
+
+def _sql_bfs_distances(max_hops: int = 4) -> str:
+    """BFS hop-distance oracle: bounded recursive CTE enumerating every
+    walk of length ≤ max_hops from the seed set, then min(dist) per node —
+    BFS layers are monotone, so min over bounded walks IS the shortest
+    distance for every node within the bound."""
+    return f"""
+WITH RECURSIVE und AS MATERIALIZED ({_SQL_COSUPPLIER_SPARSE}
+),
+e AS MATERIALIZED (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+walk(node, dist) AS (
+  SELECT 's' || cast(s_suppkey AS varchar) AS node, 0 AS dist
+  FROM supplier WHERE s_suppkey <= 3
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON w.node = e.src
+  WHERE w.dist < {max_hops}
+)
+SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM walk GROUP BY node
+"""
+
+
+def _sql_label_prop(rounds: int = 4) -> str:
+    """Synchronous label-propagation oracle: chained per-round CTEs, each
+    taking the most frequent neighbor label with min-label tie-break —
+    exactly the operator's fixed-round contract (no convergence claim, so
+    synchronous oscillation is irrelevant: both sides stop at the same
+    round). MATERIALIZED per round for the same fd-explosion reason as
+    the k-core oracle."""
+    parts = [
+        f"""
+WITH und AS MATERIALIZED ({_SQL_COSUPPLIER_SPARSE}
+),
+nb AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+l{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT nb.node, l.label,
+           row_number() OVER (PARTITION BY nb.node
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM nb JOIN l{p} l ON nb.nbr = l.node
+    GROUP BY nb.node, l.label
+  ) WHERE rn = 1)"""
+        )
+    parts.append(f"\nSELECT node, label FROM l{rounds}\n")
+    return "".join(parts)
+
+
 def _kg_fixture_sql_cte(exclude: tuple = ()) -> str:
     """The deterministic 20-conv transcript corpus as a VALUES CTE — the
     oracle's INPUT data (same bytes the Spark entries generate), so DuckDB
@@ -1507,6 +1603,57 @@ def _queries() -> dict:
 
     q["graph_kcore"] = kcore
 
+    def _cosupplier_edges_sparse(spark, sf):
+        # sparser co-supplier graph (every 997th order): the %97 graph is
+        # near-complete at sf0.01, which is degenerate for link prediction
+        # (no non-adjacent pairs) and label propagation (one community)
+        li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 997 == 0)
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+        return (
+            a.join(b, "ok")
+            .filter(F.col("sa") < F.col("sb"))
+            .select(
+                F.concat(F.lit("s"), F.col("sa").cast("string")).alias("u"),
+                F.concat(F.lit("s"), F.col("sb").cast("string")).alias("v"),
+            )
+            .dropDuplicates(["u", "v"])
+        )
+
+    def lp(spark, sf):
+        # Adamic-Adar / Jaccard / common-neighbor link prediction over the
+        # sparse co-supplier graph — entity-resolution candidate
+        # generation. max_pivot_degree=40 exercises the celebrity-pivot
+        # guard as part of the contract (the oracle replays it).
+        from tera_spark.operators.graph_metrics import link_prediction
+
+        return link_prediction(
+            _cosupplier_edges_sparse(spark, sf), max_pivot_degree=40
+        )
+
+    q["graph_link_pred"] = lp
+
+    def bfs(spark, sf):
+        # hop distances from suppliers 1-3 within 4 hops, undirected
+        from tera_spark.operators.graph_metrics import bfs_distances
+
+        seeds = (
+            _t(spark, sf, "supplier")
+            .filter(F.col("s_suppkey") <= 3)
+            .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+        )
+        return bfs_distances(_cosupplier_edges_sparse(spark, sf), seeds, max_hops=4)
+
+    q["graph_bfs_distances"] = bfs
+
+    def lpa(spark, sf):
+        # 4 synchronous label-propagation rounds (fixed count — replayable)
+        from tera_spark.operators.graph_metrics import label_propagation
+
+        return label_propagation(_cosupplier_edges_sparse(spark, sf), rounds=4)
+
+    q["graph_label_prop"] = lpa
+
     # --- mapping / conversion ------------------------------------------------
     def j2(spark, sf):
         nation = _t(spark, sf, "nation")
@@ -2326,6 +2473,10 @@ _SAMPLE_PRIORITY = [
     "curation_dsir_select",
     "dedup_semantic",
     "text_bm25_topk",
+    # final round-4 additions (45+3 = 48, still inside the ~50-sample cut)
+    "graph_link_pred",
+    "graph_bfs_distances",
+    "graph_label_prop",
 ]
 
 
@@ -2611,6 +2762,9 @@ FROM deg LEFT JOIN per USING (node)
 """
 
     o["graph_kcore"] = _sql_kcore(k=12, rounds=8)
+    o["graph_link_pred"] = _sql_link_pred(max_pivot_degree=40)
+    o["graph_bfs_distances"] = _sql_bfs_distances(max_hops=4)
+    o["graph_label_prop"] = _sql_label_prop(rounds=4)
 
     o["text_top_tokens"] = """
 WITH tok AS (

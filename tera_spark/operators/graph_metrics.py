@@ -202,6 +202,208 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def link_prediction(
+    edges: DataFrame,
+    max_pivot_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Link-prediction scores for every non-adjacent node pair at distance
+    2 in an undirected graph (2-column string-id edge input; direction,
+    duplicates and self-loops ignored). The KG-construction use is
+    entity-resolution candidate generation: two mentions that share many
+    canonical neighbors but no direct edge are merge/link candidates.
+
+    Scores per pair (u, v), u < v:
+      - ``common_neighbors`` — |N(u) ∩ N(v)|
+      - ``jaccard``          — |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+      - ``adamic_adar``      — Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w))
+        (Adamic & Adar 2003; down-weights promiscuous shared neighbors —
+        deg-1 pivots cannot occur since a pivot has ≥ 2 neighbors)
+
+    Scale shape: candidate pairs are enumerated by a self-join of the
+    neighbor table on the shared pivot w — Σ_w deg(w)² wedges, the same
+    hazard as triangle counting. The guard here is ``max_pivot_degree``:
+    a celebrity pivot (say the 'missing'-style hub entity every mention
+    touches) contributes deg² pairs that are USELESS for linking (a shared
+    hub is no evidence of identity — exactly why Adamic-Adar down-weights
+    it toward 0), so production runs cap the pivot degree and the skipped
+    mass is the least-informative evidence by construction. The cap is
+    part of the operator's contract (the oracle replays it), not a silent
+    truncation. Remaining joins (degrees, existing-edge anti-join) are
+    edge-sized hash joins; no corpus-sized window.
+
+    Returns (u, v, common_neighbors, jaccard, adamic_adar), jaccard and
+    adamic_adar rounded to 6 places, filtered to
+    ``common_neighbors ≥ min_common``.
+    """
+    u0, v0 = edges.columns[0], edges.columns[1]
+    und = (
+        edges.select(
+            F.least(F.col(u0), F.col(v0)).alias("a"),
+            F.greatest(F.col(u0), F.col(v0)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    nb = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = nb.groupBy("node").agg(F.count("*").alias("degree"))
+    pivots = nb.join(deg.withColumnRenamed("node", "nbr"), "nbr").select(
+        F.col("nbr").alias("w"),
+        F.col("node"),
+        F.col("degree").alias("degw"),
+    )
+    if max_pivot_degree is not None:
+        pivots = pivots.filter(F.col("degw") <= max_pivot_degree)
+    lhs = pivots.select("w", F.col("node").alias("u"), "degw")
+    rhs = pivots.select("w", F.col("node").alias("v"))
+    pairs = (
+        lhs.join(rhs, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(1.0 / F.log(F.col("degw").cast("double"))).alias("aa"),
+        )
+        # distance exactly 2: drop pairs that are already edges
+        .join(
+            und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(F.col("aa"), 6).alias("adamic_adar"),
+        )
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    directed: bool = False,
+) -> DataFrame:
+    """Shortest-path hop distance from a seed SET to every node within
+    ``max_hops`` (unit edge weights). The KG read-path sibling of
+    ``query_api.construct_subgraph`` (reference `DataAccess.py:232-260`),
+    which returns the reachable edge set but discards WHICH hop reached a
+    node — distances are what neighborhood-scoped queries ("entities
+    within 2 hops of this chemical") and the linker's context windows
+    need.
+
+    Level-synchronous frontier expansion: hop h joins the (frontier-sized)
+    distance table against the edge table and anti-joins the visited set —
+    the fact-sized edge table never re-shuffles (pre-partitioned + single
+    checkpoint), each round moves only frontier-sized data, and
+    ``localCheckpoint`` per hop keeps the plan constant-size. Exactly the
+    iteration discipline of ``pagerank`` above. BFS layers are monotone
+    (a node's first discovery hop IS its shortest distance), so a fixed
+    ``max_hops`` run is exact for every node it emits — and a bounded
+    recursive-CTE oracle replays it exactly.
+
+    Returns (node, dist int) for reached nodes, seeds at dist 0.
+    """
+    u0, v0 = edges.columns[0], edges.columns[1]
+    e = edges.select(F.col(u0).alias("src"), F.col(v0).alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    if not directed:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.dropDuplicates(["src", "dst"]).repartition("src").localCheckpoint()
+    s0 = seeds.columns[0]
+    visited = seeds.select(F.col(s0).alias("node")).distinct().withColumn(
+        "dist", F.lit(0)
+    ).localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over an undirected graph (2-column string-id edge input;
+    direction, duplicates and self-loops ignored). Beyond-CC clustering
+    for the KG: connected components glue everything reachable into one
+    blob, LPA finds the dense sub-communities inside a component — the
+    granularity entity-disambiguation actually wants.
+
+    Determinism contract: labels init to the node's own id; each round
+    EVERY node simultaneously takes the most frequent label among its
+    neighbors, ties broken by minimum label. Synchronous LPA can
+    oscillate on bipartite-ish structures, so the operator runs a FIXED
+    round count rather than to convergence — run-to-run bit-stable and
+    exactly replayable by a chained-CTE SQL oracle (same reasoning as
+    ``pagerank``'s fixed iterations).
+
+    Per round: one join of the (node-sized) label table onto the
+    pre-partitioned neighbor table, one count aggregate, one argmax
+    window over (node)-partitions — all node/edge-sized shuffles;
+    ``localCheckpoint`` per round keeps the plan constant-size.
+
+    Returns (node, label).
+    """
+    from pyspark.sql import Window
+
+    u0, v0 = edges.columns[0], edges.columns[1]
+    und = (
+        edges.select(
+            F.least(F.col(u0), F.col(v0)).alias("a"),
+            F.greatest(F.col(u0), F.col(v0)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    nb = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition("nbr")
+        .localCheckpoint()
+    )
+    labels = nb.select("node").distinct().withColumn("label", F.col("node"))
+    pick = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        labels = (
+            nb.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     """Nodes of the k-core — the maximal induced subgraph in which every
     node has degree ≥ k — with their within-core degrees. Undirected

@@ -212,3 +212,66 @@ def test_k_core_extra_rounds_are_identity(spark):
     )
     got = {r.node: r.core_degree for r in k_core(df, k=2, max_iter=10).collect()}
     assert got == {"x": 2, "y": 2, "z": 2}
+
+
+def test_link_prediction_star_plus_edge(spark):
+    from tera_spark.operators.graph_metrics import link_prediction
+
+    # hub h-{x,y,z} plus x-y: the only distance-2 non-adjacent pairs are
+    # (x,z) and (y,z), each through pivot h (degree 3)
+    import math
+
+    edges = [("h", "x"), ("h", "y"), ("h", "z"), ("x", "y")]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {(r.u, r.v): r for r in link_prediction(df).collect()}
+    assert set(got) == {("x", "z"), ("y", "z")}
+    for r in got.values():
+        assert r.common_neighbors == 1
+        # deg(x)=2, deg(z)=1 → jaccard = 1/(2+1-1)
+        assert r.jaccard == 0.5
+        assert abs(r.adamic_adar - round(1.0 / math.log(3.0), 6)) < 1e-9
+    # celebrity-pivot cap below the hub's degree removes ALL evidence —
+    # the guard is part of the contract, not a perturbation
+    assert link_prediction(df, max_pivot_degree=2).count() == 0
+
+
+def test_bfs_distances_path_and_directed(spark):
+    from tera_spark.operators.graph_metrics import bfs_distances
+
+    # path a-b-c-d-e, plus an isolated edge f-g; undirected from seed a,
+    # max_hops=3 stops before e and never reaches f/g
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g")]
+    df = spark.createDataFrame(edges, "u string, v string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.dist for r in bfs_distances(df, seeds, max_hops=3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # directed: edges point forward only, so seeding at c reaches d,e and
+    # never walks back to b
+    seeds_c = spark.createDataFrame([("c",)], "node string")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(df, seeds_c, max_hops=4, directed=True).collect()
+    }
+    assert got == {"c": 0, "d": 1, "e": 2}
+    # a seed absent from the graph still reports itself at distance 0
+    seeds_q = spark.createDataFrame([("q",)], "node string")
+    got = {r.node: r.dist for r in bfs_distances(df, seeds_q, max_hops=2).collect()}
+    assert got == {"q": 0}
+
+
+def test_label_propagation_two_cliques(spark):
+    from tera_spark.operators.graph_metrics import label_propagation
+
+    # two triangles bridged by one edge c-x: hand-traced synchronous LPA
+    # with min-label tie-break settles at {a,b,c}→a and {x,y,z}→c by
+    # round 4 (and stays there — round 5 reproduces it)
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        ("c", "x"),
+    ]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got4 = {r.node: r.label for r in label_propagation(df, rounds=4).collect()}
+    assert got4 == {"a": "a", "b": "a", "c": "a", "x": "c", "y": "c", "z": "c"}
+    got5 = {r.node: r.label for r in label_propagation(df, rounds=5).collect()}
+    assert got5 == got4
