@@ -696,12 +696,14 @@ l{i} AS MATERIALIZED (
     return "".join(parts)
 
 
-def _kg_fixture_sql_cte(exclude: tuple = ()) -> str:
+def _kg_fixture_sql_cte(exclude: tuple = (), with_ts: bool = False) -> str:
     """The deterministic 20-conv transcript corpus as a VALUES CTE — the
     oracle's INPUT data (same bytes the Spark entries generate), so DuckDB
     replays structure/extraction/linking from raw text independently.
     ``exclude``: conversation ids to leave out — the forget oracle replays
-    the build over the REMAINING conversations only."""
+    the build over the REMAINING conversations only. ``with_ts`` appends
+    the ts column (only the temporal oracles ask for it, keeping every
+    previously-proven oracle's SQL byte-identical)."""
     from tera_spark.fixtures.transcripts import gen_transcripts
 
     pdf = gen_transcripts(n_convs=20, hot_convs=1, hot_factor=5)
@@ -713,11 +715,15 @@ def _kg_fixture_sql_cte(exclude: tuple = ()) -> str:
             return "NULL"
         return "'" + str(s).replace("'", "''") + "'"
 
-    vals = ",\n  ".join(
-        f"({q(r.conv_id)}, {int(r.turn_idx)}, {q(r.role)}, {q(r.text)}, {q(r.tool)})"
-        for r in pdf.itertuples()
-    )
-    return f"transcripts(conv_id, turn_idx, role, text, tool) AS (VALUES\n  {vals}\n)"
+    def row(r) -> str:
+        base = f"{q(r.conv_id)}, {int(r.turn_idx)}, {q(r.role)}, {q(r.text)}, {q(r.tool)}"
+        if with_ts:
+            base += f", TIMESTAMP '{r.ts}'"
+        return f"({base})"
+
+    vals = ",\n  ".join(row(r) for r in pdf.itertuples())
+    cols = "conv_id, turn_idx, role, text, tool" + (", ts" if with_ts else "")
+    return f"transcripts({cols}) AS (VALUES\n  {vals}\n)"
 
 
 _SQL_KG_TURN = "'urn:tera-kg:turn/'||conv_id||'/'||CAST(turn_idx AS VARCHAR)"
@@ -739,7 +745,7 @@ SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
 """
 
 
-def _sql_kg_common_ctes(exclude: tuple = ()) -> str:
+def _sql_kg_common_ctes(exclude: tuple = (), with_ts: bool = False) -> str:
     """The shared KG-replay CTE block: raw transcripts, lexicon values,
     normalized lexicon, term extraction (word regex + stopword filter +
     1..3-gram over consecutive content words), exact lexicon join, code
@@ -756,7 +762,7 @@ def _sql_kg_common_ctes(exclude: tuple = ()) -> str:
         )
         for r in list(chem.itertuples()) + list(spec.itertuples())
     )
-    return f"""{_kg_fixture_sql_cte(exclude)},
+    return f"""{_kg_fixture_sql_cte(exclude, with_ts=with_ts)},
 lexraw(entity, label, kind) AS (VALUES
   {lex_vals}
 ),
@@ -813,6 +819,50 @@ SELECT DISTINCT subject, predicate, object, obj_is_literal FROM (
   UNION ALL SELECT 'code:'||m, '{RDF_TYPE}', 'urn:tera-kg:Endpoint', false FROM codes
   UNION ALL SELECT 'code:'||m, '{RDFS_LABEL}', m, true FROM codes
 ) u
+"""
+
+
+def _sql_kg_cooc_pmi() -> str:
+    """PMI co-occurrence oracle over the exact-linked band: DuckDB replays
+    extraction + the exact lexicon join (the shared ``ex`` CTE), then
+    turn-level distinct presence, the per-turn chem×species join, and the
+    PMI formula ln(n_cs·N / (n_c·n_s)) with N = total turns."""
+    return f"""
+WITH {_sql_kg_common_ctes()},
+entu AS (SELECT DISTINCT conv_id, turn_idx, entity, kind FROM ex),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM transcripts),
+pres AS (SELECT entity, kind, count(*) AS cnt FROM entu GROUP BY 1, 2),
+cooc AS (
+  SELECT c.entity AS chem, s.entity AS spec, count(*) AS n_cooc
+  FROM entu c JOIN entu s ON c.conv_id = s.conv_id AND c.turn_idx = s.turn_idx
+  WHERE c.kind = 'chemical' AND s.kind = 'species'
+  GROUP BY 1, 2
+)
+SELECT cooc.chem, cooc.spec, cooc.n_cooc,
+       round(ln(cooc.n_cooc * (SELECT n FROM nn) / (pc.cnt * ps.cnt)), 6) AS pmi
+FROM cooc
+JOIN pres pc ON pc.entity = cooc.chem AND pc.kind = 'chemical'
+JOIN pres ps ON ps.entity = cooc.spec AND ps.kind = 'species'
+"""
+
+
+def _sql_kg_entity_activity() -> str:
+    """Entity temporal-activity oracle: exact + rule linked bands (``ex``
+    + ``codes``), distinct turn presence, provenance join back to the
+    ts-carrying transcripts, vocabulary-sized interval aggregate."""
+    return f"""
+WITH {_sql_kg_common_ctes(with_ts=True)},
+entu AS (
+  SELECT DISTINCT conv_id, turn_idx, entity, kind AS entity_kind FROM ex
+  UNION
+  SELECT DISTINCT conv_id, turn_idx, 'code:'||m AS entity, 'endpoint' FROM codes
+)
+SELECT e.entity, e.entity_kind,
+       min(t.ts) AS first_seen, max(t.ts) AS last_seen,
+       count(*) AS n_turns, count(DISTINCT e.conv_id) AS n_convs
+FROM entu e JOIN transcripts t
+  ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx
+GROUP BY 1, 2
 """
 
 
@@ -2316,6 +2366,37 @@ def _queries() -> dict:
 
     q["kg_exact_link_triples"] = kg_exact
 
+    def _kg_exact_linked(spark):
+        # shared by the PMI / activity entries: the deterministic
+        # exact+rule linked band over the fixture corpus
+        from tera_spark.fixtures.transcripts import lexicon_spark_df
+        from tera_spark.pipeline.extract import extract_mentions
+        from tera_spark.pipeline.link import link_mentions
+
+        mentions = extract_mentions(_kg_fixture(spark))
+        linked, _ = link_mentions(mentions, lexicon_spark_df(spark))
+        return linked.filter(F.col("link_method").isin("exact", "rule"))
+
+    def kg_pmi(spark, sf):
+        # PMI-weighted chem×species co-occurrence edges over the
+        # exact-linked band — the oracle replays extraction, the exact
+        # lexicon join, turn-level presence, and the PMI formula
+        from tera_spark.pipeline.kg import cooc_pmi_edges
+
+        return cooc_pmi_edges(_kg_exact_linked(spark), _kg_fixture(spark))
+
+    q["kg_cooc_pmi"] = kg_pmi
+
+    def kg_activity(spark, sf):
+        # temporal activity interval per entity (first/last ts + turn and
+        # conversation support) — exact + rule bands, ts via the
+        # (conv_id, turn_idx) provenance join
+        from tera_spark.pipeline.kg import entity_activity
+
+        return entity_activity(_kg_exact_linked(spark), _kg_fixture(spark))
+
+    q["kg_entity_activity"] = kg_activity
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -2473,10 +2554,12 @@ _SAMPLE_PRIORITY = [
     "curation_dsir_select",
     "dedup_semantic",
     "text_bm25_topk",
-    # final round-4 additions (45+3 = 48, still inside the ~50-sample cut)
+    # final round-4 additions (45+5 = 50, exactly the ~50-sample cut)
     "graph_link_pred",
     "graph_bfs_distances",
     "graph_label_prop",
+    "kg_cooc_pmi",
+    "kg_entity_activity",
 ]
 
 
@@ -3305,6 +3388,8 @@ FROM transcripts GROUP BY conv_id
 """
     o["kg_refcount_keys"] = _sql_kg_refcount_keys()
     o["kg_exact_link_triples"] = _sql_kg_exact_link()
+    o["kg_cooc_pmi"] = _sql_kg_cooc_pmi()
+    o["kg_entity_activity"] = _sql_kg_entity_activity()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -321,3 +321,107 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
         ((F.max("turn_idx") - F.min("turn_idx") + 1) == F.count("*")).alias("contiguous"),
         F.max_by("role", "turn_idx").alias("last_role"),
     )
+
+
+def cooc_pmi_edges(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """PMI-weighted chemical×species co-occurrence edges — confidence
+    scores for the KG's payload edges. ``cooccurrence_triples`` asserts
+    THAT a pair co-occurred; this scores HOW SURPRISING the association is:
+    PMI = ln(p(c,s) / (p(c)·p(s))) over turn-level presence, the classic
+    KG edge-weighting (a pair sharing many turns scores high only if the
+    two entities are not ubiquitous individually — the same
+    hub-discounting instinct as Adamic-Adar in link prediction).
+
+    Presence semantics: DISTINCT per turn (an entity mentioned 5× in one
+    turn counts once — PMI is about context windows, not token
+    frequency); the context-window unit is the turn and N is the total
+    turn count of the corpus.
+
+    Scale shape: one distinct over the (mention-sized) linked projection,
+    one per-turn chem×spec join (both sides turn-bounded — same shape as
+    ``_cooc_pairs``), two vocabulary-sized presence aggregates that
+    BROADCAST back onto the pair table. N rides ``transcripts.count()``
+    — corpus-sized scan, driver-side scalar.
+
+    Returns (chem, spec, n_cooc, pmi) with pmi rounded to 6 places.
+    """
+    ent = (
+        linked.filter(
+            F.col("entity").isNotNull()
+            & F.col("entity_kind").isin("chemical", "species")
+        )
+        .select("conv_id", "turn_idx", "entity", "entity_kind")
+        .distinct()
+    )
+    c = ent.filter(F.col("entity_kind") == "chemical").select(
+        "conv_id", "turn_idx", F.col("entity").alias("chem")
+    )
+    s = ent.filter(F.col("entity_kind") == "species").select(
+        "conv_id", "turn_idx", F.col("entity").alias("spec")
+    )
+    cooc = c.join(s, ["conv_id", "turn_idx"]).groupBy("chem", "spec").agg(
+        F.count("*").alias("n_cooc")
+    )
+    n_turns = transcripts.count()
+    presence = ent.groupBy("entity", "entity_kind").agg(F.count("*").alias("n_ent"))
+    nc = F.broadcast(
+        presence.filter(F.col("entity_kind") == "chemical").select(
+            F.col("entity").alias("chem"), F.col("n_ent").alias("n_c")
+        )
+    )
+    ns = F.broadcast(
+        presence.filter(F.col("entity_kind") == "species").select(
+            F.col("entity").alias("spec"), F.col("n_ent").alias("n_s")
+        )
+    )
+    return (
+        cooc.join(nc, "chem")
+        .join(ns, "spec")
+        .select(
+            "chem",
+            "spec",
+            "n_cooc",
+            F.round(
+                F.log(
+                    F.col("n_cooc").cast("double")
+                    * F.lit(float(n_turns))
+                    / (F.col("n_c") * F.col("n_s")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def entity_activity(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
+    """Temporal activity interval per linked entity: first/last mention
+    timestamp plus turn- and conversation-level support — the KG's
+    validity-interval surface ("when was this entity live, and how
+    broadly?"). The reference has no time axis at all (SURVEY §1.3); the
+    graft's transcripts carry ``ts``, and interval + support per entity is
+    what freshness-aware downstream consumers (decay-weighted linking,
+    retention policies) read.
+
+    Scale shape: the provenance join back to transcripts is on
+    (conv_id, turn_idx) — both tables are bucketed by conv_id, so on the
+    materialized layout it is co-partitioned; then ONE vocabulary-sized
+    aggregate. Distinct-turn counting rides the same aggregate via
+    count_distinct over the (already turn-unique) presence projection.
+
+    Returns (entity, entity_kind, first_seen, last_seen, n_turns,
+    n_convs).
+    """
+    ent = (
+        linked.filter(F.col("entity").isNotNull() & (F.col("kind") != "quantity"))
+        .select("conv_id", "turn_idx", "entity", "entity_kind")
+        .distinct()
+    )
+    with_ts = ent.join(
+        transcripts.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    return with_ts.groupBy("entity", "entity_kind").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("n_turns"),
+        F.count_distinct("conv_id").alias("n_convs"),
+    )

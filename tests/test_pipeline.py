@@ -476,3 +476,64 @@ def test_conversation_stats_profile(spark):
     assert c1.contiguous and c1.last_role == "assistant"
     c2 = got["c2"]
     assert not c2.contiguous and c2.n_turns == 2 and c2.last_role == "user"
+
+
+def test_cooc_pmi_hand_computed(spark):
+    """PMI on a 4-turn micro-corpus: c1 is ubiquitous (3 turns), c2 rare
+    (1 turn); both co-occur once with s1 (2 turns) — the rare chemical's
+    association must score higher, and within-turn repeats count once."""
+    import math
+
+    from tera_spark.pipeline.kg import cooc_pmi_edges
+
+    transcripts = spark.createDataFrame(
+        [("k", i, "user", "t", None) for i in range(4)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    rows = [
+        # turn 0: c1 + s1 (c1 twice in the turn — presence still 1)
+        ("k", 0, "c1", "chemical"), ("k", 0, "c1", "chemical"), ("k", 0, "s1", "species"),
+        # turn 1: c2 + s1
+        ("k", 1, "c2", "chemical"), ("k", 1, "s1", "species"),
+        # turns 2-3: c1 alone (drives its presence up, PMI down)
+        ("k", 2, "c1", "chemical"), ("k", 3, "c1", "chemical"),
+    ]
+    linked = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, entity string, entity_kind string"
+    )
+    got = {(r.chem, r.spec): r for r in cooc_pmi_edges(linked, transcripts).collect()}
+    assert set(got) == {("c1", "s1"), ("c2", "s1")}
+    # N=4; c1: n_c=3, c2: n_c=1, s1: n_s=2, both coocs 1
+    assert got[("c1", "s1")].n_cooc == 1 and got[("c2", "s1")].n_cooc == 1
+    assert got[("c1", "s1")].pmi == round(math.log(1 * 4 / (3 * 2)), 6)
+    assert got[("c2", "s1")].pmi == round(math.log(1 * 4 / (1 * 2)), 6)
+    assert got[("c2", "s1")].pmi > got[("c1", "s1")].pmi
+
+
+def test_entity_activity_intervals(spark):
+    from datetime import datetime
+
+    from tera_spark.pipeline.kg import entity_activity
+
+    t0, t1, t2 = (datetime(2026, 1, 1, 0, m) for m in range(3))
+    transcripts = spark.createDataFrame(
+        [("a", 0, t0), ("a", 1, t1), ("b", 0, t2)],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    linked = spark.createDataFrame(
+        [
+            # e1 in both convs; twice in turn (a,0) — counted once
+            ("a", 0, "e1", "chemical", "term"),
+            ("a", 0, "e1", "chemical", "term"),
+            ("b", 0, "e1", "chemical", "term"),
+            ("a", 1, "e2", "species", "term"),
+            # quantity rows never count
+            ("a", 1, None, "quantity", "quantity"),
+        ],
+        "conv_id string, turn_idx int, entity string, entity_kind string, kind string",
+    )
+    got = {r.entity: r for r in entity_activity(linked, transcripts).collect()}
+    assert set(got) == {"e1", "e2"}
+    e1, e2 = got["e1"], got["e2"]
+    assert (e1.first_seen, e1.last_seen, e1.n_turns, e1.n_convs) == (t0, t2, 2, 2)
+    assert (e2.first_seen, e2.last_seen, e2.n_turns, e2.n_convs) == (t1, t1, 1, 1)
