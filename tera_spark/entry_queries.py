@@ -866,6 +866,83 @@ GROUP BY 1, 2
 """
 
 
+def _sql_kg_context_windows() -> str:
+    """Sliding context-assembly oracle: the same bounded ROWS frame over
+    the embedded raw transcripts; role/text coalesced to '' before concat
+    on BOTH sides so NULLs cannot desynchronize the separator."""
+    return f"""
+WITH {_kg_fixture_sql_cte()}
+SELECT conv_id, turn_idx,
+       string_agg(coalesce(role,'')||': '||coalesce(text,''), chr(10)) OVER w AS context,
+       CAST(count(*) OVER w AS INT) AS n_context_turns
+FROM transcripts
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _sql_kg_snapshot_diff() -> str:
+    """KG snapshot-diff oracle: every structure + exact/rule emit arm
+    tagged with its source conv_id (extraction is turn-local, so a
+    snapshot built over a conv subset equals the conv-filtered emit
+    rows), two DISTINCT snapshots, EXCEPT both ways."""
+    arms = f"""
+  SELECT conv_id, 'urn:tera-kg:conv/'||conv_id AS subject, '{RDF_TYPE}' AS predicate,
+         'urn:tera-kg:Conversation' AS object, false AS obj_is_literal FROM transcripts
+  UNION ALL SELECT conv_id, {_SQL_KG_TURN}, '{RDF_TYPE}', 'urn:tera-kg:Turn', false FROM transcripts
+  UNION ALL SELECT conv_id, {_SQL_KG_TURN}, 'urn:tera-kg:partOf', 'urn:tera-kg:conv/'||conv_id, false FROM transcripts
+  UNION ALL SELECT conv_id, {_SQL_KG_TURN}, 'urn:tera-kg:role', role, true FROM transcripts
+  UNION ALL SELECT conv_id, {_SQL_KG_TURN}, 'urn:tera-kg:tool', tool, true FROM transcripts WHERE tool IS NOT NULL
+  UNION ALL SELECT conv_id, {_SQL_KG_TURN}, 'urn:tera-kg:mentions', entity, false FROM ex
+  UNION ALL SELECT conv_id, entity, '{RDF_TYPE}',
+         CASE kind WHEN 'chemical' THEN 'urn:tera-kg:Chemical'
+                   WHEN 'species' THEN 'urn:tera-kg:Species'
+                   ELSE 'urn:tera-kg:Entity' END, false FROM ex
+  UNION ALL SELECT conv_id, entity, '{RDFS_LABEL}', mention, true FROM ex
+  UNION ALL SELECT conv_id, {_SQL_KG_TURN}, 'urn:tera-kg:mentions', 'code:'||m, false FROM codes
+  UNION ALL SELECT conv_id, 'code:'||m, '{RDF_TYPE}', 'urn:tera-kg:Endpoint', false FROM codes
+  UNION ALL SELECT conv_id, 'code:'||m, '{RDFS_LABEL}', m, true FROM codes
+"""
+    return f"""
+WITH {_sql_kg_common_ctes()},
+pre AS ({arms}),
+snap_old AS (
+  SELECT DISTINCT subject, predicate, object, obj_is_literal
+  FROM pre WHERE conv_id <> 'conv000003'
+),
+snap_new AS (
+  SELECT DISTINCT subject, predicate, object, obj_is_literal
+  FROM pre WHERE conv_id <> 'conv000017'
+)
+SELECT *, 'added' AS change FROM (
+  SELECT * FROM snap_new EXCEPT SELECT * FROM snap_old)
+UNION ALL
+SELECT *, 'removed' AS change FROM (
+  SELECT * FROM snap_old EXCEPT SELECT * FROM snap_new)
+"""
+
+
+def _sql_chunk_documents() -> str:
+    """RAG-chunking oracle: whitespace tokenization, stride-48 starts via
+    range(), 64-token list slices, the trailing-suffix drop rule."""
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS cs FROM b)
+SELECT doc_id,
+       CAST(cs // 48 AS INT) AS chunk_idx,
+       CAST(cs AS BIGINT) AS chunk_start,
+       CAST(least(64, n - cs) AS INT) AS chunk_len,
+       array_to_string(toks[cs+1:cs+64], ' ') AS chunk_text
+FROM s
+WHERE cs = 0 OR least(64, n - cs) > 16
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2397,6 +2474,61 @@ def _queries() -> dict:
 
     q["kg_entity_activity"] = kg_activity
 
+    def kg_ctx(spark, sf):
+        # sliding (k previous turns + current) context assembly — the
+        # training-example materialization step; one bounded-frame window
+        # on the bucket key
+        from tera_spark.pipeline.kg import context_windows
+
+        return context_windows(_kg_fixture(spark), k=3)
+
+    q["kg_context_windows"] = kg_ctx
+
+    def kg_diff(spark, sf):
+        # change-data-capture between two KG snapshots (one conv arrives,
+        # another is forgotten): structure + exact/rule-link triples built
+        # per snapshot, diffed with ONE union+groupBy shuffle. The oracle
+        # replays both builds from raw text (extraction is turn-local, so
+        # a snapshot over a conv subset == the conv-filtered emit rows)
+        # and diffs with EXCEPT.
+        from tera_spark.fixtures.transcripts import lexicon_spark_df
+        from tera_spark.pipeline.extract import extract_mentions
+        from tera_spark.pipeline.kg import (
+            mention_triples,
+            snapshot_diff,
+            transcript_structure_triples,
+        )
+        from tera_spark.pipeline.link import link_mentions
+
+        lex = lexicon_spark_df(spark)
+
+        def snap(ts):
+            linked, _ = link_mentions(extract_mentions(ts), lex)
+            return dedup_triples(
+                transcript_structure_triples(ts).unionByName(
+                    mention_triples(
+                        linked.filter(F.col("link_method").isin("exact", "rule"))
+                    )
+                )
+            )
+
+        fx = _kg_fixture(spark)
+        return snapshot_diff(
+            snap(fx.where(F.col("conv_id") != "conv000003")),
+            snap(fx.where(F.col("conv_id") != "conv000017")),
+        )
+
+    q["kg_snapshot_diff"] = kg_diff
+
+    def chunks(spark, sf):
+        # RAG chunking of the documents table: overlapping 64-token
+        # windows every 48 tokens, shuffle-free JVM array expressions
+        from tera_spark.operators.corpus import chunk_documents
+
+        return chunk_documents(_t(spark, sf, "documents"))
+
+    q["curation_chunk_documents"] = chunks
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -3390,6 +3522,9 @@ FROM transcripts GROUP BY conv_id
     o["kg_exact_link_triples"] = _sql_kg_exact_link()
     o["kg_cooc_pmi"] = _sql_kg_cooc_pmi()
     o["kg_entity_activity"] = _sql_kg_entity_activity()
+    o["kg_context_windows"] = _sql_kg_context_windows()
+    o["kg_snapshot_diff"] = _sql_kg_snapshot_diff()
+    o["curation_chunk_documents"] = _sql_chunk_documents()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -541,3 +541,61 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "score", "rank")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style chunking: split each document into whitespace tokens and
+    emit overlapping windows of ``chunk_tokens`` tokens every ``stride``
+    tokens — the retrieval-unit materialization every embedding/indexing
+    pipeline runs before ANN (operators/ann.py) can serve it. Case is
+    preserved (unlike the lowercasing stats tokenizer ``textops._tokens``)
+    because chunk text feeds an embedder, not a counter.
+
+    Trailing-suffix rule: a final window that is entirely contained in the
+    previous window (``chunk_len <= chunk_tokens - stride``) is dropped —
+    it adds no new tokens, only an index entry that duplicates its
+    predecessor's suffix. The first window is always kept, so every
+    non-empty document yields >= 1 chunk and every token appears in >= 1
+    chunk.
+
+    Scale shape: shuffle-FREE — tokenize, explode a per-doc start
+    sequence, slice: all JVM array expressions inside one codegen stage,
+    output rows ~ n_tokens/stride per doc. Documents with NULL or
+    whitespace-only text produce no chunks (there is nothing to index).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+    )
+    base = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .where(F.col("_n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+    chunk_len = F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_start"))
+    return (
+        base.select(
+            id_col, "_toks", "_n", F.explode(starts).alias("chunk_start")
+        )
+        .where(
+            (F.col("chunk_start") == 0)
+            | (chunk_len > chunk_tokens - stride)
+        )
+        .select(
+            F.col(id_col),
+            (F.col("chunk_start") / stride).cast("int").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            chunk_len.cast("int").alias("chunk_len"),
+            F.array_join(
+                F.slice("_toks", F.col("chunk_start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )

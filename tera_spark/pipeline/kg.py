@@ -10,7 +10,7 @@ table — no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tera_spark.constants import NS_KG, NS_UNIT, RDF_TYPE, RDF_VALUE, RDFS_LABEL
@@ -424,4 +424,80 @@ def entity_activity(linked: DataFrame, transcripts: DataFrame) -> DataFrame:
         F.max("ts").alias("last_seen"),
         F.count("*").alias("n_turns"),
         F.count_distinct("conv_id").alias("n_convs"),
+    )
+
+
+def context_windows(
+    transcripts: DataFrame, k: int = 3, sep: str = "\n"
+) -> DataFrame:
+    """Sliding context assembly: for every turn, the concatenation of the
+    previous ``k`` turns plus the turn itself ("role: text" lines joined by
+    ``sep``), under the north rule's stable (conv_id, turn_idx) ordering.
+    This is the materialization step that turns a transcript table into
+    training examples with conversational context — the per-turn input a
+    downstream SFT/RM data pipeline actually consumes.
+
+    Scale shape: ONE window (partitionBy conv_id, orderBy turn_idx) with a
+    bounded ROWS frame — a single shuffle on the table's own bucket key,
+    so on the bucketed Iceberg layout the sort is shuffle-free; state per
+    row is bounded by k (never whole-partition). Both output expressions
+    share the frame, so Catalyst evaluates one Window physical node. No
+    Python, no join.
+
+    NULL discipline: role/text are coalesced to '' BEFORE concat so a NULL
+    never erases the separator (concat_ws would silently skip NULL args,
+    desynchronizing from SQL replays that use ``||``).
+    """
+    line = F.concat(
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit(": "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-k, Window.currentRow)
+    )
+    ctx = F.collect_list(line).over(w)
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join(ctx, sep).alias("context"),
+        F.size(ctx).alias("n_context_turns"),
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Change-data-capture between two KG snapshots: rows only in ``new``
+    tagged ``added``, rows only in ``old`` tagged ``removed`` (set
+    semantics on the full row — duplicate emissions within a snapshot
+    collapse, exactly like ``triples.dedup``). The audit surface for
+    incremental maintenance (pipeline/incremental.py) and forget
+    (pipeline/forget.py): diffing the materialized graph before/after an
+    apply yields the precise triple-level effect of a batch.
+
+    Scale shape: ONE shuffle total — union the two inputs with a side tag
+    (union is plan-free), then a single groupBy over the row key with
+    min/max of the tag; rows present on both sides drop out. This beats
+    the naive pair of left_anti joins (two shuffles of the same data) and
+    never broadcasts, so it survives two 100 TB snapshots.
+    """
+    if old.columns != new.columns:
+        raise ValueError(
+            f"snapshot schemas differ: {old.columns} vs {new.columns}"
+        )
+    key = list(old.columns)
+    tagged = old.withColumn("_side", F.lit(1)).unionByName(
+        new.withColumn("_side", F.lit(2))
+    )
+    return (
+        tagged.groupBy(*key)
+        .agg(F.min("_side").alias("_a"), F.max("_side").alias("_b"))
+        .where(F.col("_a") == F.col("_b"))
+        .select(
+            *key,
+            F.when(F.col("_a") == 1, F.lit("removed"))
+            .otherwise(F.lit("added"))
+            .alias("change"),
+        )
     )

@@ -537,3 +537,90 @@ def test_entity_activity_intervals(spark):
     e1, e2 = got["e1"], got["e2"]
     assert (e1.first_seen, e1.last_seen, e1.n_turns, e1.n_convs) == (t0, t2, 2, 2)
     assert (e2.first_seen, e2.last_seen, e2.n_turns, e2.n_convs) == (t1, t1, 1, 1)
+
+
+def test_context_windows_hand_traced(spark):
+    """Sliding k=2 context over two conversations: frame is bounded,
+    ordering is (conv_id, turn_idx), NULL text keeps its separator."""
+    from tera_spark.pipeline.kg import context_windows
+
+    rows = [
+        ("c1", 0, "user", "hi", None, None),
+        ("c1", 1, "assistant", "yo", None, None),
+        ("c1", 2, "user", None, None, None),  # NULL text
+        ("c1", 3, "assistant", "bye", None, None),
+        ("c2", 0, "user", "solo", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in context_windows(df, k=2, sep="\n").collect()
+    }
+    assert got[("c1", 0)].context == "user: hi"
+    assert got[("c1", 0)].n_context_turns == 1
+    assert got[("c1", 2)].context == "user: hi\nassistant: yo\nuser: "
+    assert got[("c1", 2)].n_context_turns == 3
+    # k=2 frame: turn 3 sees turns 1..3 only, not turn 0
+    assert got[("c1", 3)].context == "assistant: yo\nuser: \nassistant: bye"
+    assert got[("c2", 0)].context == "user: solo"
+
+
+def test_snapshot_diff_add_remove_and_set_semantics(spark):
+    from tera_spark.pipeline.kg import snapshot_diff
+
+    schema = "subject string, predicate string, object string, obj_is_literal boolean"
+    old = spark.createDataFrame(
+        [
+            ("a", "p", "x", False),
+            ("a", "p", "x", False),  # dup within snapshot → set semantics
+            ("b", "p", "y", False),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "x", False), ("c", "p", "z", True)], schema
+    )
+    got = {
+        (r.subject, r.predicate, r.object, r.obj_is_literal): r.change
+        for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        ("b", "p", "y", False): "removed",
+        ("c", "p", "z", True): "added",
+    }
+
+
+def test_chunk_documents_windows_and_suffix_rule(spark):
+    """chunk=4, stride=3 over a 10-token doc: starts 0,3,6,9; the start-9
+    window (len 1 <= 4-3) is a pure suffix of the start-6 window and must
+    be dropped; empty/NULL docs yield no chunks."""
+    from tera_spark.operators.corpus import chunk_documents
+
+    text10 = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text10), (2, "  only  two "), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    one = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.chunk_start, r.chunk_len, r.chunk_text) for r in one] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (3, 4, "w3 w4 w5 w6"),
+        (6, 4, "w6 w7 w8 w9"),
+        # start 9 dropped: len 1 <= chunk_tokens - stride
+    ]
+    # every token appears in >= 1 kept chunk
+    covered = set()
+    for r in one:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == {f"w{i}" for i in range(10)}
+    assert [(r.chunk_idx, r.chunk_len, r.chunk_text) for r in by_doc[2]] == [
+        (0, 2, "only two")
+    ]
+    assert 3 not in by_doc and 4 not in by_doc
