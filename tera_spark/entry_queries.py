@@ -943,6 +943,36 @@ WHERE cs = 0 OR least(64, n - cs) > 16
 """
 
 
+def _sql_conversation_dedup() -> str:
+    """Conversation near-dup oracle: DuckDB replays turn normalization,
+    the distinct (conv, turn-hash) set, the frequency cap, shared-turn
+    pair counting, and the capped-universe Jaccard."""
+    return f"""
+WITH {_kg_fixture_sql_cte()},
+t AS (
+  SELECT DISTINCT conv_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+  FROM transcripts
+  WHERE text IS NOT NULL AND trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+),
+tt AS (
+  SELECT * FROM t WHERE h NOT IN (
+    SELECT h FROM t GROUP BY h HAVING count(*) > 1000)
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM tt GROUP BY 1),
+inter AS (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS n_shared_turns
+  FROM tt a JOIN tt b USING (h) WHERE a.conv_id < b.conv_id GROUP BY 1, 2
+)
+SELECT conv_a, conv_b, n_shared_turns,
+       round(n_shared_turns / (sa.n + sb.n - n_shared_turns), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.conv_id = conv_a
+JOIN sizes sb ON sb.conv_id = conv_b
+WHERE round(n_shared_turns / (sa.n + sb.n - n_shared_turns), 6) >= 0.1
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2529,6 +2559,15 @@ def _queries() -> dict:
 
     q["curation_chunk_documents"] = chunks
 
+    def conv_dedup(spark, sf):
+        # conversation-level near-dup pairs: Jaccard over each conv's set
+        # of normalized turn hashes, inverted-index (shared-turn) blocking
+        from tera_spark.operators.dedup import conversation_dedup_pairs
+
+        return conversation_dedup_pairs(_kg_fixture(spark), threshold=0.1)
+
+    q["dedup_conversations"] = conv_dedup
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -3525,6 +3564,7 @@ FROM transcripts GROUP BY conv_id
     o["kg_context_windows"] = _sql_kg_context_windows()
     o["kg_snapshot_diff"] = _sql_kg_snapshot_diff()
     o["curation_chunk_documents"] = _sql_chunk_documents()
+    o["dedup_conversations"] = _sql_conversation_dedup()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -432,3 +432,79 @@ def resolve_duplicate_clusters(
         )
     )
     return singles.unionByName(clustered)
+
+
+def conversation_dedup_pairs(
+    transcripts: DataFrame,
+    threshold: float = 0.8,
+    max_turn_freq: int = 1000,
+) -> DataFrame:
+    """Conversation-level near-dup pairs: Jaccard over each conversation's
+    SET of normalized turn texts — the transcript-corpus twin of document
+    ``ngram_jaccard_pairs``, where the dedup unit is the whole
+    conversation and the 'shingle' is a turn. This is how re-rolled /
+    retried agent sessions (same turns, shuffled or partially regenerated)
+    are found before they overweight the training mix.
+
+    Blocking: the inverted index IS the turn-hash table — two
+    conversations become a candidate pair only if they share a turn.
+    Turn hashes whose conversation frequency exceeds ``max_turn_freq``
+    (boilerplate greetings at corpus scale) are dropped from the UNIVERSE
+    first (sizes and intersections both count the surviving turns, so the
+    score stays a true Jaccard over the capped universe — documented
+    contract, same discipline as the hot-shingle cap in
+    ``ngram_jaccard_pairs``). Candidate work is then bounded by
+    sum_h C(freq(h), 2) with freq <= max_turn_freq, never all-pairs.
+
+    NULL/empty turns carry no content signal and are excluded from the
+    turn set. Scores round to 6dp so summation order can't leak in.
+
+    Scale shape: one distinct (conv_id, turn_hash) projection, one
+    frequency aggregate for the cap, one self-join on the turn hash with
+    map-side pair counting, two size joins (AQE broadcasts the
+    conversation-sized side when it fits). No Python, no window.
+    """
+    norm = F.md5(_norm_text(F.col("text")))
+    t = (
+        transcripts.where(F.col("text").isNotNull() & (_norm_text(F.col("text")) != ""))
+        .select("conv_id", norm.alias("_h"))
+        .distinct()
+    )
+    hot = (
+        t.groupBy("_h")
+        .agg(F.count("*").alias("_f"))
+        .where(F.col("_f") > max_turn_freq)
+        .select("_h")
+    )
+    tt = t.join(hot, "_h", "left_anti")
+    sizes = tt.groupBy("conv_id").agg(F.count("*").alias("_n"))
+    a, b = tt.alias("a"), tt.alias("b")
+    inter = (
+        a.join(b, "_h")
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))
+        .groupBy(
+            F.col("a.conv_id").alias("conv_a"),
+            F.col("b.conv_id").alias("conv_b"),
+        )
+        .agg(F.count("*").alias("n_shared_turns"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("conv_id").alias("conv_a"), F.col("_n").alias("_na")),
+            "conv_a",
+        )
+        .join(
+            sizes.select(F.col("conv_id").alias("conv_b"), F.col("_n").alias("_nb")),
+            "conv_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared_turns")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared_turns")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("conv_a", "conv_b", "n_shared_turns", "jaccard")
+    )

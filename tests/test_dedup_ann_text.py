@@ -587,3 +587,32 @@ def test_top_tokens_zipf_head(spark):
     assert rows[0] == (1, "the", 3, round(3 / 10, 6))
     assert rows[1] == (2, "cat", 2, round(2 / 10, 6))
     assert rows[2] == (3, "and", 1, round(1 / 10, 6))
+
+
+def test_conversation_dedup_pairs_hand_traced(spark):
+    """c1/c2 share 2 of (3 ∪ 3) distinct turns → J=0.5; whitespace/case
+    variants of the same turn hash together; c3 shares nothing; NULL and
+    blank turns carry no signal."""
+    from tera_spark.operators.dedup import conversation_dedup_pairs
+
+    rows = [
+        ("c1", 0, "user", "Hello  world", None, None),
+        ("c1", 1, "assistant", "the answer is 42", None, None),
+        ("c1", 2, "user", "thanks", None, None),
+        ("c2", 0, "user", "hello world", None, None),  # ws/case variant
+        ("c2", 1, "assistant", "THE ANSWER IS 42", None, None),
+        ("c2", 2, "user", "goodbye", None, None),
+        ("c2", 3, "user", None, None, None),
+        ("c2", 4, "user", "   ", None, None),
+        ("c3", 0, "user", "unrelated", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = conversation_dedup_pairs(df, threshold=0.4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.conv_a, r.conv_b, r.n_shared_turns, r.jaccard) == ("c1", "c2", 2, 0.5)
+    # below threshold → empty, never an error
+    assert conversation_dedup_pairs(df, threshold=0.6).count() == 0
