@@ -973,6 +973,20 @@ WHERE round(n_shared_turns / (sa.n + sb.n - n_shared_turns), 6) >= 0.1
 """
 
 
+def _sql_tool_transitions() -> str:
+    """Tool-transition oracle: same lag window over tool-bearing turns."""
+    return f"""
+WITH {_kg_fixture_sql_cte()},
+tl AS (SELECT conv_id, turn_idx, tool FROM transcripts WHERE tool IS NOT NULL),
+tr AS (
+  SELECT coalesce(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '<start>') AS prev_tool, tool
+  FROM tl
+)
+SELECT prev_tool, tool, count(*) AS n_transitions FROM tr GROUP BY 1, 2
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2568,6 +2582,15 @@ def _queries() -> dict:
 
     q["dedup_conversations"] = conv_dedup
 
+    def tool_trans(spark, sf):
+        # agent tool-usage Markov transitions (tool B follows tool A
+        # within a conversation; '<start>' state for first calls)
+        from tera_spark.pipeline.kg import tool_transitions
+
+        return tool_transitions(_kg_fixture(spark))
+
+    q["kg_tool_transitions"] = tool_trans
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -3565,6 +3588,7 @@ FROM transcripts GROUP BY conv_id
     o["kg_snapshot_diff"] = _sql_kg_snapshot_diff()
     o["curation_chunk_documents"] = _sql_chunk_documents()
     o["dedup_conversations"] = _sql_conversation_dedup()
+    o["kg_tool_transitions"] = _sql_tool_transitions()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

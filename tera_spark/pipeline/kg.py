@@ -501,3 +501,32 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
             .alias("change"),
         )
     )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Tool-usage transition counts: how often tool B follows tool A
+    within a conversation — the Markov view of agent behavior that drives
+    trajectory curation (detect retry loops, dead-end tools, dominant
+    chains) before transcripts enter the training mix. Turn ordering is
+    the north rule's stable (conv_id, turn_idx); turns without a tool
+    call are transparent (the transition is between consecutive TOOL
+    turns, with an explicit '<start>' state for a conversation's first
+    tool call), so interleaved plain-text turns don't break a chain.
+
+    Scale shape: filter to tool turns (tiny fraction of the corpus),
+    ONE lag window on the bucket key, one groupBy count — the window
+    shuffle is on conv_id, so on the bucketed Iceberg layout it is
+    shuffle-free. Transition vocabulary is O(|tools|^2), never
+    corpus-sized.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tools = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce(F.lag("tool").over(w), F.lit("<start>")).alias("prev_tool"),
+        F.col("tool"),
+    )
+    return (
+        tools.groupBy("prev_tool", "tool")
+        .agg(F.count("*").alias("n_transitions"))
+    )

@@ -624,3 +624,32 @@ def test_chunk_documents_windows_and_suffix_rule(spark):
         (0, 2, "only two")
     ]
     assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_tool_transitions_markov_counts(spark):
+    """Plain-text turns are transparent (c1: search@1 → calc@3 is one
+    transition); each conversation's first tool call transitions from
+    '<start>'; counts aggregate across conversations."""
+    from tera_spark.pipeline.kg import tool_transitions
+
+    rows = [
+        ("c1", 0, "user", "q", None, None),
+        ("c1", 1, "assistant", "a", "search", None),
+        ("c1", 2, "assistant", "b", None, None),  # transparent
+        ("c1", 3, "assistant", "c", "calc", None),
+        ("c2", 0, "assistant", "d", "search", None),
+        ("c2", 1, "assistant", "e", "search", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {
+        (r.prev_tool, r.tool): r.n_transitions
+        for r in tool_transitions(df).collect()
+    }
+    assert got == {
+        ("<start>", "search"): 2,
+        ("search", "calc"): 1,
+        ("search", "search"): 1,
+    }
