@@ -987,6 +987,34 @@ SELECT prev_tool, tool, count(*) AS n_transitions FROM tr GROUP BY 1, 2
 """
 
 
+def _sql_kmv_distinct() -> str:
+    """KMV oracle: DuckDB replays tokenization, the md5→60-bit uniform
+    hash, the per-group k-th order statistic, and the (k-1)/h_(k)
+    estimator."""
+    return r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+d AS (
+  SELECT DISTINCT source, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks
+),
+r AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM d
+)
+SELECT source,
+       CASE WHEN cnt <= 64 THEN CAST(cnt AS DOUBLE)
+            ELSE round(63.0 / (h / 1152921504606846976.0), 6) END AS est_distinct,
+       cnt <= 64 AS is_exact
+FROM r WHERE rn = least(cnt, 64)
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2591,6 +2619,25 @@ def _queries() -> dict:
 
     q["kg_tool_transitions"] = tool_trans
 
+    def kmv(spark, sf):
+        # KMV distinct-token cardinality sketch per document source —
+        # deterministic md5 hashing, exactly replayable (unlike HLL)
+        from tera_spark.operators.sketches import kmv_distinct
+
+        docs = _t(spark, sf, "documents")
+        toks = docs.where(F.col("text").isNotNull()).select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("tok"),
+        )
+        return kmv_distinct(toks, ["source"], "tok", k=64)
+
+    q["sketch_kmv_distinct"] = kmv
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -3589,6 +3636,7 @@ FROM transcripts GROUP BY conv_id
     o["curation_chunk_documents"] = _sql_chunk_documents()
     o["dedup_conversations"] = _sql_conversation_dedup()
     o["kg_tool_transitions"] = _sql_tool_transitions()
+    o["sketch_kmv_distinct"] = _sql_kmv_distinct()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

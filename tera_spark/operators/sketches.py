@@ -1,0 +1,74 @@
+"""Distributed cardinality sketches.
+
+KMV (k-minimum-values) distinct-count estimation — the mergeable-sketch
+answer to "how many distinct X per group" when the distinct set itself is
+too large to count cheaply and an ESTIMATE with known error (~1/sqrt(k-2))
+is enough: dashboards over 10^12-turn corpora, pre-sizing joins, skew
+probes. Deterministic (md5-derived uniform hashes, no RNG), so results are
+reproducible and exactly replayable by an independent engine — unlike
+HLL-based ``approx_count_distinct``, whose register layout is
+implementation-private. No reference counterpart (SURVEY.md §2
+"beyond the reference" block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^60 — 15 hex digits of md5 interpreted as a uniform integer in [0, 2^60)
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate from the k minimum hash values.
+
+    est = (k-1) / h_(k)  with  h_(k) = the k-th smallest md5-hash of the
+    group's distinct values normalized into [0,1); groups with <= k
+    distinct values report the EXACT count (``is_exact`` = true). Standard
+    KMV estimator (Bar-Yossef et al. 2002); relative error ~ 1/sqrt(k-2).
+
+    Scale shape: one distinct over (group, hash) — map-side partial
+    aggregation collapses repeats before the shuffle — then ONE sort-based
+    window per group (Spark's external sorter spills, so per-group state
+    is disk-bounded, and only the k-th row survives the cut). The sketch
+    is mergeable by construction (min-k of a union = min-k of the merged
+    min-k sets), which is what makes it valid under any partitioning.
+
+    NULL values carry no cardinality signal and are excluded. The
+    estimate is rounded to 6dp so double-summation order can't leak in.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    d = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .distinct()
+    )
+    wo = Window.partitionBy(*group_cols).orderBy("_h")
+    wa = Window.partitionBy(*group_cols)
+    r = d.withColumn("_rn", F.row_number().over(wo)).withColumn(
+        "_cnt", F.count("*").over(wa)
+    )
+    return (
+        r.where(F.col("_rn") == F.least(F.col("_cnt"), F.lit(k)))
+        .select(
+            *group_cols,
+            F.when(F.col("_cnt") <= k, F.col("_cnt").cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(float(k - 1)) / (F.col("_h") / F.lit(_KMV_SPACE)), 6
+                )
+            )
+            .alias("est_distinct"),
+            (F.col("_cnt") <= k).alias("is_exact"),
+        )
+    )

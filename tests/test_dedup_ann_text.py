@@ -616,3 +616,34 @@ def test_conversation_dedup_pairs_hand_traced(spark):
     assert (r.conv_a, r.conv_b, r.n_shared_turns, r.jaccard) == ("c1", "c2", 2, 0.5)
     # below threshold → empty, never an error
     assert conversation_dedup_pairs(df, threshold=0.6).count() == 0
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    """Groups at/below k report the exact count; above k, the estimate is
+    (k-1)/h_(k) against the hand-computed k-th order statistic, and the
+    estimator lands within the ~1/sqrt(k-2) band of the truth."""
+    import hashlib
+
+    from tera_spark.operators.sketches import kmv_distinct
+
+    small = [("s", f"v{i}") for i in range(3)]          # 3 distinct <= k=4
+    big = [("b", f"w{i}") for i in range(500)]          # 500 distinct > k=4
+    df = spark.createDataFrame(
+        small + big + [("s", "v0"), ("n", None)], "grp string, v string"
+    )
+    got = {r.grp: r for r in kmv_distinct(df, ["grp"], "v", k=4).collect()}
+    assert got["s"].est_distinct == 3.0 and got["s"].is_exact
+    assert "n" not in got  # NULL-only group carries no signal
+    hs = sorted(
+        int(hashlib.md5(f"w{i}".encode()).hexdigest()[:15], 16)
+        for i in range(500)
+    )
+    expected = round(3.0 / (hs[3] / float(1 << 60)), 6)
+    assert not got["b"].is_exact
+    assert got["b"].est_distinct == expected
+    # sanity at a usable k: error within 3 standard errors of truth
+    got64 = {
+        r.grp: r for r in kmv_distinct(df, ["grp"], "v", k=64).collect()
+    }
+    est = got64["b"].est_distinct
+    assert abs(est - 500) / 500 < 3 / (62 ** 0.5)
