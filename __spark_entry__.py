@@ -5,7 +5,7 @@ the ECOTOX-shaped mapping of the driver tables at sf0.001. ``queries`` /
 ``oracle_sql`` pair every implemented SURVEY.md §2 operator with a DuckDB
 oracle (see tera_spark/entry_queries.py). Round 4: registration is
 rotated so never-driver-sampled entries come first (the driver samples
-~50 of the 95); new oracle-checked entries are the SPARQL property-path /
+~50 of the 106); new oracle-checked entries are the SPARQL property-path /
 UNION / VALUES / ORDER BY / GROUP BY-aggregate compilers (q16-q19), the
 PORTABLE fuzzy mode — ``j6_string_matching_portable`` and
 ``kg_pipeline_triples_portable`` run the real linking/pipeline code with
@@ -18,7 +18,11 @@ oracle-checked): triangle counting + clustering coefficient, k-core
 decomposition, near-dup cluster resolution (pairs → CC → keep-list),
 TF-IDF keywords, and the corpus Zipf head. The only rows-only entries
 left are the two WRatio-default twins (Python difflib reference-parity
-mode, by design; golden-tested in pytest).
+mode, by design; golden-tested in pytest). Post-criterion additions
+(all oracle-checked, registered past the 50-entry sampling-priority
+cut): sliding context-window assembly, KG snapshot diff (CDC),
+RAG document chunking, conversation-level turn-set-Jaccard near-dup
+pairs, tool-transition mining, and the KMV distinct-count sketch.
 """
 
 from __future__ import annotations

@@ -213,3 +213,56 @@ def test_top_tokens_is_take_ordered(spark):
     )
     plan = explain_str(top_tokens(docs, k=2))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_context_windows_is_one_window_exchange(spark):
+    """Both output expressions share the bounded frame → one Window node,
+    one exchange on conv_id, no Python."""
+    from tera_spark.fixtures.transcripts import transcripts_spark_df
+    from tera_spark.pipeline.kg import context_windows
+
+    out = context_windows(transcripts_spark_df(spark, n_convs=5), k=3)
+    assert count_exchanges(out) == 1
+    plan = explain_str(out, "simple")
+    assert plan.count("Window") == 1 and "Python" not in plan
+
+
+def test_snapshot_diff_is_one_shuffle(spark):
+    """Union + single groupBy: exactly one exchange over the union — never
+    the two anti-join shuffles of the naive formulation."""
+    from tera_spark.pipeline.kg import snapshot_diff
+
+    schema = "subject string, predicate string, object string, obj_is_literal boolean"
+    old = spark.createDataFrame([("a", "p", "x", False)], schema)
+    new = spark.createDataFrame([("a", "p", "y", False)], schema)
+    out = snapshot_diff(old, new)
+    assert count_exchanges(out) == 1
+    assert "Join" not in explain_str(out, "simple")
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Tokenize → explode starts → slice: all in one codegen stage, zero
+    exchanges, and the text/doc_id projection reaches the parquet scan."""
+    from tera_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = chunk_documents(docs)
+    assert count_exchanges(out) == 0
+    plan = explain_str(out, "simple")
+    assert "Python" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in explain_str(out, "formatted")
+
+
+def test_kmv_distinct_two_exchanges_no_python(spark):
+    """One distinct (map-side partial agg) + one per-group sort window;
+    the k-cut happens before anything leaves the window stage."""
+    from tera_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(10)], "grp string, v string"
+    )
+    out = kmv_distinct(df, ["grp"], "v", k=4)
+    plan = explain_str(out, "simple")
+    assert "Python" not in plan
+    # distinct agg exchange + window exchange (same key; AQE may reuse)
+    assert count_exchanges(out) <= 2
