@@ -1015,6 +1015,53 @@ FROM r WHERE rn = least(cnt, 64)
 """
 
 
+def _sql_kg_negative_samples() -> str:
+    """Negative-sampling oracle: DuckDB replays the mention-edge build,
+    the bucketed dense entity index, the prefix-sum global-draw mapping,
+    and the filtered anti-join."""
+    return f"""
+WITH {_sql_kg_common_ctes()},
+e AS (
+  SELECT DISTINCT {_SQL_KG_TURN} AS subject,
+         'urn:tera-kg:mentions' AS predicate, entity AS object FROM ex
+  UNION
+  SELECT DISTINCT {_SQL_KG_TURN}, 'urn:tera-kg:mentions', 'code:'||m FROM codes
+),
+ents AS (SELECT DISTINCT object AS ent FROM e),
+eb AS (SELECT ent, ('0x'||substr(md5(ent),1,15))::BIGINT % 32 AS b FROM ents),
+eidx AS (
+  SELECT ent, b, row_number() OVER (PARTITION BY b ORDER BY ent) - 1 AS off
+  FROM eb
+),
+sizes AS (SELECT b, count(*) AS sz FROM eidx GROUP BY b),
+bounds AS (
+  SELECT b, sz,
+         coalesce(sum(sz) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM sizes
+),
+nt AS (SELECT sum(sz) AS n FROM sizes),
+draws AS (
+  SELECT subject, predicate, object, CAST(k AS INT) AS k,
+         ('0x'||substr(md5(subject||'|'||predicate||'|'||object||'|'||
+                           CAST(k AS VARCHAR)),1,15))::BIGINT
+           % (SELECT n FROM nt) AS g
+  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+),
+loc AS (
+  SELECT d.subject, d.predicate, d.object, d.k, bounds.b, g - strt AS off
+  FROM draws d JOIN bounds ON g >= strt AND g < strt + sz
+),
+neg AS (
+  SELECT subject, predicate, object, k, eidx.ent AS neg_object
+  FROM loc JOIN eidx USING (b, off)
+)
+SELECT n.* FROM neg n
+ANTI JOIN e t ON n.subject = t.subject AND n.predicate = t.predicate
+             AND n.neg_object = t.object
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2638,6 +2685,24 @@ def _queries() -> dict:
 
     q["sketch_kmv_distinct"] = kmv
 
+    def kg_negs(spark, sf):
+        # deterministic filtered negative sampling over the exact-link
+        # mention edges (2 corruptions per edge, accidental positives
+        # dropped) — KG-embedding training-data materialization
+        from tera_spark.pipeline.kg import mention_triples, negative_samples
+
+        edges = (
+            dedup_triples(mention_triples(_kg_exact_linked(spark)))
+            .where(
+                (~F.col("obj_is_literal"))
+                & (F.col("predicate") == "urn:tera-kg:mentions")
+            )
+            .select("subject", "predicate", "object")
+        )
+        return negative_samples(edges, per_edge=2)
+
+    q["kg_negative_samples"] = kg_negs
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -3637,6 +3702,7 @@ FROM transcripts GROUP BY conv_id
     o["dedup_conversations"] = _sql_conversation_dedup()
     o["kg_tool_transitions"] = _sql_tool_transitions()
     o["sketch_kmv_distinct"] = _sql_kmv_distinct()
+    o["kg_negative_samples"] = _sql_kg_negative_samples()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -530,3 +530,86 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
         tools.groupBy("prev_tool", "tool")
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+def _h60(c):
+    """md5 → uniform 60-bit non-negative integer (15 hex digits), the
+    shared deterministic-draw primitive (same construction as the KMV
+    sketch, operators/sketches.py)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def negative_samples(
+    edges: DataFrame, per_edge: int = 1, n_buckets: int = 32
+) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding training:
+    for every (subject, predicate, object) edge, corrupt the object with a
+    uniformly-chosen entity from the graph's object universe, dropping
+    accidental positives (corruptions that are themselves true edges for
+    the same (subject, predicate) — the standard 'filtered' protocol of
+    the KG-embedding literature). md5-derived choices make the sample a
+    pure function of the edge set: append-stable, replayable, no RNG.
+
+    Uniformity without a global sort: a dense global index over N
+    entities would need a single-partition row_number — a scale-killer.
+    Instead entities hash into ``n_buckets`` buckets, each bucket gets a
+    PARALLEL per-bucket dense index (window partitioned by bucket), and
+    the n_buckets-row bucket-size prefix-sum table (broadcast) maps a
+    global draw g = H(edge, k) mod N to (bucket, offset). Every entity
+    owns exactly one (bucket, offset) slot, so the draw is exactly
+    uniform over the universe.
+
+    Scale shape: one distinct for the universe, one parallel window, an
+    n_buckets-row broadcast range join, one hash join on (bucket,
+    offset), one anti-join against the true edges. No Python, no global
+    data-scale sort (the prefix-sum window orders n_buckets rows), no
+    skew (bucket sizes concentrate at N/n_buckets).
+    """
+    if per_edge < 1:
+        raise ValueError("per_edge must be >= 1")
+    ents = edges.select(F.col("object").alias("_ent")).distinct()
+    ents = ents.withColumn("_b", F.pmod(_h60(F.col("_ent")), F.lit(n_buckets)))
+    wb = Window.partitionBy("_b").orderBy("_ent")
+    idx = ents.withColumn("_off", F.row_number().over(wb) - 1)
+    sizes = idx.groupBy("_b").agg(F.count("*").alias("_sz"))
+    wcum = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bounds = sizes.select(
+        "_b",
+        "_sz",
+        F.coalesce(F.sum("_sz").over(wcum), F.lit(0)).alias("_start"),
+    )
+    n_total = sizes.agg(F.sum("_sz").alias("_n"))
+    draws = (
+        edges.select("subject", "predicate", "object")
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(per_edge - 1))))
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "_g",
+            F.pmod(
+                _h60(
+                    F.concat_ws(
+                        "|",
+                        F.col("subject"),
+                        F.col("predicate"),
+                        F.col("object"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                F.col("_n"),
+            ),
+        )
+    )
+    located = draws.join(
+        F.broadcast(bounds),
+        (F.col("_g") >= F.col("_start"))
+        & (F.col("_g") < F.col("_start") + F.col("_sz")),
+    ).withColumn("_off", F.col("_g") - F.col("_start"))
+    neg = located.join(idx, ["_b", "_off"]).select(
+        "subject", "predicate", "object", "k", F.col("_ent").alias("neg_object")
+    )
+    true_pairs = edges.select(
+        "subject", "predicate", F.col("object").alias("neg_object")
+    ).distinct()
+    return neg.join(
+        true_pairs, ["subject", "predicate", "neg_object"], "left_anti"
+    ).select("subject", "predicate", "object", "k", "neg_object")

@@ -653,3 +653,27 @@ def test_tool_transitions_markov_counts(spark):
         ("search", "calc"): 1,
         ("search", "search"): 1,
     }
+
+
+def test_negative_samples_filtered_and_deterministic(spark):
+    """Corruptions come from the object universe, never reproduce a true
+    (subject, predicate, object) edge, and the whole sample is a pure
+    function of the edge set (two runs byte-identical)."""
+    from tera_spark.pipeline.kg import negative_samples
+
+    rows = [
+        ("s1", "p", "e1"),
+        ("s1", "p", "e2"),
+        ("s2", "p", "e1"),
+        ("s2", "p", "e3"),
+    ]
+    df = spark.createDataFrame(rows, "subject string, predicate string, object string")
+    out1 = sorted(map(tuple, negative_samples(df, per_edge=2).collect()))
+    out2 = sorted(map(tuple, negative_samples(df, per_edge=2).collect()))
+    assert out1 == out2 and 0 < len(out1) <= 8
+    universe = {"e1", "e2", "e3"}
+    true_edges = set(rows)
+    for s, p, o, k, neg in out1:
+        assert neg in universe and k in (0, 1)
+        assert (s, p, neg) not in true_edges
+        assert (s, p, o) in true_edges
