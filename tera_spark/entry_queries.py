@@ -1062,6 +1062,31 @@ ANTI JOIN e t ON n.subject = t.subject AND n.predicate = t.predicate
 """
 
 
+def _sql_length_percentiles() -> str:
+    """Nearest-rank percentile oracle: same row_number/count formulation
+    (deliberately NOT quantile_cont — interpolation definitions differ
+    across engines; the nearest-rank statistic is byte-portable)."""
+    return r"""
+WITH d AS (
+  SELECT source AS grp,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> len(x) > 0)) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT grp, n_tokens,
+         row_number() OVER (PARTITION BY grp ORDER BY n_tokens) AS rn,
+         count(*) OVER (PARTITION BY grp) AS cnt
+  FROM d
+)
+SELECT grp, max(cnt) AS n_docs,
+       CAST(max(CASE WHEN rn = ceil(0.5 * cnt) THEN n_tokens END) AS BIGINT) AS p50,
+       CAST(max(CASE WHEN rn = ceil(0.9 * cnt) THEN n_tokens END) AS BIGINT) AS p90,
+       CAST(max(CASE WHEN rn = ceil(0.99 * cnt) THEN n_tokens END) AS BIGINT) AS p99
+FROM r GROUP BY grp
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2703,6 +2728,15 @@ def _queries() -> dict:
 
     q["kg_negative_samples"] = kg_negs
 
+    def len_pct(spark, sf):
+        # exact nearest-rank token-length percentiles per source — the
+        # engine-portable quantile definition (no interpolation drift)
+        from tera_spark.operators.textops import length_percentiles
+
+        return length_percentiles(_t(spark, sf, "documents"))
+
+    q["text_length_percentiles"] = len_pct
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -3703,6 +3737,7 @@ FROM transcripts GROUP BY conv_id
     o["kg_tool_transitions"] = _sql_tool_transitions()
     o["sketch_kmv_distinct"] = _sql_kmv_distinct()
     o["kg_negative_samples"] = _sql_kg_negative_samples()
+    o["text_length_percentiles"] = _sql_length_percentiles()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -6,7 +6,7 @@ the winnowing fingerprint is the one composition that uses array ops.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -358,3 +358,51 @@ def top_tokens(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFra
         .withColumn("rank", F.row_number().over(w))
         .select("token", "cnt", "share", "rank")
     )
+
+
+def length_percentiles(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    percentiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact nearest-rank percentiles of whitespace token counts per
+    group — the corpus length profile every curation run reads before
+    setting min/max-length filters (Gopher-style) or packing windows.
+
+    Nearest-rank (value at index ceil(p·n) of the sorted multiset) rather
+    than interpolated quantiles, deliberately: interpolation definitions
+    differ across engines (Spark percentile vs DuckDB quantile_cont), the
+    nearest-rank statistic is a real observed value and is byte-portable.
+    Tie order inside row_number is irrelevant — the VALUE at a rank of a
+    sorted multiset is well-defined regardless of how equal values are
+    ordered.
+
+    Scale shape: one projection, ONE sort window per group (spill-backed
+    external sort, memory-bounded), one groupBy over rank-selected rows.
+    For sketch-grade cheapness at extreme group sizes, pair with
+    ``sketches.kmv_distinct``-style sampling upstream; this operator is
+    the exact baseline.
+    """
+    n_tok = F.size(_tokens(F.col(text_col)))
+    d = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), n_tok.alias("n_tokens")
+    )
+    wo = Window.partitionBy("grp").orderBy("n_tokens")
+    wa = Window.partitionBy("grp")
+    r = d.withColumn("_rn", F.row_number().over(wo)).withColumn(
+        "_cnt", F.count("*").over(wa)
+    )
+    aggs = [F.max("_cnt").alias("n_docs")]
+    for p in percentiles:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.ceil(F.lit(p) * F.col("_cnt")),
+                    F.col("n_tokens"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{int(round(p * 100))}")
+        )
+    return r.groupBy("grp").agg(*aggs)

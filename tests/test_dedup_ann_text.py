@@ -647,3 +647,20 @@ def test_kmv_distinct_exact_and_estimate(spark):
     }
     est = got64["b"].est_distinct
     assert abs(est - 500) / 500 < 3 / (62 ** 0.5)
+
+
+def test_length_percentiles_nearest_rank(spark):
+    """10 docs with token counts 1..10 in one group: nearest-rank p50 =
+    value at ceil(0.5*10)=5, p90 at rank 9, p99 at rank ceil(9.9)=10."""
+    from tera_spark.operators.textops import length_percentiles
+
+    rows = [("a", " ".join(["w"] * n)) for n in range(1, 11)] + [
+        ("b", "x y z"),
+        ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.grp: r for r in length_percentiles(df).collect()}
+    a = got["a"]
+    assert (a.n_docs, a.p50, a.p90, a.p99) == (10, 5, 9, 10)
+    b = got["b"]  # single doc: every percentile is its own value
+    assert (b.n_docs, b.p50, b.p90, b.p99) == (1, 3, 3, 3)
