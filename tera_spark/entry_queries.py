@@ -1087,6 +1087,44 @@ FROM r GROUP BY grp
 """
 
 
+def _sql_render_conversations() -> str:
+    """Conversation-render oracle: ordered string_agg replay."""
+    return f"""
+WITH {_kg_fixture_sql_cte()}
+SELECT conv_id,
+       string_agg(coalesce(role,'')||': '||coalesce(text,''),
+                  chr(10) ORDER BY turn_idx) AS rendered,
+       count(*) AS n_turns
+FROM transcripts GROUP BY conv_id
+"""
+
+
+def _sql_degree_histogram() -> str:
+    """Degree-histogram oracle over the %97 co-supplier graph; the bucket
+    is computed with the same integer bit-length logic as the operator
+    (len(bin(d)) - 1), immune to float-log2 boundary drift."""
+    return """
+WITH und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM (
+    SELECT 's' || cast(a.l_suppkey AS varchar) AS u,
+           's' || cast(b.l_suppkey AS varchar) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    WHERE a.l_orderkey % 97 = 0 AND b.l_orderkey % 97 = 0
+  )
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+)
+SELECT CAST(len(bin(degree)) - 1 AS INT) AS bucket,
+       count(*) AS n_nodes,
+       min(degree) AS min_degree, max(degree) AS max_degree
+FROM deg GROUP BY 1
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2737,6 +2775,22 @@ def _queries() -> dict:
 
     q["text_length_percentiles"] = len_pct
 
+    def kg_render(spark, sf):
+        # whole-conversation SFT rendering: one document per conversation
+        from tera_spark.pipeline.kg import render_conversations
+
+        return render_conversations(_kg_fixture(spark))
+
+    q["kg_render_conversations"] = kg_render
+
+    def deg_hist(spark, sf):
+        # log2-bucketed degree distribution — the hot-vertex skew probe
+        from tera_spark.operators.graph_metrics import degree_histogram
+
+        return degree_histogram(_cosupplier_edges(spark, sf))
+
+    q["graph_degree_histogram"] = deg_hist
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -3738,6 +3792,8 @@ FROM transcripts GROUP BY conv_id
     o["sketch_kmv_distinct"] = _sql_kmv_distinct()
     o["kg_negative_samples"] = _sql_kg_negative_samples()
     o["text_length_percentiles"] = _sql_length_percentiles()
+    o["kg_render_conversations"] = _sql_render_conversations()
+    o["graph_degree_histogram"] = _sql_degree_histogram()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

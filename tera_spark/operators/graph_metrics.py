@@ -461,3 +461,46 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("core_degree"))
     )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution of an undirected 2-column edge
+    table (same input contract as ``triangle_stats``: string ids,
+    direction/duplicates ignored, self-loops dropped) — the first plot
+    anyone makes of a KG's shape, and the skew probe that decides whether
+    salting / the celebrity caps in this module are needed: a heavy tail
+    at high buckets IS the hot-vertex warning.
+
+    Returns one row per occupied bucket: (bucket = floor(log2(degree)),
+    n_nodes, min_degree, max_degree). Bucket count is O(log max_degree),
+    so the result is driver-sized at any corpus scale.
+
+    Scale shape: canonical-pair dedup (one shuffle), one degree aggregate
+    (map-side combine), one O(log d)-row aggregate. No window, no join.
+    """
+    u0, v0 = edges.columns[:2]
+    und = (
+        edges.select(
+            F.least(F.col(u0), F.col(v0)).alias("a"),
+            F.greatest(F.col(u0), F.col(v0)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # floor(log2(d)) via binary-representation length — integer-exact, so
+    # no engine can disagree at the power-of-two boundaries (float log2
+    # of 8 may land at 2.999… under log(x)/log(2))
+    bucket = (
+        F.length(F.conv(F.col("degree").cast("string"), 10, 2)) - 1
+    ).cast("int")
+    return deg.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("degree").alias("min_degree"),
+        F.max("degree").alias("max_degree"),
+    )

@@ -532,6 +532,35 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def render_conversations(transcripts: DataFrame, sep: str = "\n") -> DataFrame:
+    """Render each conversation to one training document: every turn as a
+    "role: text" line in stable (conv_id, turn_idx) order — the
+    whole-conversation twin of ``context_windows`` and the export format
+    an SFT corpus actually ships. NULL role/text coalesce to '' before
+    concat (same separator discipline as context_windows).
+
+    Scale shape: ONE groupBy on the bucket key; per-group state is
+    bounded by conversation length (a bounded entity, unlike a corpus).
+    Ordering rides array_sort over (turn_idx, line) structs — turn_idx
+    is unique per conversation, so the sort is total and the render is a
+    pure function of the table.
+    """
+    line = F.concat(
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit(": "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    packed = F.array_sort(
+        F.collect_list(F.struct(F.col("turn_idx"), line.alias("_l")))
+    )
+    return transcripts.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(packed, lambda s: s["_l"]), sep
+        ).alias("rendered"),
+        F.count("*").alias("n_turns"),
+    )
+
+
 def _h60(c):
     """md5 → uniform 60-bit non-negative integer (15 hex digits), the
     shared deterministic-draw primitive (same construction as the KMV

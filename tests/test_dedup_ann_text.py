@@ -664,3 +664,19 @@ def test_length_percentiles_nearest_rank(spark):
     assert (a.n_docs, a.p50, a.p90, a.p99) == (10, 5, 9, 10)
     b = got["b"]  # single doc: every percentile is its own value
     assert (b.n_docs, b.p50, b.p90, b.p99) == (1, 3, 3, 3)
+
+
+def test_degree_histogram_buckets(spark):
+    """Star over 5 leaves: hub degree 5 → bucket 2 (4..7); leaves degree
+    1 → bucket 0; duplicate/reversed edges and self-loops ignored."""
+    from tera_spark.operators.graph_metrics import degree_histogram
+
+    edges = [("h", f"l{i}") for i in range(5)] + [
+        ("l0", "h"),   # reversed duplicate
+        ("h", "h"),    # self-loop
+    ]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {r.bucket: r for r in degree_histogram(df).collect()}
+    assert got[2].n_nodes == 1 and got[2].min_degree == 5 and got[2].max_degree == 5
+    assert got[0].n_nodes == 5 and got[0].max_degree == 1
+    assert set(got) == {0, 2}

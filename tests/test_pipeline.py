@@ -677,3 +677,24 @@ def test_negative_samples_filtered_and_deterministic(spark):
         assert neg in universe and k in (0, 1)
         assert (s, p, neg) not in true_edges
         assert (s, p, o) in true_edges
+
+
+def test_render_conversations_order_and_nulls(spark):
+    """Render is (turn_idx)-ordered regardless of input row order; NULL
+    text keeps its 'role: ' line."""
+    from tera_spark.pipeline.kg import render_conversations
+
+    rows = [  # deliberately out of order
+        ("c1", 2, "user", None, None, None),
+        ("c1", 0, "user", "hi", None, None),
+        ("c1", 1, "assistant", "yo", None, None),
+        ("c2", 0, "user", "solo", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r.conv_id: r for r in render_conversations(df).collect()}
+    assert got["c1"].rendered == "user: hi\nassistant: yo\nuser: "
+    assert got["c1"].n_turns == 3
+    assert got["c2"].rendered == "user: solo"
