@@ -1125,6 +1125,38 @@ FROM deg GROUP BY 1
 """
 
 
+def _sql_count_min() -> str:
+    """Count-min oracle: DuckDB rebuilds the depth×width counter table
+    from the same md5 hash family, re-derives the exact top-20, and
+    replays the min-over-rows point query."""
+    return r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+ds AS (SELECT unnest(range(4)) AS d),
+sk AS (
+  SELECT d,
+         ('0x'||substr(md5(CAST(d AS VARCHAR)||'|'||tok),1,15))::BIGINT % 256 AS bucket,
+         count(*) AS cnt
+  FROM toks CROSS JOIN ds GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, count(*) AS true_count FROM toks GROUP BY tok
+  ORDER BY true_count DESC, tok LIMIT 20
+),
+probe AS (
+  SELECT t.tok, t.true_count, ds.d,
+         ('0x'||substr(md5(CAST(ds.d AS VARCHAR)||'|'||t.tok),1,15))::BIGINT % 256 AS bucket
+  FROM top t CROSS JOIN ds
+)
+SELECT p.tok, p.true_count, min(coalesce(sk.cnt, 0)) AS est_count
+FROM probe p LEFT JOIN sk ON sk.d = p.d AND sk.bucket = p.bucket
+GROUP BY 1, 2
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2791,6 +2823,34 @@ def _queries() -> dict:
 
     q["graph_degree_histogram"] = deg_hist
 
+    def cms(spark, sf):
+        # count-min sketch over document tokens, point-queried for the
+        # exact top-20 tokens (est_count >= true_count by construction)
+        from tera_spark.operators.sketches import (
+            count_min_estimates,
+            count_min_sketch,
+        )
+
+        docs = _t(spark, sf, "documents")
+        toks = docs.where(F.col("text").isNotNull()).select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("tok")
+        )
+        sketch = count_min_sketch(toks, "tok")
+        top = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("true_count"))
+            .orderBy(F.desc("true_count"), "tok")
+            .limit(20)
+        )
+        return count_min_estimates(sketch, top, "tok")
+
+    q["sketch_count_min"] = cms
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -3794,6 +3854,7 @@ FROM transcripts GROUP BY conv_id
     o["text_length_percentiles"] = _sql_length_percentiles()
     o["kg_render_conversations"] = _sql_render_conversations()
     o["graph_degree_histogram"] = _sql_degree_histogram()
+    o["sketch_count_min"] = _sql_count_min()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -20,6 +20,92 @@ from pyspark.sql import functions as F
 _KMV_SPACE = float(1 << 60)
 
 
+def _h60(c):
+    """md5 → uniform 60-bit non-negative integer (15 hex digits)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def count_min_sketch(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Materialize a count-min sketch of a value column: a
+    ``depth × width`` counter table where row d counts values by
+    H_d(v) = md5(d|v) mod width. The frequency estimate for any v is
+    min_d counter[d][H_d(v)] — always an OVERestimate (collisions only
+    add), within eps·N of truth with probability 1-delta for
+    width = e/eps, depth = ln(1/delta). The mergeable heavy-hitter
+    primitive: sketches of two corpus partitions merge by cell-wise
+    addition, so the full-corpus sketch is a fixed-size (depth·width-row)
+    table no matter how many trillion tokens feed it.
+
+    Deterministic md5-derived hash rows (no RNG) — replayable by an
+    independent engine, unlike implementation-private sketch layouts.
+
+    Scale shape: one explode (×depth — a constant), one groupBy with
+    map-side combine onto depth·width keys. The output is driver-sized.
+
+    NULL values carry no frequency signal and are excluded.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    buckets = F.array(
+        *[
+            F.pmod(
+                _h60(
+                    F.concat_ws(
+                        "|", F.lit(d), F.col(value_col).cast("string")
+                    )
+                ),
+                F.lit(width),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.posexplode(buckets).alias("sketch_row", "bucket"))
+        .groupBy("sketch_row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimates(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query a count-min sketch for each row of ``items``: adds an
+    ``est_count`` column = min over the sketch's depth rows. depth/width
+    MUST match the sketch's build parameters (the hash family is derived
+    from them). The sketch is depth·width rows — broadcast onto the
+    queries, so estimation is join-shuffle-free on the item side.
+    """
+    buckets = F.array(
+        *[
+            F.pmod(
+                _h60(
+                    F.concat_ws(
+                        "|", F.lit(d), F.col(value_col).cast("string")
+                    )
+                ),
+                F.lit(width),
+            )
+            for d in range(depth)
+        ]
+    )
+    probes = items.select(
+        "*", F.posexplode(buckets).alias("sketch_row", "bucket")
+    )
+    keep = [c for c in items.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["sketch_row", "bucket"], "left")
+        .groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: list,

@@ -680,3 +680,48 @@ def test_degree_histogram_buckets(spark):
     assert got[2].n_nodes == 1 and got[2].min_degree == 5 and got[2].max_degree == 5
     assert got[0].n_nodes == 5 and got[0].max_degree == 1
     assert set(got) == {0, 2}
+
+
+def test_count_min_overestimates_and_merges(spark):
+    """est >= true for every value; an exact-width sketch of few values
+    is exact; and cell-wise addition of two partition sketches equals the
+    sketch of the union (mergeability)."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.sketches import (
+        count_min_estimates,
+        count_min_sketch,
+    )
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "v string")
+    sk = count_min_sketch(df, "v", depth=3, width=64)
+    items = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1), ("zzz", 0)], "v string, true_count int"
+    )
+    got = {
+        r.v: r.est_count
+        for r in count_min_estimates(sk, items, "v", depth=3, width=64).collect()
+    }
+    for v, t in [("a", 5), ("b", 3), ("c", 1), ("zzz", 0)]:
+        assert got[v] >= t
+    # 3 distinct values in 3x64 cells: no collision possible to force,
+    # but the guarantee we PIN is exactness here
+    assert (got["a"], got["b"], got["c"]) == (5, 3, 1)
+    # mergeability: sketch(part1) + sketch(part2) == sketch(part1 ∪ part2)
+    p1 = spark.createDataFrame([("a",)] * 3 + [("b",)], "v string")
+    p2 = spark.createDataFrame(
+        [("a",)] * 2 + [("b",)] * 2 + [("c",)] + [(None,)], "v string"
+    )
+    df = p1.unionAll(p2)
+    s1 = count_min_sketch(p1, "v", depth=3, width=64)
+    s2 = count_min_sketch(p2, "v", depth=3, width=64)
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("sketch_row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = count_min_sketch(df, "v", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
