@@ -1157,6 +1157,61 @@ GROUP BY 1, 2
 """
 
 
+def _sql_kg_negative_samples_typed() -> str:
+    """Typed-negative oracle: the untyped replay with the class threaded
+    through the index, bounds, modulus, and draw-location stages."""
+    return f"""
+WITH {_sql_kg_common_ctes()},
+e AS (
+  SELECT DISTINCT {_SQL_KG_TURN} AS subject,
+         'urn:tera-kg:mentions' AS predicate, entity AS object FROM ex
+  UNION
+  SELECT DISTINCT {_SQL_KG_TURN}, 'urn:tera-kg:mentions', 'code:'||m FROM codes
+),
+ecls AS (
+  SELECT DISTINCT entity AS ent, kind AS cls FROM ex
+  UNION SELECT DISTINCT 'code:'||m, 'endpoint' FROM codes
+),
+eb AS (
+  SELECT ent, cls, ('0x'||substr(md5(ent),1,15))::BIGINT % 32 AS b FROM ecls
+),
+eidx AS (
+  SELECT ent, cls, b,
+         row_number() OVER (PARTITION BY cls, b ORDER BY ent) - 1 AS po
+  FROM eb
+),
+sizes AS (SELECT cls, b, count(*) AS sz FROM eidx GROUP BY 1, 2),
+bounds AS (
+  SELECT cls, b, sz,
+         coalesce(sum(sz) OVER (PARTITION BY cls ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM sizes
+),
+ncls AS (SELECT cls, sum(sz) AS n FROM sizes GROUP BY 1),
+typed AS (SELECT e.*, c.cls FROM e JOIN ecls c ON e.object = c.ent),
+draws AS (
+  SELECT subject, predicate, object, cls, CAST(k AS INT) AS k,
+         ('0x'||substr(md5(subject||'|'||predicate||'|'||object||'|'||
+                           CAST(k AS VARCHAR)),1,15))::BIGINT % n AS g
+  FROM typed CROSS JOIN (SELECT unnest([0, 1]) AS k) JOIN ncls USING (cls)
+),
+loc AS (
+  SELECT d.subject, d.predicate, d.object, d.k, d.cls, bounds.b,
+         g - strt AS po
+  FROM draws d JOIN bounds
+    ON d.cls = bounds.cls AND g >= strt AND g < strt + sz
+),
+neg AS (
+  SELECT subject, predicate, object, k, eidx.ent AS neg_object
+  FROM loc JOIN eidx
+    ON eidx.cls = loc.cls AND eidx.b = loc.b AND eidx.po = loc.po
+)
+SELECT n.* FROM neg n
+ANTI JOIN e t ON n.subject = t.subject AND n.predicate = t.predicate
+             AND n.neg_object = t.object
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2851,6 +2906,32 @@ def _queries() -> dict:
 
     q["sketch_count_min"] = cms
 
+    def kg_negs_typed(spark, sf):
+        # type-constrained hard negatives: corruptions stay within the
+        # true object's class (chemical→chemical, endpoint→endpoint)
+        from tera_spark.pipeline.kg import (
+            mention_triples,
+            negative_samples_typed,
+        )
+
+        linked = _kg_exact_linked(spark)
+        edges = (
+            dedup_triples(mention_triples(linked))
+            .where(
+                (~F.col("obj_is_literal"))
+                & (F.col("predicate") == "urn:tera-kg:mentions")
+            )
+            .select("subject", "predicate", "object")
+        )
+        classes = (
+            linked.where(F.col("entity").isNotNull())
+            .select(F.col("entity"), F.col("entity_kind").alias("cls"))
+            .distinct()
+        )
+        return negative_samples_typed(edges, classes, per_edge=2)
+
+    q["kg_negative_samples_typed"] = kg_negs_typed
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -3855,6 +3936,7 @@ FROM transcripts GROUP BY conv_id
     o["kg_render_conversations"] = _sql_render_conversations()
     o["graph_degree_histogram"] = _sql_degree_histogram()
     o["sketch_count_min"] = _sql_count_min()
+    o["kg_negative_samples_typed"] = _sql_kg_negative_samples_typed()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

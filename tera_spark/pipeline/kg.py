@@ -642,3 +642,100 @@ def negative_samples(
     return neg.join(
         true_pairs, ["subject", "predicate", "neg_object"], "left_anti"
     ).select("subject", "predicate", "object", "k", "neg_object")
+
+
+def negative_samples_typed(
+    edges: DataFrame,
+    entity_classes: DataFrame,
+    per_edge: int = 1,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Type-constrained ('hard') negative sampling: like
+    ``negative_samples``, but each corruption is drawn uniformly from the
+    entities of the TRUE object's class (``entity_classes``: one
+    (entity, cls) row per entity) — a corrupted chemical stays a
+    chemical. Type-consistent negatives are the ones a KG-embedding
+    model cannot dismiss from type signals alone, which is what makes
+    them the harder, higher-signal training examples.
+
+    Same machinery as the untyped operator with the class threaded
+    through every stage: the dense index is per (cls, bucket) — windows
+    stay parallel — the prefix-sum/bounds tables are per class (still
+    n_buckets·|classes| rows, broadcastable), the draw is
+    g = H(edge, k) mod N_class, and accidental positives are
+    anti-joined away. Edges whose object has no class row are dropped
+    (no universe to draw from — surfacing them as nulls would poison
+    the training file).
+    """
+    if per_edge < 1:
+        raise ValueError("per_edge must be >= 1")
+    ents = entity_classes.select(
+        F.col("entity").alias("_ent"), F.col("cls").alias("_cls")
+    ).distinct()
+    ents = ents.withColumn("_b", F.pmod(_h60(F.col("_ent")), F.lit(n_buckets)))
+    wb = Window.partitionBy("_cls", "_b").orderBy("_ent")
+    idx = ents.withColumn("_off", F.row_number().over(wb) - 1)
+    sizes = idx.groupBy("_cls", "_b").agg(F.count("*").alias("_sz"))
+    wcum = (
+        Window.partitionBy("_cls")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = sizes.select(
+        "_cls",
+        "_b",
+        "_sz",
+        F.coalesce(F.sum("_sz").over(wcum), F.lit(0)).alias("_start"),
+    )
+    n_cls = sizes.groupBy("_cls").agg(F.sum("_sz").alias("_n"))
+    typed = edges.join(
+        F.broadcast(
+            entity_classes.select(
+                F.col("entity").alias("object"), F.col("cls").alias("_cls")
+            ).distinct()
+        ),
+        "object",
+    )
+    draws = (
+        typed.select("subject", "predicate", "object", "_cls")
+        .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(per_edge - 1))))
+        .join(F.broadcast(n_cls), "_cls")
+        .withColumn(
+            "_g",
+            F.pmod(
+                _h60(
+                    F.concat_ws(
+                        "|",
+                        F.col("subject"),
+                        F.col("predicate"),
+                        F.col("object"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                F.col("_n"),
+            ),
+        )
+    )
+    located = draws.join(
+        F.broadcast(bounds),
+        (draws["_cls"] == bounds["_cls"])
+        & (F.col("_g") >= F.col("_start"))
+        & (F.col("_g") < F.col("_start") + F.col("_sz")),
+    ).select(
+        "subject",
+        "predicate",
+        "object",
+        "k",
+        draws["_cls"].alias("_cls"),
+        "_b",
+        (F.col("_g") - F.col("_start")).alias("_off"),
+    )
+    neg = located.join(idx, ["_cls", "_b", "_off"]).select(
+        "subject", "predicate", "object", "k", F.col("_ent").alias("neg_object")
+    )
+    true_pairs = edges.select(
+        "subject", "predicate", F.col("object").alias("neg_object")
+    ).distinct()
+    return neg.join(
+        true_pairs, ["subject", "predicate", "neg_object"], "left_anti"
+    ).select("subject", "predicate", "object", "k", "neg_object")

@@ -698,3 +698,30 @@ def test_render_conversations_order_and_nulls(spark):
     assert got["c1"].rendered == "user: hi\nassistant: yo\nuser: "
     assert got["c1"].n_turns == 3
     assert got["c2"].rendered == "user: solo"
+
+
+def test_negative_samples_typed_stays_in_class(spark):
+    """Every corruption carries the true object's class; accidental
+    positives drop; determinism holds; unclassed objects are excluded."""
+    from tera_spark.pipeline.kg import negative_samples_typed
+
+    edges = [
+        ("s1", "p", "c1"),
+        ("s1", "p", "c2"),
+        ("s2", "p", "x1"),
+        ("s3", "p", "unclassed"),
+    ]
+    df = spark.createDataFrame(edges, "subject string, predicate string, object string")
+    classes = spark.createDataFrame(
+        [("c1", "chem"), ("c2", "chem"), ("c3", "chem"), ("x1", "spec"), ("x2", "spec")],
+        "entity string, cls string",
+    )
+    out1 = sorted(map(tuple, negative_samples_typed(df, classes, per_edge=3).collect()))
+    out2 = sorted(map(tuple, negative_samples_typed(df, classes, per_edge=3).collect()))
+    assert out1 == out2 and len(out1) > 0
+    cls_of = {"c1": "chem", "c2": "chem", "c3": "chem", "x1": "spec", "x2": "spec"}
+    true_edges = set(edges)
+    for s, p, o, k, neg in out1:
+        assert o != "unclassed"          # no universe → excluded
+        assert cls_of[neg] == cls_of[o]  # hard-negative constraint
+        assert (s, p, neg) not in true_edges
