@@ -564,6 +564,56 @@ r{k} AS (SELECT n.node,
     return "".join(parts)
 
 
+def _sql_personalized_pagerank(
+    iterations: int = 5,
+    damping: float = 0.85,
+    seeds: tuple = ("n:0", "n:1", "n:2"),
+) -> str:
+    """Personalized-PageRank oracle: the ``_sql_pagerank`` chain with the
+    teleport (and dangling-mass) vector restricted to the seed set. The
+    Spark operator's rank!=0 contributor filter is a pure optimization
+    (zero-rank nodes contribute zero), so the unfiltered replay is
+    value-identical."""
+    d = repr(damping)
+    sl = ", ".join(f"'{s}'" for s in seeds)
+    parts = [
+        f"""
+WITH edges AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT 's:'||cast(s_suppkey AS varchar) AS u, 'n:'||cast(s_nationkey AS varchar) AS v FROM supplier
+    UNION ALL
+    SELECT 'n:'||cast(n_nationkey AS varchar), 'r:'||cast(n_regionkey AS varchar) FROM nation
+  ) WHERE u <> v
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+deg AS (SELECT u, cast(count(*) AS DOUBLE) AS d FROM edges GROUP BY u),
+sn AS (SELECT cast(count(*) AS DOUBLE) AS ns FROM nodes WHERE node IN ({sl})),
+r0 AS (SELECT node,
+       CASE WHEN node IN ({sl}) THEN 1.0/(SELECT ns FROM sn) ELSE 0.0 END AS rank
+       FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+d{k} AS (SELECT coalesce(sum(r.rank), 0) AS mass
+         FROM r{p} r LEFT JOIN deg ON r.node = deg.u WHERE deg.u IS NULL),
+c{k} AS (SELECT e.v AS node, sum(r.rank / deg.d) AS contrib
+         FROM edges e JOIN r{p} r ON e.u = r.node JOIN deg ON deg.u = e.u
+         GROUP BY e.v),
+r{k} AS (SELECT n.node,
+         (1 - {d}) * (CASE WHEN n.node IN ({sl}) THEN 1.0/(SELECT ns FROM sn) ELSE 0.0 END)
+           + {d} * (coalesce(c.contrib, 0)
+               + (SELECT mass FROM d{k})
+                 * (CASE WHEN n.node IN ({sl}) THEN 1.0/(SELECT ns FROM sn) ELSE 0.0 END)) AS rank
+         FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)"""
+        )
+    parts.append(
+        f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}\n"
+    )
+    return "".join(parts)
+
+
 def _sql_kcore(k: int, rounds: int) -> str:
     """k-core oracle: replays the peeling as a fixed chain of ``rounds``
     degree-filter CTEs over the co-supplier graph. Peeling is monotone —
@@ -2932,6 +2982,29 @@ def _queries() -> dict:
 
     q["kg_negative_samples_typed"] = kg_negs_typed
 
+    def ppr(spark, sf):
+        # personalized PageRank: teleport restricted to three seed
+        # nations — related-entity relevance relative to a query set
+        from tera_spark.operators.graph_metrics import personalized_pagerank
+
+        supplier = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        edges = supplier.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("u"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("v"),
+        ).unionByName(
+            nation.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("u"),
+                F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("v"),
+            )
+        )
+        ranks = personalized_pagerank(
+            edges, seeds=["n:0", "n:1", "n:2"], iterations=5, damping=0.85
+        )
+        return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+    q["graph_personalized_pagerank"] = ppr
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -3937,6 +4010,7 @@ FROM transcripts GROUP BY conv_id
     o["graph_degree_histogram"] = _sql_degree_histogram()
     o["sketch_count_min"] = _sql_count_min()
     o["kg_negative_samples_typed"] = _sql_kg_negative_samples_typed()
+    o["graph_personalized_pagerank"] = _sql_personalized_pagerank()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

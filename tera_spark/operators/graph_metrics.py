@@ -504,3 +504,95 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
         F.min("degree").alias("min_degree"),
         F.max("degree").alias("max_degree"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling-mass) restricted to
+    the ``seeds`` node set — relevance of every graph entity RELATIVE TO
+    a query set, the related-entity ranking primitive (recommendations,
+    KG neighborhood expansion, entity-resolution tie-breaks). Same
+    fixed-iteration discipline as ``pagerank``: deterministic, no RNG,
+    no convergence threshold; ranks sum to 1.0 over the seed-reachable
+    component.
+
+    Scale shape mirrors ``pagerank`` exactly (its plan audit carries
+    over): the edge table is pre-partitioned + checkpointed ONCE, each
+    iteration reshuffles only the node-sized rank table, dangling mass
+    rides the checkpoint action as an observe() metric — one job per
+    iteration. Seeds are a driver-side list (a query, not data).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .repartition("u")
+        .localCheckpoint()
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    obs0 = Observation()
+    is_seed = F.col("node").isin(list(seeds))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .join(deg.select(F.col("u").alias("node"), "d"), "node", "left")
+        .select(
+            "node",
+            F.col("d").isNull().alias("dangling"),
+            "d",
+            is_seed.alias("seed"),
+        )
+        .observe(
+            obs0,
+            F.count(F.when(F.col("seed"), True)).alias("ns"),
+            F.count(F.when(F.col("seed") & F.col("dangling"), True)).alias(
+                "nds"
+            ),
+        )
+        .localCheckpoint()
+    )
+    vals = obs0.get
+    ns = int(vals["ns"])
+    if ns == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    seed_share = F.when(F.col("seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", "dangling", "d", "seed", seed_share.alias("rank"))
+    dangling_mass = int(vals["nds"]) / ns
+    for _ in range(iterations):
+        contribs = (
+            e.join(
+                ranks.filter(~F.col("dangling") & (F.col("rank") != 0)).select(
+                    F.col("node").alias("u"),
+                    (F.col("rank") / F.col("d")).alias("share"),
+                ),
+                "u",
+            )
+            .groupBy("v")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        new_rank = F.lit(1.0 - damping) * seed_share + F.lit(damping) * (
+            F.coalesce(F.col("contrib"), F.lit(0.0))
+            + F.lit(dangling_mass) * seed_share
+        )
+        obs = Observation()
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["v"], "left")
+            .select("node", "dangling", "d", "seed", new_rank.alias("rank"))
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)
+                ).alias("dm"),
+            )
+            .localCheckpoint()
+        )
+        dangling_mass = float(obs.get["dm"] or 0.0)
+    return ranks.select("node", "rank")

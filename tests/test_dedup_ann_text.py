@@ -725,3 +725,22 @@ def test_count_min_overestimates_and_merges(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """Teleport only reaches seeds: a node with no path from the seed set
+    holds rank 0; total mass stays 1; seed rank stays positive."""
+    from tera_spark.operators.graph_metrics import personalized_pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("d", "c")]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(df, seeds=["a"], iterations=4).collect()
+    }
+    assert got["d"] == 0.0          # unreachable from the seed
+    assert got["a"] > 0 and got["b"] > 0 and got["c"] > 0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # empty seed set → all-zero ranks, never an error
+    zero = personalized_pagerank(df, seeds=["zz"], iterations=2)
+    assert all(r.rank == 0.0 for r in zero.collect())
