@@ -1262,6 +1262,34 @@ ANTI JOIN e t ON n.subject = t.subject AND n.predicate = t.predicate
 """
 
 
+def _sql_turn_gaps() -> str:
+    """Turn-gap oracle: epoch_us lag + nearest-rank median replay over
+    the ts-carrying fixture."""
+    return f"""
+WITH {_kg_fixture_sql_cte(with_ts=True)},
+g AS (
+  SELECT conv_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+  FROM transcripts
+),
+r AS (
+  SELECT conv_id, gap_us,
+         row_number() OVER (PARTITION BY conv_id ORDER BY gap_us) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS cnt
+  FROM g WHERE gap_us IS NOT NULL
+),
+stats AS (
+  SELECT conv_id, max(cnt) AS n_gaps,
+         max(CASE WHEN rn = ceil(cnt / 2.0) THEN gap_us END) AS median_gap_us,
+         max(gap_us) AS max_gap_us
+  FROM r GROUP BY conv_id
+)
+SELECT c.conv_id, coalesce(n_gaps, 0) AS n_gaps, median_gap_us, max_gap_us
+FROM (SELECT DISTINCT conv_id FROM transcripts) c LEFT JOIN stats USING (conv_id)
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -3005,6 +3033,18 @@ def _queries() -> dict:
 
     q["graph_personalized_pagerank"] = ppr
 
+    def kg_gaps(spark, sf):
+        # inter-turn latency profile per conversation (exact-microsecond
+        # nearest-rank median + max) — the pacing/cadence signal
+        from tera_spark.fixtures.transcripts import transcripts_spark_df
+        from tera_spark.pipeline.kg import turn_gaps
+
+        return turn_gaps(
+            transcripts_spark_df(spark, n_convs=20, hot_convs=1, hot_factor=5)
+        )
+
+    q["kg_turn_gaps"] = kg_gaps
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -4011,6 +4051,7 @@ FROM transcripts GROUP BY conv_id
     o["sketch_count_min"] = _sql_count_min()
     o["kg_negative_samples_typed"] = _sql_kg_negative_samples_typed()
     o["graph_personalized_pagerank"] = _sql_personalized_pagerank()
+    o["kg_turn_gaps"] = _sql_turn_gaps()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -561,6 +561,62 @@ def render_conversations(transcripts: DataFrame, sep: str = "\n") -> DataFrame:
     )
 
 
+def turn_gaps(transcripts: DataFrame) -> DataFrame:
+    """Inter-turn latency profile per conversation: gap count, median
+    (nearest-rank) and max gap in MICROSECONDS between consecutive turns
+    under stable (conv_id, turn_idx) ordering — the pacing signal that
+    separates live interactive sessions from batch replays/synthetic
+    dumps before they enter the training mix, and the input to
+    gap-based sessionization threshold tuning (operators/events.py).
+
+    Microseconds as exact integers (unix_micros), never float seconds:
+    byte-portable across engines and immune to double rounding. The
+    median is nearest-rank (value at ceil(n/2) of the sorted gaps) —
+    same portable-quantile convention as ``textops.length_percentiles``.
+
+    Scale shape: one lag window and one rank window, both on the
+    (conv_id)-bucketed ordering → a single sort per conversation; one
+    groupBy on the bucket key. Single-turn conversations report
+    n_gaps = 0 with NULL median/max (no pacing signal, surfaced as
+    absent rather than fabricated).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = transcripts.select(
+        "conv_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        ).alias("gap_us"),
+    )
+    wg = Window.partitionBy("conv_id").orderBy("gap_us")
+    wa = Window.partitionBy("conv_id")
+    ranked = gaps.where(F.col("gap_us").isNotNull()).select(
+        "conv_id",
+        "gap_us",
+        F.row_number().over(wg).alias("_rn"),
+        F.count("*").over(wa).alias("_cnt"),
+    )
+    stats = (
+        ranked.groupBy("conv_id")
+        .agg(
+            F.max("_cnt").alias("n_gaps"),
+            F.max(
+                F.when(
+                    F.col("_rn") == F.ceil(F.col("_cnt") / 2), F.col("gap_us")
+                )
+            ).alias("median_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+    all_convs = transcripts.select("conv_id").distinct()
+    return all_convs.join(stats, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce(F.col("n_gaps"), F.lit(0)).alias("n_gaps"),
+        "median_gap_us",
+        "max_gap_us",
+    )
+
+
 def _h60(c):
     """md5 → uniform 60-bit non-negative integer (15 hex digits), the
     shared deterministic-draw primitive (same construction as the KMV

@@ -725,3 +725,31 @@ def test_negative_samples_typed_stays_in_class(spark):
         assert o != "unclassed"          # no universe → excluded
         assert cls_of[neg] == cls_of[o]  # hard-negative constraint
         assert (s, p, neg) not in true_edges
+
+
+def test_turn_gaps_median_and_singleton(spark):
+    """Gaps 60s/120s/600s → median = value at ceil(3/2)=2nd smallest
+    (120s), max 600s, exact microseconds; single-turn conv reports
+    n_gaps=0 with NULL stats."""
+    from datetime import datetime
+
+    from tera_spark.pipeline.kg import turn_gaps
+
+    rows = [
+        ("c1", 0, "user", "a", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("c1", 1, "assistant", "b", None, datetime(2024, 1, 1, 0, 1, 0)),
+        ("c1", 2, "user", "c", None, datetime(2024, 1, 1, 0, 3, 0)),
+        ("c1", 3, "assistant", "d", None, datetime(2024, 1, 1, 0, 13, 0)),
+        ("c2", 0, "user", "solo", None, datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r.conv_id: r for r in turn_gaps(df).collect()}
+    c1 = got["c1"]
+    assert c1.n_gaps == 3
+    assert c1.median_gap_us == 120 * 1_000_000
+    assert c1.max_gap_us == 600 * 1_000_000
+    c2 = got["c2"]
+    assert c2.n_gaps == 0 and c2.median_gap_us is None and c2.max_gap_us is None
