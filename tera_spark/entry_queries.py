@@ -1290,6 +1290,23 @@ FROM (SELECT DISTINCT conv_id FROM transcripts) c LEFT JOIN stats USING (conv_id
 """
 
 
+def _sql_table_profile() -> str:
+    """Table-profile oracle: one UNION ALL arm per documents column."""
+    arm = """
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS n_nulls,
+       CASE WHEN count(*) > 0
+            THEN round((count(*) - count({c})) / CAST(count(*) AS DOUBLE), 6)
+            ELSE 0.0 END AS null_rate,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value
+FROM documents"""
+    return "\nUNION ALL\n".join(
+        arm.format(c=c) for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -3045,6 +3062,15 @@ def _queries() -> dict:
 
     q["kg_turn_gaps"] = kg_gaps
 
+    def prof(spark, sf):
+        # per-column table profile of the documents table — the ingest
+        # health check (nulls, cardinality, ranges) in one scan
+        from tera_spark.operators.profile import profile_columns
+
+        return profile_columns(_t(spark, sf, "documents"))
+
+    q["quality_table_profile"] = prof
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -4052,6 +4078,7 @@ FROM transcripts GROUP BY conv_id
     o["kg_negative_samples_typed"] = _sql_kg_negative_samples_typed()
     o["graph_personalized_pagerank"] = _sql_personalized_pagerank()
     o["kg_turn_gaps"] = _sql_turn_gaps()
+    o["quality_table_profile"] = _sql_table_profile()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -1,0 +1,62 @@
+"""Table profiling: per-column health statistics.
+
+The first thing a data platform runs on every new ingest batch — null
+rates, cardinalities, value ranges — and the input to schema-drift
+alerts (compare the profile of batch N to batch N-1). The reference has
+no profiling surface; this extends the engine for data-ops at the
+100 TB design point (SURVEY.md §2 "beyond the reference" block).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, columns: list | None = None) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, null_rate,
+    n_distinct, min_value, max_value) — min/max cast to string so every
+    column type shares one output schema. Ratios round to 6dp.
+
+    Scale shape: ONE full-table aggregate computes every per-column
+    count/min/max simultaneously (single scan, map-side partial
+    aggregation), then the 1×(7·|cols|) result row is unpivoted
+    driver-side into |cols| rows — the unpivot touches no data.
+    n_distinct is EXACT (count_distinct): Catalyst plans the multi-
+    distinct aggregate via expand (one scan, |cols|× row multiplication
+    before the partial agg). On a corpus where exact per-column
+    cardinality is too hot, use ``sketches.kmv_distinct`` per column
+    instead — this operator is the exact baseline, same contract as
+    ``textops.length_percentiles`` vs a quantile sketch.
+    """
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"_nn_{c}"),
+            F.count_distinct(col).alias(f"_nd_{c}"),
+            F.min(col).cast("string").alias(f"_mn_{c}"),
+            F.max(col).cast("string").alias(f"_mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(
+            wide.select(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.when(F.col("_n") > 0, F.round((F.col("_n") - F.col(f"_nn_{c}")) / F.col("_n"), 6))
+                .otherwise(F.lit(0.0))
+                .alias("null_rate"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_value"),
+                F.col(f"_mx_{c}").alias("max_value"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

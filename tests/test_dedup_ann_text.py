@@ -744,3 +744,23 @@ def test_personalized_pagerank_seed_locality(spark):
     # empty seed set → all-zero ranks, never an error
     zero = personalized_pagerank(df, seeds=["zz"], iterations=2)
     assert all(r.rank == 0.0 for r in zero.collect())
+
+
+def test_profile_columns_hand_traced(spark):
+    from tera_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "id long, v string"
+    )
+    got = {r.column: r for r in profile_columns(df).collect()}
+    i = got["id"]
+    assert (i.n_rows, i.n_nulls, i.null_rate, i.n_distinct) == (4, 1, 0.25, 3)
+    assert (i.min_value, i.max_value) == ("1", "3")
+    v = got["v"]
+    assert (v.n_nulls, v.n_distinct, v.min_value, v.max_value) == (1, 2, "a", "b")
+    # column subset + empty-selection guard
+    assert profile_columns(df, ["v"]).count() == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        profile_columns(df, [])
