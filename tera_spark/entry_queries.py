@@ -1307,6 +1307,20 @@ FROM documents"""
     )
 
 
+def _sql_markdown_stats() -> str:
+    """Markdown-structure oracle: verbatim RE2∩Java pattern replay."""
+    return r"""
+SELECT doc_id,
+  CAST(floor(len(regexp_extract_all(text, '(```)', 1)) / 2) AS BIGINT) AS n_code_blocks,
+  CAST(len(list_filter(string_split(text, chr(10)),
+       x -> regexp_matches(x, '^#{1,6} '))) AS BIGINT) AS n_headers,
+  CAST(len(regexp_extract_all(text, '(\[[^\]]*\]\([^)]*\))', 1)) AS BIGINT) AS n_links,
+  CAST(len(list_filter(string_split(text, chr(10)),
+       x -> regexp_matches(x, '^([-*+]|[0-9]+\.) '))) AS BIGINT) AS n_list_items
+FROM documents WHERE text IS NOT NULL
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -3071,6 +3085,17 @@ def _queries() -> dict:
 
     q["quality_table_profile"] = prof
 
+    def md_stats(spark, sf):
+        # markdown/code structure mix signals per document
+        from tera_spark.operators.textops import with_markdown_stats
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        return with_markdown_stats(docs).select(
+            "doc_id", "n_code_blocks", "n_headers", "n_links", "n_list_items"
+        )
+
+    q["text_markdown_stats"] = md_stats
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -4079,6 +4104,7 @@ FROM transcripts GROUP BY conv_id
     o["graph_personalized_pagerank"] = _sql_personalized_pagerank()
     o["kg_turn_gaps"] = _sql_turn_gaps()
     o["quality_table_profile"] = _sql_table_profile()
+    o["text_markdown_stats"] = _sql_markdown_stats()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

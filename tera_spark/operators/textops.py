@@ -406,3 +406,46 @@ def length_percentiles(
             .alias(f"p{int(round(p * 100))}")
         )
     return r.groupBy("grp").agg(*aggs)
+
+
+def with_markdown_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Markdown/code structure signals per document: fenced code blocks,
+    headers, links, list items — the mix features that let a curation
+    pass weight code-heavy and documentation-heavy content differently
+    (and catch markdown boilerplate masquerading as prose). All patterns
+    sit in the Java-regex ∩ RE2 subset (no lookarounds) so the DuckDB
+    oracle replays them verbatim; pure JVM expressions, scan-speed.
+
+    Columns added: ``n_code_blocks`` (fence PAIRS — an unclosed trailing
+    fence doesn't count), ``n_headers`` (lines starting '#'{1,6}+space),
+    ``n_links`` ([text](url) spans), ``n_list_items`` (lines starting
+    -/*/+ or 'digits.' + space).
+    """
+    txt = F.col(text_col)
+    lines = F.split(txt, "\n")
+    n_fences = F.size(F.regexp_extract_all(txt, F.lit("(```)"), F.lit(1)))
+    return (
+        docs.withColumn(
+            "n_code_blocks", F.floor(n_fences / 2).cast("long")
+        )
+        .withColumn(
+            "n_headers",
+            F.size(
+                F.filter(lines, lambda x: x.rlike("^#{1,6} "))
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_links",
+            F.size(
+                F.regexp_extract_all(
+                    txt, F.lit(r"(\[[^\]]*\]\([^)]*\))"), F.lit(1)
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_list_items",
+            F.size(
+                F.filter(lines, lambda x: x.rlike("^([-*+]|[0-9]+\\.) "))
+            ).cast("long"),
+        )
+    )

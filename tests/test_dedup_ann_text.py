@@ -764,3 +764,26 @@ def test_profile_columns_hand_traced(spark):
 
     with _pt.raises(ValueError):
         profile_columns(df, [])
+
+
+def test_markdown_stats_hand_traced(spark):
+    from tera_spark.operators.textops import with_markdown_stats
+
+    md = (
+        "# Title\n"
+        "intro [link](http://x) text\n"
+        "```\ncode here\n```\n"
+        "- item one\n"
+        "2. item two\n"
+        "#notaheader\n"          # no space after #
+        "```"                     # unclosed trailing fence
+    )
+    df = spark.createDataFrame([(1, md), (2, "plain prose only")], "doc_id long, text string")
+    got = {r.doc_id: r for r in with_markdown_stats(df).collect()}
+    m = got[1]
+    assert m.n_code_blocks == 1   # 3 fences → 1 closed pair
+    assert m.n_headers == 1       # '#notaheader' doesn't count
+    assert m.n_links == 1
+    assert m.n_list_items == 2    # '-' and '2.' forms
+    p = got[2]
+    assert (p.n_code_blocks, p.n_headers, p.n_links, p.n_list_items) == (0, 0, 0, 0)
