@@ -231,13 +231,27 @@ def _union_batch_parts(
 # merge-on-read
 
 
-def read_live(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+def read_live(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    as_of_seq: int | None = None,
+) -> DataFrame:
     """The live contents of ``table``: base merged with every COMMITTED
     batch's delta files. Entirely map-side — add/del tables are a file
     union plus a broadcast join against the delta-sized tombstones; the
     keyed upsert tables (nodes, canonical_map, convs_applied) resolve
     their (small) upsert log with a window over the log only, never the
     base.
+
+    ``as_of_seq``: TIME TRAVEL — merge only the first ``as_of_seq``
+    committed batches (0 = the base snapshot before any apply), i.e. the
+    table exactly as it stood after batch ``as_of_seq`` committed. The
+    delta-log's append-only layout makes every historical snapshot a
+    free prefix read (Iceberg's snapshot-id read, expressed on the
+    parquet fallback); pair with ``pipeline.kg.snapshot_diff`` to audit
+    what any batch changed. Values beyond the committed count read the
+    full log (the latest snapshot).
 
     Tombstones are SEQUENCED, not global: a row survives iff no tombstone
     for its key has a seq strictly greater than the row's own batch seq
@@ -252,6 +266,14 @@ def read_live(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
     if "_bucket" in base.columns:
         base = base.drop("_bucket")
     batches = committed_batches(out_dir)
+    if as_of_seq is not None:
+        if as_of_seq < 0:
+            raise ValueError("as_of_seq must be >= 0")
+        # prefix slice keeps each batch's original seq (enumeration in
+        # _union_batch_parts restarts at 1 over the prefix — identical
+        # numbering, so sequenced tombstones resolve exactly as they did
+        # when that batch was the head)
+        batches = batches[:as_of_seq]
     if not batches:
         return base
 
