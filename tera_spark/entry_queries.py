@@ -1321,6 +1321,31 @@ FROM documents WHERE text IS NOT NULL
 """
 
 
+def _sql_bloom_membership() -> str:
+    """Bloom oracle: rebuild the set-bit table from the same md5 position
+    family and replay the all-k-positions-set probe."""
+    return """
+WITH ks AS (SELECT unnest(range(4)) AS i),
+bits AS (
+  SELECT DISTINCT
+    ('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 4096 AS bit
+  FROM documents CROSS JOIN ks WHERE doc_id IS NOT NULL
+),
+items AS (
+  SELECT doc_id AS probe_id FROM documents WHERE doc_id < 15
+  UNION ALL SELECT unnest(range(1000000, 1000005))
+),
+probes AS (
+  SELECT probe_id,
+    ('0x'||substr(md5(CAST(i AS VARCHAR)||'|'||CAST(probe_id AS VARCHAR)),1,15))::BIGINT % 4096 AS bit
+  FROM items CROSS JOIN ks
+)
+SELECT probe_id, count(b.bit) = 4 AS maybe_present
+FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+GROUP BY probe_id
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -3096,6 +3121,26 @@ def _queries() -> dict:
 
     q["text_markdown_stats"] = md_stats
 
+    def bloom(spark, sf):
+        # Bloom seen-set over document ids, probed with 15 present + 5
+        # absent ids (false negatives are impossible by construction)
+        from tera_spark.operators.sketches import bloom_build, bloom_probe
+
+        docs = _t(spark, sf, "documents")
+        bits = bloom_build(docs, "doc_id")
+        items = (
+            docs.select(F.col("doc_id").alias("probe_id"))
+            .where(F.col("probe_id") < 15)
+            .union(
+                spark.range(1000000, 1000005).select(
+                    F.col("id").alias("probe_id")
+                )
+            )
+        )
+        return bloom_probe(bits, items, "probe_id")
+
+    q["sketch_bloom_membership"] = bloom
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -4105,6 +4150,7 @@ FROM transcripts GROUP BY conv_id
     o["kg_turn_gaps"] = _sql_turn_gaps()
     o["quality_table_profile"] = _sql_table_profile()
     o["text_markdown_stats"] = _sql_markdown_stats()
+    o["sketch_bloom_membership"] = _sql_bloom_membership()
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

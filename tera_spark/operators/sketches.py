@@ -158,3 +158,76 @@ def kmv_distinct(
             (F.col("_cnt") <= k).alias("is_exact"),
         )
     )
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, n_bits: int = 4096, k: int = 4
+) -> DataFrame:
+    """Materialize a Bloom filter of a value column as its SET-BIT table
+    (one row per distinct set bit, <= n_bits rows regardless of input
+    size) — the seen-set primitive: stream/batch dedup against a
+    historical corpus without joining the corpus (probe the driver-sized
+    bit table instead). k md5-derived hash positions per value —
+    deterministic, mergeable by plain union (OR of bitsets), and exactly
+    replayable by an independent engine.
+
+    Guarantee: NO false negatives ever; false-positive rate
+    ~ (1 - e^(-k·n/m))^k for n inserted values and m = n_bits.
+
+    Scale shape: one explode (×k, a constant) + one distinct with
+    map-side combine onto <= n_bits keys. Output is driver-sized.
+    """
+    if n_bits < 1 or k < 1:
+        raise ValueError("n_bits and k must be >= 1")
+    positions = F.array(
+        *[
+            F.pmod(
+                _h60(
+                    F.concat_ws("|", F.lit(i), F.col(value_col).cast("string"))
+                ),
+                F.lit(n_bits),
+            )
+            for i in range(k)
+        ]
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(F.explode(positions).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    n_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Probe a Bloom bit table for each row of ``items``: adds
+    ``maybe_present`` = true iff ALL k positions are set (a false value
+    is DEFINITIVE absence — the no-false-negative side of the
+    guarantee). n_bits/k MUST match the build parameters. The bit table
+    broadcasts, so probing is shuffle-free on the item side apart from
+    the final regroup.
+    """
+    positions = F.array(
+        *[
+            F.pmod(
+                _h60(
+                    F.concat_ws("|", F.lit(i), F.col(value_col).cast("string"))
+                ),
+                F.lit(n_bits),
+            )
+            for i in range(k)
+        ]
+    )
+    keep = list(items.columns)
+    probes = items.select("*", F.explode(positions).alias("bit"))
+    return (
+        probes.join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+        )
+        .groupBy(*keep)
+        .agg((F.count("_set") == k).alias("maybe_present"))
+    )

@@ -787,3 +787,34 @@ def test_markdown_stats_hand_traced(spark):
     assert m.n_list_items == 2    # '-' and '2.' forms
     p = got[2]
     assert (p.n_code_blocks, p.n_headers, p.n_links, p.n_list_items) == (0, 0, 0, 0)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted value probes maybe_present; a tiny filter forces
+    false positives but NEVER false negatives; union of two builds equals
+    the build of the union (bitset OR = plain distinct union)."""
+    from tera_spark.operators.sketches import bloom_build, bloom_probe
+
+    vals = [(f"v{i}",) for i in range(50)]
+    df = spark.createDataFrame(vals, "v string")
+    bits = bloom_build(df, "v", n_bits=512, k=3)
+    items = spark.createDataFrame(
+        [(f"v{i}",) for i in range(50)] + [(f"absent{i}",) for i in range(20)],
+        "v string",
+    )
+    got = {
+        r.v: r.maybe_present
+        for r in bloom_probe(bits, items, "v", n_bits=512, k=3).collect()
+    }
+    assert all(got[f"v{i}"] for i in range(50))          # no false negatives
+    fp = sum(got[f"absent{i}"] for i in range(20))
+    assert fp < 20                                        # not everything collides
+    # mergeability: union of partition builds == build of the union
+    p1 = spark.createDataFrame(vals[:25], "v string")
+    p2 = spark.createDataFrame(vals[25:], "v string")
+    merged = bloom_build(p1, "v", n_bits=512, k=3).union(
+        bloom_build(p2, "v", n_bits=512, k=3)
+    ).distinct()
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in bits.collect()
+    )
