@@ -3141,6 +3141,28 @@ def _queries() -> dict:
 
     q["sketch_bloom_membership"] = bloom
 
+    def cc_hist(spark, sf):
+        # component-size distribution of the CC output — the over-merge
+        # probe (a giant component = canonicalization gone wrong)
+        from tera_spark.operators.graph_metrics import size_histogram
+
+        supplier = _t(spark, sf, "supplier")
+        edges = supplier.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("u"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("v"),
+        )
+        return size_histogram(connected_components(edges), "component")
+
+    q["graph_cc_size_histogram"] = cc_hist
+
+    def pool(spark, sf):
+        # per-label centroid of the embeddings table (class prototypes)
+        from tera_spark.operators.ann import mean_pool
+
+        return mean_pool(_t(spark, sf, "embeddings"), "label")
+
+    q["ann_mean_pool"] = pool
+
     # --- full pipeline (rows-only; fuzzy WRatio band, golden-tested in pytest) ------
     def kg_triples(spark, sf):
         from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
@@ -4151,6 +4173,31 @@ FROM transcripts GROUP BY conv_id
     o["quality_table_profile"] = _sql_table_profile()
     o["text_markdown_stats"] = _sql_markdown_stats()
     o["sketch_bloom_membership"] = _sql_bloom_membership()
+    o["graph_cc_size_histogram"] = """
+WITH m AS (
+  SELECT 's:'||cast(s_suppkey AS varchar) AS node, 'n:'||cast(s_nationkey AS varchar) AS component FROM supplier
+  UNION
+  SELECT DISTINCT 'n:'||cast(s_nationkey AS varchar), 'n:'||cast(s_nationkey AS varchar) FROM supplier
+),
+s AS (SELECT component, count(*) AS sz FROM m GROUP BY 1)
+SELECT CAST(len(bin(sz)) - 1 AS INT) AS bucket, count(*) AS n_groups,
+       min(sz) AS min_size, max(sz) AS max_size
+FROM s GROUP BY 1
+"""
+    o["ann_mean_pool"] = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS val
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+per AS (
+  SELECT label, pos, round(avg(val), 6) AS m, count(*) AS c
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, max(c) AS n_vectors,
+       list(m ORDER BY pos) AS centroid
+FROM per GROUP BY label
+"""
     o["ann_topk_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -242,3 +242,39 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nn_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def mean_pool(
+    emb: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean of the vectors in each group — the centroid /
+    class-prototype builder (label prototypes for SemDeDup-style
+    clustering, dataset-level embeddings, IVF seeding sanity checks).
+    Requires uniform dimensionality within a group (mixed dims would
+    silently skew per-position averages; the fixture and every producer
+    in this repo emit fixed-width vectors).
+
+    Components round to 6dp BEFORE assembly so double summation order
+    cannot leak into the result (same portability convention as every
+    float aggregate here).
+
+    Scale shape: posexplode (rows × dim — dim is a constant), one
+    (group, pos) average with map-side partial aggregation, one
+    group-sized assembly aggregate. No collect, no window over data
+    scale; per-group state in the assembly is one array of length dim.
+
+    Returns (group_col, n_vectors, centroid array<double>).
+    """
+    ex = emb.where(F.col(vec_col).isNotNull()).select(
+        group_col, F.posexplode(vec_col).alias("pos", "val")
+    )
+    per = ex.groupBy(group_col, "pos").agg(
+        F.round(F.avg("val"), 6).alias("m"), F.count("*").alias("c")
+    )
+    return per.groupBy(group_col).agg(
+        F.max("c").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid"),
+    )

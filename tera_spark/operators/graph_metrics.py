@@ -596,3 +596,30 @@ def personalized_pagerank(
         )
         dangling_mass = float(obs.get["dm"] or 0.0)
     return ranks.select("node", "rank")
+
+
+def size_histogram(df: DataFrame, group_col: str) -> DataFrame:
+    """Log2-bucketed GROUP-SIZE distribution: how big are the connected
+    components / duplicate clusters / conversations — the shape question
+    asked of every grouping this engine produces (a giant component in
+    the canonicalizer's CC output is the classic over-merge symptom, and
+    this is the O(log n)-row probe that catches it). Same integer
+    bit-length bucketing as ``degree_histogram`` (float-log2
+    boundary-safe).
+
+    Returns (bucket = floor(log2(size)), n_groups, min_size, max_size).
+
+    Scale shape: one map-side-combine group count + one O(log n)-row
+    aggregate. NULL group keys form their own group (they represent a
+    real data population; dropping them silently would understate the
+    histogram).
+    """
+    sizes = df.groupBy(group_col).agg(F.count("*").alias("sz"))
+    bucket = (F.length(F.conv(F.col("sz").cast("string"), 10, 2)) - 1).cast(
+        "int"
+    )
+    return sizes.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_groups"),
+        F.min("sz").alias("min_size"),
+        F.max("sz").alias("max_size"),
+    )

@@ -818,3 +818,34 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert sorted(r.bit for r in merged.collect()) == sorted(
         r.bit for r in bits.collect()
     )
+
+
+def test_size_histogram_and_mean_pool(spark):
+    from tera_spark.operators.ann import mean_pool
+    from tera_spark.operators.graph_metrics import size_histogram
+
+    # size histogram: groups of sizes 1, 3, 5 → buckets 0, 1, 2
+    rows = [("a",)] + [("b",)] * 3 + [("c",)] * 5
+    got = {
+        r.bucket: r
+        for r in size_histogram(
+            spark.createDataFrame(rows, "g string"), "g"
+        ).collect()
+    }
+    assert got[0].n_groups == 1 and got[0].max_size == 1
+    assert got[1].n_groups == 1 and got[1].min_size == 3
+    assert got[2].min_size == 5 and got[2].max_size == 5
+
+    # mean pool: hand-computed per-position means, NULL vectors excluded
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (1, [3.0, 6.0]),
+            (2, [10.0, 20.0]),
+            (2, None),
+        ],
+        "label int, embedding array<double>",
+    )
+    pooled = {r.label: r for r in mean_pool(emb, "label").collect()}
+    assert pooled[1].n_vectors == 2 and pooled[1].centroid == [2.0, 4.0]
+    assert pooled[2].n_vectors == 1 and pooled[2].centroid == [10.0, 20.0]
