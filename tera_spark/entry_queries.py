@@ -2276,6 +2276,28 @@ def _queries() -> dict:
 
     q["ev_asof_join"] = asof
 
+    def asof_near(spark, sf):
+        # nearest-within-tolerance as-of (1h), backward-preferred ties
+        from tera_spark.operators.events import asof_nearest
+
+        ev = _t(spark, sf, "events")
+        left = ev.filter(F.col("event_type") != "error").select(
+            "event_id", "user_id", "ts"
+        )
+        right = (
+            ev.filter(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("nearest_error_value"))
+        )
+        joined = asof_nearest(
+            left, right, on="user_id", ts="ts", tolerance_us=3_600_000_000
+        )
+        return joined.select(
+            "event_id", "user_id", "nearest_error_value", "asof_gap_us"
+        )
+
+    q["ev_asof_nearest"] = asof_near
+
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
 
@@ -3656,6 +3678,24 @@ r AS (SELECT user_id, ts, max(value) AS last_error_value
       FROM events WHERE event_type = 'error' GROUP BY 1, 2)
 SELECT l.event_id, l.user_id, r.last_error_value
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+    o["ev_asof_nearest"] = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'),
+r AS (SELECT user_id, ts, max(value) AS nearest_error_value
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+cand AS (
+  SELECT l.event_id, l.user_id, r.nearest_error_value,
+         epoch_us(l.ts) - epoch_us(r.ts) AS gap_us,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)) ASC,
+                    (r.ts <= l.ts) DESC
+         ) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 3600000000
+)
+SELECT l.event_id, l.user_id, c.nearest_error_value, c.gap_us AS asof_gap_us
+FROM l LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
 """
     o["ev_sessionize"] = """
 SELECT event_id, user_id, session_idx,

@@ -94,3 +94,79 @@ def sessionize(
         "session_id",
         F.concat(F.col(key).cast("string"), F.lit(":"), F.col("session_idx").cast("string")),
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    tolerance_us: int,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Nearest-neighbor as-of: for each left row, attach ``right_cols``
+    from the same-key right row with the SMALLEST absolute timestamp
+    distance, provided it is within ``tolerance_us`` microseconds; nulls
+    otherwise. Ties (a backward and a forward row equidistant) resolve
+    to the BACKWARD row — the causality-respecting choice. Adds
+    ``asof_gap_us`` (signed: left ts minus matched right ts; positive =
+    matched backward). The sensor/log alignment join ``asof_join``
+    cannot express (it only looks backward).
+
+    Same right-side contract as ``asof_join``: unique per (key, ts).
+
+    Scale shape: the union+window formulation, run once per direction —
+    ONE hash exchange on the key feeding two sort passes (asc/desc).
+    Never the quadratic per-row range probe: tolerance filtering happens
+    AFTER the O(1)-per-row candidate pick, so cost is independent of the
+    tolerance width (a range-join formulation degrades as tolerance
+    grows).
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_nearest: right_cols clash with left columns: {sorted(clash)}"
+        )
+    payload = F.struct(
+        F.col(ts).alias("_rts"), *[F.col(c) for c in right_cols]
+    )
+    l_u = left.withColumn("_side", F.lit(1))
+    r_u = right.select(on, ts, payload.alias("_p")).withColumn(
+        "_side", F.lit(0)
+    )
+    u = l_u.unionByName(r_u, allowMissingColumns=True)
+    rp = F.when(F.col("_side") == 0, F.col("_p"))
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_pb", F.last(rp, ignorenulls=True).over(wb)).withColumn(
+        "_pf", F.last(rp, ignorenulls=True).over(wf)
+    )
+    # cast: parquet NTZ timestamps reject unix_micros directly; the
+    # session TZ is pinned UTC (session.py) so the cast is deterministic
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    lts = _us(F.col(ts))
+    db = lts - _us(F.col("_pb._rts"))
+    df_ = _us(F.col("_pf._rts")) - lts
+    valid_b = F.col("_pb").isNotNull() & (db <= tolerance_us)
+    valid_f = F.col("_pf").isNotNull() & (df_ <= tolerance_us)
+    pick_b = valid_b & (~valid_f | (db <= df_))
+    chosen = F.when(pick_b, F.col("_pb")).when(valid_f, F.col("_pf"))
+    out = u.filter(F.col("_side") == 1)
+    for c in right_cols:
+        out = out.withColumn(c, chosen[c])
+    out = out.withColumn(
+        "asof_gap_us",
+        F.when(chosen.isNotNull(), lts - _us(chosen["_rts"])),
+    )
+    return out.drop("_side", "_p", "_pb", "_pf")

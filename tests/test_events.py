@@ -62,3 +62,37 @@ def test_sessionize_subsecond_gap_splits(spark):
     df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
     out = {r.event_id: r.session_idx for r in sessionize(df, gap_seconds=0).collect()}
     assert out == {1: 1, 2: 2}
+
+
+def test_asof_nearest_tolerance_and_ties(spark):
+    """Forward match beats a farther backward one; equidistant ties go
+    backward; out-of-tolerance rows stay null; gap is signed."""
+    from datetime import datetime
+
+    from tera_spark.operators.events import asof_nearest
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(25)), (3, "u", t(50)), (4, "v", t(10))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t(8), 1.0), ("u", t(12), 2.0), ("u", t(30), 3.0)],
+        "user_id string, ts timestamp, val double",
+    )
+    got = {
+        r.event_id: r
+        for r in asof_nearest(
+            left, right, on="user_id", ts="ts", tolerance_us=10_000_000
+        ).collect()
+    }
+    # event 1 at t=10: backward t=8 (gap 2) vs forward t=12 (gap 2) — tie → backward
+    assert got[1].val == 1.0 and got[1].asof_gap_us == 2_000_000
+    # event 2 at t=25: forward t=30 (gap 5) beats backward t=12 (gap 13)
+    assert got[2].val == 3.0 and got[2].asof_gap_us == -5_000_000
+    # event 3 at t=50: nearest is t=30, gap 20s > 10s tolerance → null
+    assert got[3].val is None and got[3].asof_gap_us is None
+    # key v has no right rows at all
+    assert got[4].val is None
