@@ -1346,6 +1346,31 @@ GROUP BY probe_id
 """
 
 
+def _sql_entity_freshness() -> str:
+    """Freshness oracle: exact/rule presence + ts join + exp-decay sum
+    (transcendental parity holds well inside the 6dp rounding, same as
+    the PMI ln())."""
+    return f"""
+WITH {_sql_kg_common_ctes(with_ts=True)},
+entu AS (
+  SELECT DISTINCT conv_id, turn_idx, entity, kind AS entity_kind FROM ex
+  UNION
+  SELECT DISTINCT conv_id, turn_idx, 'code:'||m AS entity, 'endpoint' FROM codes
+),
+wt AS (
+  SELECT e.entity, e.entity_kind, t.ts
+  FROM entu e JOIN transcripts t
+    ON e.conv_id = t.conv_id AND e.turn_idx = t.turn_idx
+),
+mx AS (SELECT max(ts) AS m FROM transcripts)
+SELECT entity, entity_kind,
+       round(sum(exp(-((epoch_us((SELECT m FROM mx)) - epoch_us(ts))
+                       / 3600000000.0) / 24.0)), 6) AS freshness,
+       count(*) AS n_turns
+FROM wt GROUP BY 1, 2
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2297,6 +2322,14 @@ def _queries() -> dict:
         )
 
     q["ev_asof_nearest"] = asof_near
+
+    def kg_fresh(spark, sf):
+        # exponential-decay freshness mass per exact/rule-linked entity
+        from tera_spark.pipeline.kg import entity_freshness
+
+        return entity_freshness(_kg_exact_linked(spark), _kg_fixture(spark))
+
+    q["kg_entity_freshness"] = kg_fresh
 
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
@@ -4209,6 +4242,7 @@ FROM transcripts GROUP BY conv_id
     o["sketch_count_min"] = _sql_count_min()
     o["kg_negative_samples_typed"] = _sql_kg_negative_samples_typed()
     o["graph_personalized_pagerank"] = _sql_personalized_pagerank()
+    o["kg_entity_freshness"] = _sql_entity_freshness()
     o["kg_turn_gaps"] = _sql_turn_gaps()
     o["quality_table_profile"] = _sql_table_profile()
     o["text_markdown_stats"] = _sql_markdown_stats()

@@ -617,6 +617,51 @@ def turn_gaps(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def entity_freshness(
+    linked: DataFrame, transcripts: DataFrame, tau_hours: float = 24.0
+) -> DataFrame:
+    """Exponential-decay freshness mass per linked entity:
+    sum over distinct mention turns of exp(-age/tau), age measured back
+    from the corpus's LATEST turn — the recency-aware companion to
+    ``entity_activity``'s hard first/last interval. Downstream consumers
+    (decay-weighted linking priors, retention scoring, trending-entity
+    feeds) read this instead of raw counts so a 10^12-turn history
+    doesn't let dead entities outweigh live ones.
+
+    Determinism: the decay is a pure function of (ts, corpus max ts,
+    tau); the mass rounds to 6dp so double summation order can't leak
+    (same discipline as the PMI ln() — transcendentals agree across
+    engines well inside 6dp).
+
+    Scale shape: distinct turn-presence projection, provenance join on
+    the bucketed (conv_id, turn_idx), corpus max ts as a broadcast
+    1-row aggregate, one groupBy. Turn-level DISTINCT presence (an
+    entity mentioned 5x in one turn counts once — same convention as
+    the PMI presence table).
+    """
+    ent = (
+        linked.filter(F.col("entity").isNotNull())
+        .select("conv_id", "turn_idx", "entity", "entity_kind")
+        .distinct()
+    )
+    with_ts = ent.join(
+        transcripts.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    mx = transcripts.agg(F.max("ts").alias("_mx"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx_us = F.unix_micros(F.col("_mx").cast("timestamp"))
+    age_h = (mx_us - us) / F.lit(3_600_000_000.0)
+    w = F.exp(-age_h / F.lit(float(tau_hours)))
+    return (
+        with_ts.crossJoin(F.broadcast(mx))
+        .groupBy("entity", "entity_kind")
+        .agg(
+            F.round(F.sum(w), 6).alias("freshness"),
+            F.count("*").alias("n_turns"),
+        )
+    )
+
+
 def _h60(c):
     """md5 → uniform 60-bit non-negative integer (15 hex digits), the
     shared deterministic-draw primitive (same construction as the KMV

@@ -791,3 +791,38 @@ def test_read_live_time_travel(spark, lexicon, tmp_path):
     # travel too
     assert snap("nodes", as_of_seq=1) == nodes_after1
     assert snap("nodes") != nodes_after1
+
+
+def test_entity_freshness_decay(spark):
+    """An entity mentioned only long ago scores below one mentioned at
+    the corpus head; a same-turn double mention counts once; freshness
+    at age 0 contributes exactly 1.0."""
+    from datetime import datetime, timedelta
+
+    from tera_spark.pipeline.kg import entity_freshness
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "x", None, t0),
+        ("c1", 1, "user", "x", None, t0 + timedelta(hours=48)),
+    ]
+    transcripts = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    linked = spark.createDataFrame(
+        [
+            ("c1", 0, "old_ent", "chemical"),
+            ("c1", 1, "new_ent", "chemical"),
+            ("c1", 1, "new_ent", "chemical"),  # same-turn repeat → once
+        ],
+        "conv_id string, turn_idx int, entity string, entity_kind string",
+    )
+    got = {
+        r.entity: r
+        for r in entity_freshness(linked, transcripts, tau_hours=24.0).collect()
+    }
+    import math
+
+    assert got["new_ent"].freshness == 1.0 and got["new_ent"].n_turns == 1
+    assert got["old_ent"].freshness == round(math.exp(-2.0), 6)
