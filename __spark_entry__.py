@@ -5,7 +5,7 @@ the ECOTOX-shaped mapping of the driver tables at sf0.001. ``queries`` /
 ``oracle_sql`` pair every implemented SURVEY.md §2 operator with a DuckDB
 oracle (see tera_spark/entry_queries.py). Round 4: registration is
 rotated so never-driver-sampled entries come first (the driver samples
-~50 of the 106); new oracle-checked entries are the SPARQL property-path /
+~50 of the 121); new oracle-checked entries are the SPARQL property-path /
 UNION / VALUES / ORDER BY / GROUP BY-aggregate compilers (q16-q19), the
 PORTABLE fuzzy mode — ``j6_string_matching_portable`` and
 ``kg_pipeline_triples_portable`` run the real linking/pipeline code with
