@@ -2331,6 +2331,25 @@ def _queries() -> dict:
 
     q["kg_entity_freshness"] = kg_fresh
 
+    def nb_agg(spark, sf):
+        # one message-passing round with degree as the feature — the
+        # per-node assortativity profile of the co-supplier graph
+        from tera_spark.operators.graph_metrics import neighbor_feature_agg
+
+        edges = _cosupplier_edges_sparse(spark, sf)
+        und = edges.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).where(F.col("a") != F.col("b")).distinct()
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionAll(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+        return neighbor_feature_agg(edges, deg, "degree")
+
+    q["graph_neighbor_agg"] = nb_agg
+
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
 
@@ -4243,6 +4262,17 @@ FROM transcripts GROUP BY conv_id
     o["kg_negative_samples_typed"] = _sql_kg_negative_samples_typed()
     o["graph_personalized_pagerank"] = _sql_personalized_pagerank()
     o["kg_entity_freshness"] = _sql_entity_freshness()
+    o["graph_neighbor_agg"] = f"""
+WITH und AS ({_SQL_COSUPPLIER_SPARSE}
+),
+nb AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT node, count(*) AS degree FROM nb GROUP BY node)
+SELECT nb.node, count(*) AS n_neighbors,
+       round(avg(d.degree), 6) AS mean_degree,
+       min(d.degree) AS min_degree, max(d.degree) AS max_degree
+FROM nb JOIN deg d ON d.node = nb.nbr
+GROUP BY nb.node
+"""
     o["kg_turn_gaps"] = _sql_turn_gaps()
     o["quality_table_profile"] = _sql_table_profile()
     o["text_markdown_stats"] = _sql_markdown_stats()

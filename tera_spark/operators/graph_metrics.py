@@ -623,3 +623,49 @@ def size_histogram(df: DataFrame, group_col: str) -> DataFrame:
         F.min("sz").alias("min_size"),
         F.max("sz").alias("max_size"),
     )
+
+
+def neighbor_feature_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    feat_col: str,
+    node_col: str = "node",
+) -> DataFrame:
+    """One message-passing round over an undirected 2-column edge table:
+    for every node, aggregate its neighbors' ``feat_col`` (count / mean /
+    min / max) — the GraphSAGE-style layer primitive, and with degree as
+    the feature, the per-node assortativity signal (do high-degree nodes
+    attach to high-degree nodes?). Chain calls for multi-hop receptive
+    fields; each round is the same fixed plan.
+
+    Scale shape: canonical-pair dedup, neighbor-list expansion (edge
+    table ×2 — plan-free union), ONE hash join against the node-sized
+    feature table, one groupBy with map-side combine. A celebrity node
+    costs its degree in join rows — linear, never quadratic; no window.
+    Mean rounds to 6dp (summation-order portability).
+    """
+    u0, v0 = edges.columns[:2]
+    und = (
+        edges.select(
+            F.least(F.col(u0), F.col(v0)).alias("a"),
+            F.greatest(F.col(u0), F.col(v0)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nb = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    feats = features.select(
+        F.col(node_col).alias("nbr"), F.col(feat_col).alias("_f")
+    )
+    return (
+        nb.join(feats, "nbr")
+        .groupBy("node")
+        .agg(
+            F.count("*").alias("n_neighbors"),
+            F.round(F.avg("_f"), 6).alias(f"mean_{feat_col}"),
+            F.min("_f").alias(f"min_{feat_col}"),
+            F.max("_f").alias(f"max_{feat_col}"),
+        )
+    )

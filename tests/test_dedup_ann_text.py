@@ -849,3 +849,25 @@ def test_size_histogram_and_mean_pool(spark):
     pooled = {r.label: r for r in mean_pool(emb, "label").collect()}
     assert pooled[1].n_vectors == 2 and pooled[1].centroid == [2.0, 4.0]
     assert pooled[2].n_vectors == 1 and pooled[2].centroid == [10.0, 20.0]
+
+
+def test_neighbor_feature_agg_star(spark):
+    """Star hub sees 5 leaves (mean feature = leaf value); each leaf sees
+    only the hub; reversed duplicates and self-loops are ignored."""
+    from tera_spark.operators.graph_metrics import neighbor_feature_agg
+
+    edges = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)] + [("l0", "h"), ("h", "h")],
+        "u string, v string",
+    )
+    feats = spark.createDataFrame(
+        [("h", 100.0)] + [(f"l{i}", float(i)) for i in range(5)],
+        "node string, f double",
+    )
+    got = {r.node: r for r in neighbor_feature_agg(edges, feats, "f").collect()}
+    h = got["h"]
+    assert h.n_neighbors == 5
+    assert h.mean_f == 2.0 and h.min_f == 0.0 and h.max_f == 4.0
+    for i in range(5):
+        leaf = got[f"l{i}"]
+        assert leaf.n_neighbors == 1 and leaf.mean_f == 100.0
