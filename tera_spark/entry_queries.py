@@ -1371,6 +1371,46 @@ FROM wt GROUP BY 1, 2
 """
 
 
+def _sql_token_pmi() -> str:
+    """Token-PMI oracle: positional tokenization, vocabulary floor,
+    window-offset pairing, event marginals (both roles), PMI formula."""
+    return r"""
+WITH t0 AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> len(x) > 0) AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+t AS (
+  SELECT id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+  FROM t0
+),
+vocab AS (SELECT tok FROM t GROUP BY tok HAVING count(*) >= 20),
+tt AS (SELECT t.* FROM t SEMI JOIN vocab v ON t.tok = v.tok),
+lft AS (
+  SELECT id, tok, pos + d AS pos2
+  FROM tt CROSS JOIN (SELECT unnest([1, 2]) AS d)
+),
+pairs AS (
+  SELECT least(l.tok, r.tok) AS tok_a, greatest(l.tok, r.tok) AS tok_b
+  FROM lft l JOIN tt r ON l.id = r.id AND l.pos2 = r.pos
+),
+c AS (SELECT tok_a, tok_b, count(*) AS n_cooc FROM pairs GROUP BY 1, 2),
+m AS (
+  SELECT t AS tok, sum(n_cooc) AS mm FROM (
+    SELECT tok_a AS t, n_cooc FROM c UNION ALL SELECT tok_b, n_cooc FROM c
+  ) GROUP BY 1
+),
+nn AS (SELECT sum(n_cooc) AS n FROM c)
+SELECT c.tok_a, c.tok_b, c.n_cooc,
+       round(ln(c.n_cooc * (SELECT n FROM nn) / (ma.mm * mb.mm)), 6) AS pmi
+FROM c
+JOIN m ma ON ma.tok = c.tok_a
+JOIN m mb ON mb.tok = c.tok_b
+WHERE c.n_cooc >= 5
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2349,6 +2389,26 @@ def _queries() -> dict:
         return neighbor_feature_agg(edges, deg, "degree")
 
     q["graph_neighbor_agg"] = nb_agg
+
+    def adj(spark, sf):
+        # adjacency-list serving table of the sparse co-supplier graph
+        from tera_spark.operators.graph_metrics import adjacency_lists
+
+        return adjacency_lists(_cosupplier_edges_sparse(spark, sf))
+
+    q["graph_adjacency_lists"] = adj
+
+    def tok_pmi(spark, sf):
+        # windowed token co-occurrence PMI over documents (collocation
+        # mining); Zipf-tail floor bounds the pair space
+        from tera_spark.operators.corpus import token_pmi_pairs
+
+        return token_pmi_pairs(
+            _t(spark, sf, "documents"), window=2, min_token_count=20,
+            min_pair_count=5,
+        )
+
+    q["text_token_pmi"] = tok_pmi
 
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
@@ -4262,6 +4322,7 @@ FROM transcripts GROUP BY conv_id
     o["kg_negative_samples_typed"] = _sql_kg_negative_samples_typed()
     o["graph_personalized_pagerank"] = _sql_personalized_pagerank()
     o["kg_entity_freshness"] = _sql_entity_freshness()
+    o["text_token_pmi"] = _sql_token_pmi()
     o["graph_neighbor_agg"] = f"""
 WITH und AS ({_SQL_COSUPPLIER_SPARSE}
 ),
@@ -4272,6 +4333,13 @@ SELECT nb.node, count(*) AS n_neighbors,
        min(d.degree) AS min_degree, max(d.degree) AS max_degree
 FROM nb JOIN deg d ON d.node = nb.nbr
 GROUP BY nb.node
+"""
+    o["graph_adjacency_lists"] = f"""
+WITH und AS ({_SQL_COSUPPLIER_SPARSE}
+),
+nb AS (SELECT a AS node, b AS nbr FROM und UNION ALL SELECT b, a FROM und)
+SELECT node, list(nbr ORDER BY nbr) AS neighbors, count(*) AS degree
+FROM nb GROUP BY node
 """
     o["kg_turn_gaps"] = _sql_turn_gaps()
     o["quality_table_profile"] = _sql_table_profile()

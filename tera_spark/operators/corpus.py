@@ -599,3 +599,87 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def token_pmi_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_token_count: int = 5,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Windowed token co-occurrence PMI — the word2vec-era association
+    statistic (collocations, domain phrase mining, embedding-prep
+    counts): for unordered token pairs co-occurring within ``window``
+    positions,  pmi = ln(c(a,b)·N / (m(a)·m(b)))  over co-occurrence
+    EVENTS (N = total events; m(x) = x's event participation, both
+    roles — a same-token pair contributes twice to its own marginal).
+
+    Skew control is the vocabulary FLOOR, not a cap: tokens with corpus
+    count < ``min_token_count`` leave the universe before any pairing,
+    which removes the long Zipf tail (most of the join fan-out) while
+    the head stays exact. Pair fan-out per token position is then at
+    most ``window`` — the pair table is O(corpus × window), never
+    quadratic in document length.
+
+    Scale shape: one positional explode, one vocabulary semi-join, one
+    offset-explode equi-join on (doc, position) — an equi-join, NOT a
+    position-range theta-join — then two aggregates (pairs, marginals)
+    and a broadcast 1-row N. PMI rounds to 6dp (ln parity well inside
+    rounding, as with the entity PMI).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0
+    )
+    t = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_tok")
+    )
+    vocab = (
+        t.groupBy("_tok")
+        .agg(F.count("*").alias("_tc"))
+        .where(F.col("_tc") >= min_token_count)
+        .select("_tok")
+    )
+    tt = t.join(vocab, "_tok")
+    left = tt.select(
+        "_id",
+        "_tok",
+        F.explode(
+            F.array(*[F.col("_pos") + d for d in range(1, window + 1)])
+        ).alias("_pos2"),
+    )
+    pairs = left.join(
+        tt.select(
+            "_id", F.col("_pos").alias("_pos2"), F.col("_tok").alias("_tok2")
+        ),
+        ["_id", "_pos2"],
+    ).select(
+        F.least("_tok", "_tok2").alias("tok_a"),
+        F.greatest("_tok", "_tok2").alias("tok_b"),
+    )
+    c = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_cooc"))
+    m = (
+        c.select(F.col("tok_a").alias("_t"), "n_cooc")
+        .unionAll(c.select(F.col("tok_b").alias("_t"), "n_cooc"))
+        .groupBy("_t")
+        .agg(F.sum("n_cooc").alias("_m"))
+    )
+    n_total = c.agg(F.sum("n_cooc").alias("_n"))
+    return (
+        c.where(F.col("n_cooc") >= min_pair_count)
+        .join(m.select(F.col("_t").alias("tok_a"), F.col("_m").alias("_ma")), "tok_a")
+        .join(m.select(F.col("_t").alias("tok_b"), F.col("_m").alias("_mb")), "tok_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_cooc",
+            F.round(
+                F.log(
+                    F.col("n_cooc") * F.col("_n") / (F.col("_ma") * F.col("_mb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

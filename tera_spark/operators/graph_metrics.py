@@ -669,3 +669,34 @@ def neighbor_feature_agg(
             F.max("_f").alias(f"max_{feat_col}"),
         )
     )
+
+
+def adjacency_lists(edges: DataFrame) -> DataFrame:
+    """Materialize the undirected graph as adjacency lists: one row per
+    node with its SORTED neighbor array and degree — the serving-table
+    format BFS frontiers, recommendation candidate lookups, and GNN
+    samplers read (one point-lookup per node instead of an edge-table
+    scan). Sorted arrays make the table byte-deterministic under any
+    partitioning.
+
+    Scale shape: canonical-pair dedup + ONE groupBy on the node; a
+    celebrity node's array is its degree — bounded by the same caps the
+    pair-producing operators already enforce upstream. Write this table
+    bucketed by node for O(1) serving lookups.
+    """
+    u0, v0 = edges.columns[:2]
+    und = (
+        edges.select(
+            F.least(F.col(u0), F.col(v0)).alias("a"),
+            F.greatest(F.col(u0), F.col(v0)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nb = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    return nb.groupBy("node").agg(
+        F.array_sort(F.collect_list("nbr")).alias("neighbors"),
+        F.count("*").alias("degree"),
+    )

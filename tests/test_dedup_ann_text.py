@@ -871,3 +871,35 @@ def test_neighbor_feature_agg_star(spark):
     for i in range(5):
         leaf = got[f"l{i}"]
         assert leaf.n_neighbors == 1 and leaf.mean_f == 100.0
+
+
+def test_adjacency_and_token_pmi(spark):
+    from tera_spark.operators.corpus import token_pmi_pairs
+    from tera_spark.operators.graph_metrics import adjacency_lists
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "a")], "u string, v string"
+    )
+    got = {r.node: r for r in adjacency_lists(edges).collect()}
+    assert got["b"].neighbors == ["a", "c"] and got["b"].degree == 2
+    assert got["a"].neighbors == ["b"] and got["c"].neighbors == ["b"]
+
+    # PMI: "x y" always adjacent (4 docs), z isolated from x;
+    # window=1, floors at 1 keep everything
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(4)] + [(9, "z w")],
+        "doc_id long, text string",
+    )
+    pmi = {
+        (r.tok_a, r.tok_b): r
+        for r in token_pmi_pairs(
+            docs, window=1, min_token_count=1, min_pair_count=1
+        ).collect()
+    }
+    # events: 4×(x,y) + 1×(w,z) → N=5; m(x)=m(y)=4, m(w)=m(z)=1
+    import math
+
+    assert pmi[("x", "y")].n_cooc == 4
+    assert pmi[("x", "y")].pmi == round(math.log(4 * 5 / (4 * 4)), 6)
+    assert pmi[("w", "z")].pmi == round(math.log(1 * 5 / (1 * 1)), 6)
+    assert ("x", "z") not in pmi
