@@ -2410,6 +2410,37 @@ def _queries() -> dict:
 
     q["text_token_pmi"] = tok_pmi
 
+    def rrf(spark, sf):
+        # reciprocal-rank fusion of two top-50 document rankings
+        # (length-based and content-hash-based — generic rank inputs; the
+        # operator is ranking-source-agnostic by design)
+        from pyspark.sql import Window as W
+
+        from tera_spark.operators.textops import rrf_fuse
+
+        docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+        ra = (
+            docs.select(
+                "doc_id",
+                F.row_number()
+                .over(W.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+                .alias("rank"),
+            )
+            .where(F.col("rank") <= 50)
+        )
+        rb = (
+            docs.select(
+                "doc_id",
+                F.row_number()
+                .over(W.orderBy(F.md5("text"), F.asc("doc_id")))
+                .alias("rank"),
+            )
+            .where(F.col("rank") <= 50)
+        )
+        return rrf_fuse([ra, rb])
+
+    q["text_rrf_fusion"] = rrf
+
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
 
@@ -4323,6 +4354,21 @@ FROM transcripts GROUP BY conv_id
     o["graph_personalized_pagerank"] = _sql_personalized_pagerank()
     o["kg_entity_freshness"] = _sql_entity_freshness()
     o["text_token_pmi"] = _sql_token_pmi()
+    o["text_rrf_fusion"] = """
+WITH d AS (SELECT doc_id, n_chars, text FROM documents WHERE text IS NOT NULL),
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM d QUALIFY rank <= 50
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY md5(text), doc_id ASC) AS rank
+  FROM d QUALIFY rank <= 50
+),
+u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+SELECT doc_id, round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score,
+       count(*) AS n_lists
+FROM u GROUP BY doc_id
+"""
     o["graph_neighbor_agg"] = f"""
 WITH und AS ({_SQL_COSUPPLIER_SPARSE}
 ),

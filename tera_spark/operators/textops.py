@@ -449,3 +449,33 @@ def with_markdown_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+def rrf_fuse(rankings: list, id_col: str = "doc_id", k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N rankings:
+    score(d) = sum over lists of 1/(k + rank_d) — the standard hybrid-
+    retrieval combiner (BM25 ∪ dense ANN) that needs no score
+    calibration because only RANKS enter the sum. Each input DataFrame
+    must carry (id_col, rank) with 1-based ranks; documents absent from
+    a list simply contribute nothing (the RRF convention).
+
+    Returns (id_col, rrf_score round 6, n_lists) — callers sort by
+    (rrf_score desc, id) for a deterministic final ranking.
+
+    Scale shape: plan-free union of the (top-k-sized, NOT corpus-sized)
+    ranking tables + one groupBy. The fusion cost is O(Σ list lengths)
+    regardless of corpus size — rankings are already cut to top-k
+    upstream.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [r.select(F.col(id_col), F.col("rank")) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(id_col).agg(
+        F.round(F.sum(1.0 / (F.lit(float(k)) + F.col("rank"))), 6).alias(
+            "rrf_score"
+        ),
+        F.count("*").alias("n_lists"),
+    )

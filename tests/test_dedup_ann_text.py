@@ -903,3 +903,22 @@ def test_adjacency_and_token_pmi(spark):
     assert pmi[("x", "y")].pmi == round(math.log(4 * 5 / (4 * 4)), 6)
     assert pmi[("w", "z")].pmi == round(math.log(1 * 5 / (1 * 1)), 6)
     assert ("x", "z") not in pmi
+
+
+def test_rrf_fusion_hand_computed(spark):
+    """Doc in both lists outscores single-list docs; absent-from-a-list
+    contributes nothing; exact 1/(k+rank) arithmetic."""
+    from tera_spark.operators.textops import rrf_fuse
+
+    ra = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    rb = spark.createDataFrame([(1, 3), (9, 1)], "doc_id long, rank int")
+    got = {r.doc_id: r for r in rrf_fuse([ra, rb], k=60).collect()}
+    assert got[1].n_lists == 2
+    assert got[1].rrf_score == round(1 / 61 + 1 / 63, 6)
+    assert got[2].rrf_score == round(1 / 62, 6) and got[2].n_lists == 1
+    assert got[9].rrf_score == round(1 / 61, 6)
+    assert got[1].rrf_score > got[9].rrf_score > got[2].rrf_score
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rrf_fuse([])
