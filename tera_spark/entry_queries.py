@@ -614,6 +614,49 @@ r{k} AS (SELECT n.node,
     return "".join(parts)
 
 
+def _sql_pagerank_weighted(iterations: int = 5, damping: float = 0.85) -> str:
+    """Weighted-PageRank oracle: the ``_sql_pagerank`` chain with edge
+    shares w/Σw instead of 1/out-degree; positive-weight band and
+    parallel-edge collapse replayed."""
+    d = repr(damping)
+    parts = [
+        """
+WITH edges AS (
+  SELECT u, v, sum(w) AS w FROM (
+    SELECT 's:'||cast(s_suppkey AS varchar) AS u,
+           'n:'||cast(s_nationkey AS varchar) AS v,
+           CAST(s_acctbal AS DOUBLE) AS w
+    FROM supplier WHERE s_acctbal > 0
+    UNION ALL
+    SELECT 'n:'||cast(n_nationkey AS varchar),
+           'r:'||cast(n_regionkey AS varchar), 1.0 FROM nation
+  ) WHERE u <> v GROUP BY u, v
+),
+ws AS (SELECT u, sum(w) AS wsum FROM edges GROUP BY u),
+sh AS (SELECT e.u, e.v, e.w / ws.wsum AS f FROM edges e JOIN ws USING (u)),
+nodes AS (SELECT DISTINCT node FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+nn AS (SELECT cast(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+d{k} AS (SELECT coalesce(sum(r.rank), 0) AS mass
+         FROM r{p} r LEFT JOIN ws ON r.node = ws.u WHERE ws.u IS NULL),
+c{k} AS (SELECT sh.v AS node, sum(r.rank * sh.f) AS contrib
+         FROM sh JOIN r{p} r ON sh.u = r.node GROUP BY sh.v),
+r{k} AS (SELECT n.node,
+         (1 - {d})/(SELECT n FROM nn)
+           + {d} * (coalesce(c.contrib, 0) + (SELECT mass FROM d{k})/(SELECT n FROM nn)) AS rank
+         FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)"""
+        )
+    parts.append(
+        f"\nSELECT node, round(rank, 6) AS rank FROM r{iterations}\n"
+    )
+    return "".join(parts)
+
+
 def _sql_kcore(k: int, rounds: int) -> str:
     """k-core oracle: replays the peeling as a fixed chain of ``rounds``
     degree-filter CTEs over the co-supplier graph. Peeling is monotone —
@@ -2440,6 +2483,29 @@ def _queries() -> dict:
         return rrf_fuse([ra, rb])
 
     q["text_rrf_fusion"] = rrf
+
+    def wpr(spark, sf):
+        # weighted PageRank: supplier→nation edges weighted by account
+        # balance (positive band), nation→region at weight 1
+        from tera_spark.operators.graph_metrics import pagerank_weighted
+
+        supplier = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        edges = supplier.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("u"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("v"),
+            F.col("s_acctbal").cast("double").alias("w"),
+        ).unionByName(
+            nation.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("u"),
+                F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("v"),
+                F.lit(1.0).alias("w"),
+            )
+        )
+        ranks = pagerank_weighted(edges, iterations=5, damping=0.85)
+        return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+    q["graph_pagerank_weighted"] = wpr
 
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
@@ -4354,6 +4420,7 @@ FROM transcripts GROUP BY conv_id
     o["graph_personalized_pagerank"] = _sql_personalized_pagerank()
     o["kg_entity_freshness"] = _sql_entity_freshness()
     o["text_token_pmi"] = _sql_token_pmi()
+    o["graph_pagerank_weighted"] = _sql_pagerank_weighted()
     o["text_rrf_fusion"] = """
 WITH d AS (SELECT doc_id, n_chars, text FROM documents WHERE text IS NOT NULL),
 ra AS (

@@ -700,3 +700,94 @@ def adjacency_lists(edges: DataFrame) -> DataFrame:
         F.array_sort(F.collect_list("nbr")).alias("neighbors"),
         F.count("*").alias("degree"),
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "u",
+    dst_col: str = "v",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted PageRank: a node's rank flows to its out-neighbors in
+    proportion to EDGE WEIGHT (w / Σ out-weights) instead of uniformly —
+    the ranking that respects the KG's confidence scores (feed it the
+    PMI-weighted co-occurrence edges from ``pipeline.kg.cooc_pmi_edges``
+    and central entities are the strongly-associated ones, not merely
+    the well-connected ones). Non-positive-weight edges are dropped
+    (they would siphon or invert mass).
+
+    Same scale discipline as ``pagerank``: edge table (with its share
+    precomputed from the out-weight sum) pre-partitioned + checkpointed
+    ONCE; per iteration only the node-sized rank table reshuffles;
+    dangling mass rides the checkpoint action via observe() — one job
+    per iteration. Parallel edges are summed into one weighted edge
+    first (multigraph semantics collapse deterministically).
+    """
+    e0 = (
+        edges.select(
+            F.col(src_col).alias("u"),
+            F.col(dst_col).alias("v"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .filter((F.col("u") != F.col("v")) & (F.col("w") > 0))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    wsum = e0.groupBy("u").agg(F.sum("w").alias("_ws"))
+    e = (
+        e0.join(wsum, "u")
+        .select("u", "v", (F.col("w") / F.col("_ws")).alias("share_frac"))
+        .repartition("u")
+        .localCheckpoint()
+    )
+    obs0 = Observation()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .join(wsum.select(F.col("u").alias("node"), "_ws"), "node", "left")
+        .select("node", F.col("_ws").isNull().alias("dangling"))
+        .observe(
+            obs0,
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("dangling"), True)).alias("nd"),
+        )
+        .localCheckpoint()
+    )
+    vals = obs0.get
+    n = int(vals["n"])
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    ranks = nodes.select("node", "dangling", F.lit(1.0 / n).alias("rank"))
+    dangling_mass = int(vals["nd"]) / n
+    for _ in range(iterations):
+        contribs = (
+            e.join(
+                ranks.filter(~F.col("dangling")).select(
+                    F.col("node").alias("u"), F.col("rank")
+                ),
+                "u",
+            )
+            .groupBy("v")
+            .agg(F.sum(F.col("rank") * F.col("share_frac")).alias("contrib"))
+        )
+        new_rank = F.lit((1.0 - damping) / n) + F.lit(damping) * (
+            F.coalesce(F.col("contrib"), F.lit(0.0))
+            + F.lit(dangling_mass / n)
+        )
+        obs = Observation()
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["v"], "left")
+            .select("node", "dangling", new_rank.alias("rank"))
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("dangling"), F.col("rank")).otherwise(0.0)
+                ).alias("dm"),
+            )
+            .localCheckpoint()
+        )
+        dangling_mass = float(obs.get["dm"] or 0.0)
+    return ranks.select("node", "rank")

@@ -922,3 +922,19 @@ def test_rrf_fusion_hand_computed(spark):
 
     with _pt.raises(ValueError):
         rrf_fuse([])
+
+
+def test_pagerank_weighted_favors_heavy_edge(spark):
+    """a splits mass 9:1 between b and c → b outranks c; total mass is
+    1; non-positive-weight edges are dropped (d receives nothing and is
+    not even a node)."""
+    from tera_spark.operators.graph_metrics import pagerank_weighted
+
+    edges = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("a", "d", 0.0), ("a", "d", -5.0)],
+        "u string, v string, w double",
+    )
+    got = {r.node: r.rank for r in pagerank_weighted(edges, iterations=3).collect()}
+    assert "d" not in got
+    assert got["b"] > got["c"] > 0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
