@@ -1454,6 +1454,37 @@ WHERE c.n_cooc >= 5
 """
 
 
+def _sql_conversation_entropy() -> str:
+    """Entropy oracle: role counts, lag-window transitions, -Σ p ln p."""
+    return f"""
+WITH {_kg_fixture_sql_cte()},
+base AS (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY 1),
+rc AS (SELECT conv_id, role, count(*) AS c FROM transcripts GROUP BY 1, 2),
+re AS (
+  SELECT conv_id, round(abs(sum(p * ln(p))), 6) AS role_entropy FROM (
+    SELECT conv_id, c / CAST(sum(c) OVER (PARTITION BY conv_id) AS DOUBLE) AS p
+    FROM rc
+  ) GROUP BY conv_id
+),
+tr AS (
+  SELECT conv_id, prev, role, count(*) AS c FROM (
+    SELECT conv_id,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+           role
+    FROM transcripts
+  ) WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+),
+te AS (
+  SELECT conv_id, round(abs(sum(p * ln(p))), 6) AS transition_entropy FROM (
+    SELECT conv_id, c / CAST(sum(c) OVER (PARTITION BY conv_id) AS DOUBLE) AS p
+    FROM tr
+  ) GROUP BY conv_id
+)
+SELECT b.conv_id, b.n_turns, re.role_entropy, te.transition_entropy
+FROM base b JOIN re USING (conv_id) LEFT JOIN te USING (conv_id)
+"""
+
+
 def _sql_kg_portable_ctes(exclude: tuple = ()) -> str:
     """Shared DuckDB CTE chain replaying extraction + portable linking from
     the RAW transcript text (terms, shingle blocking, prefilter, portable
@@ -2506,6 +2537,14 @@ def _queries() -> dict:
         return ranks.select("node", F.round("rank", 6).alias("rank"))
 
     q["graph_pagerank_weighted"] = wpr
+
+    def conv_ent(spark, sf):
+        # role-mix + role-transition entropy per conversation
+        from tera_spark.pipeline.kg import conversation_entropy
+
+        return conversation_entropy(_kg_fixture(spark))
+
+    q["kg_conversation_entropy"] = conv_ent
 
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
@@ -4421,6 +4460,7 @@ FROM transcripts GROUP BY conv_id
     o["kg_entity_freshness"] = _sql_entity_freshness()
     o["text_token_pmi"] = _sql_token_pmi()
     o["graph_pagerank_weighted"] = _sql_pagerank_weighted()
+    o["kg_conversation_entropy"] = _sql_conversation_entropy()
     o["text_rrf_fusion"] = """
 WITH d AS (SELECT doc_id, n_chars, text FROM documents WHERE text IS NOT NULL),
 ra AS (

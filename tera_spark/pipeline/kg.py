@@ -662,6 +662,55 @@ def entity_freshness(
     )
 
 
+def conversation_entropy(transcripts: DataFrame) -> DataFrame:
+    """Behavioral signature per conversation: Shannon entropy (nats) of
+    the role mix and of the role-TRANSITION distribution under stable
+    (conv_id, turn_idx) ordering. The curation signal conversation_stats'
+    raw counts can't give: a ping-pong user/assistant session and a
+    degenerate assistant-only loop can share counts but never both
+    entropies — low transition entropy at high turn count flags stuck
+    agents and synthetic dumps before they enter the training mix.
+
+    Singleton conversations report NULL transition entropy (no
+    transitions — absent, not fabricated). Entropies round to 6dp (ln
+    parity inside rounding, as throughout).
+
+    Scale shape: one lag window on the bucket key, two (conv, symbol)
+    counts with map-side combine, two per-conversation aggregates, one
+    join on the bucket key. Symbol alphabets are O(|roles|) and
+    O(|roles|^2) — never turn-sized state.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+
+    def _entropy(sym_counts, out_name):
+        tot = sym_counts.groupBy("conv_id").agg(F.sum("_c").alias("_n"))
+        return (
+            sym_counts.join(tot, "conv_id")
+            .withColumn("_p", F.col("_c") / F.col("_n"))
+            .groupBy("conv_id")
+            .agg(
+                F.round(
+                    F.abs(F.sum(F.col("_p") * F.log("_p"))), 6
+                ).alias(out_name)
+            )  # abs: entropy is >= 0; normalizes the -0.0 of single-symbol convs
+        )
+
+    roles = transcripts.groupBy("conv_id", "role").agg(F.count("*").alias("_c"))
+    trans = (
+        transcripts.select(
+            "conv_id", F.lag("role").over(w).alias("_prev"), "role"
+        )
+        .where(F.col("_prev").isNotNull())
+        .groupBy("conv_id", "_prev", "role")
+        .agg(F.count("*").alias("_c"))
+    )
+    base = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    return (
+        base.join(_entropy(roles, "role_entropy"), "conv_id")
+        .join(_entropy(trans, "transition_entropy"), "conv_id", "left")
+    )
+
+
 def _h60(c):
     """md5 → uniform 60-bit non-negative integer (15 hex digits), the
     shared deterministic-draw primitive (same construction as the KMV

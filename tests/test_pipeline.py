@@ -826,3 +826,35 @@ def test_entity_freshness_decay(spark):
 
     assert got["new_ent"].freshness == 1.0 and got["new_ent"].n_turns == 1
     assert got["old_ent"].freshness == round(math.exp(-2.0), 6)
+
+
+def test_conversation_entropy_signatures(spark):
+    """Ping-pong (2 roles, alternating) vs monologue (1 role): role
+    entropy ln 2 vs 0.0 (never -0.0); alternation has 2 equiprobable
+    transitions -> ln 2; singleton conv reports NULL transition
+    entropy."""
+    import math
+
+    from tera_spark.pipeline.kg import conversation_entropy
+
+    rows = (
+        [("p", i, ["user", "assistant"][i % 2], "t", None, None) for i in range(4)]
+        + [("m", i, "assistant", "t", None, None) for i in range(4)]
+        + [("s", 0, "user", "t", None, None)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r.conv_id: r for r in conversation_entropy(df).collect()}
+    ln2 = round(math.log(2), 6)
+    p = got["p"]
+    assert p.role_entropy == ln2
+    # transitions u->a (2), a->u (1): H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+    expected = round(-(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3)), 6)
+    assert p.transition_entropy == expected
+    m = got["m"]
+    assert m.role_entropy == 0.0 and str(m.role_entropy) == "0.0"
+    assert m.transition_entropy == 0.0
+    s = got["s"]
+    assert s.role_entropy == 0.0 and s.transition_entropy is None
