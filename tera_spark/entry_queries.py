@@ -2546,6 +2546,25 @@ def _queries() -> dict:
 
     q["kg_conversation_entropy"] = conv_ent
 
+    def sess_stats(spark, sf):
+        # one row per session: count, bounds, exact-microsecond duration
+        from tera_spark.operators.events import session_stats, sessionize
+
+        ev = _t(spark, sf, "events")
+        s = sessionize(ev, gap_seconds=3600, tiebreak="event_id")
+        return session_stats(s)
+
+    q["ev_session_stats"] = sess_stats
+
+    def dup_rate(spark, sf):
+        # per-source exact-duplicate rate — the feed-down-weighting report
+        from tera_spark.operators.dedup import dedup_rate_by_group, exact_dedup
+
+        docs = _t(spark, sf, "documents")
+        return dedup_rate_by_group(docs, exact_dedup(docs))
+
+    q["dedup_rate_by_source"] = dup_rate
+
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
 
@@ -4461,6 +4480,42 @@ FROM transcripts GROUP BY conv_id
     o["text_token_pmi"] = _sql_token_pmi()
     o["graph_pagerank_weighted"] = _sql_pagerank_weighted()
     o["kg_conversation_entropy"] = _sql_conversation_entropy()
+    o["ev_session_stats"] = """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         cast(user_id AS varchar) || ':' || cast(session_idx AS varchar) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts,
+      cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+    FROM (
+      SELECT event_id, user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  > 3600000000::BIGINT
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+  )
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM s GROUP BY 1, 2
+"""
+    o["dedup_rate_by_source"] = r"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+  FROM documents
+),
+reps AS (SELECT k, min(doc_id) AS keep_id FROM keyed GROUP BY k)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS n_dupes,
+       round(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM keyed JOIN reps USING (k) GROUP BY source
+"""
     o["text_rrf_fusion"] = """
 WITH d AS (SELECT doc_id, n_chars, text FROM documents WHERE text IS NOT NULL),
 ra AS (

@@ -508,3 +508,36 @@ def conversation_dedup_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("conv_a", "conv_b", "n_shared_turns", "jaccard")
     )
+
+
+def dedup_rate_by_group(
+    docs: DataFrame,
+    dedup_map: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-rate report per group from an ``exact_dedup`` (or any
+    (doc_id, keep_id)) mapping: how much of each source/domain/shard is
+    redundant — the number that decides which ingestion feeds get
+    down-weighted before training. A row is a duplicate iff it is not
+    its own cluster representative (doc_id != keep_id).
+
+    Scale shape: one join on the id (both sides doc-sized) + one
+    map-side-combine groupBy; rate rounds to 6dp.
+    """
+    joined = docs.select(F.col(id_col).alias("doc_id"), group_col).join(
+        dedup_map.select("doc_id", "keep_id"), "doc_id"
+    )
+    return joined.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)
+        ).alias("n_dupes"),
+        F.round(
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)
+            )
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -170,3 +170,28 @@ def asof_nearest(
         F.when(chosen.isNotNull(), lts - _us(chosen["_rts"])),
     )
     return out.drop("_side", "_p", "_pb", "_pf")
+
+
+def session_stats(
+    sessionized: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Collapse a sessionized event table (``sessionize`` output) to one
+    row per session: event count, start/end, duration in exact
+    microseconds — the table engagement dashboards and session-length
+    curation filters actually read.
+
+    Scale shape: ONE groupBy on (key, session) — map-side combine; the
+    key is the same hash the sessionize window already clustered by, so
+    AQE typically rides the existing exchange. Duration uses exact
+    integer microseconds (UTC-pinned cast, engine-portable).
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    return sessionized.groupBy(key, session_col).agg(
+        F.count("*").alias("n_events"),
+        F.min(ts).alias("start_ts"),
+        F.max(ts).alias("end_ts"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )

@@ -938,3 +938,24 @@ def test_pagerank_weighted_favors_heavy_edge(spark):
     assert "d" not in got
     assert got["b"] > got["c"] > 0
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_dedup_rate_by_group(spark):
+    from tera_spark.operators.dedup import dedup_rate_by_group, exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "a"),
+            (2, "same  TEXT ", "a"),   # normalized dup of 1
+            (3, "unique here", "a"),
+            (4, "other", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: r
+        for r in dedup_rate_by_group(docs, exact_dedup(docs)).collect()
+    }
+    a = got["a"]
+    assert (a.n_docs, a.n_dupes, a.dup_rate) == (3, 1, round(1 / 3, 6))
+    assert (got["b"].n_dupes, got["b"].dup_rate) == (0, 0.0)

@@ -96,3 +96,24 @@ def test_asof_nearest_tolerance_and_ties(spark):
     assert got[3].val is None and got[3].asof_gap_us is None
     # key v has no right rows at all
     assert got[4].val is None
+
+
+def test_session_stats_durations(spark):
+    from datetime import datetime
+
+    from tera_spark.operators.events import session_stats, sessionize
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    ev = spark.createDataFrame(
+        [(1, "u", t(0)), (2, "u", t(10)), (3, "u", t(50)), (4, "v", t(5))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    s = sessionize(ev, gap_seconds=20, tiebreak="event_id")
+    got = {r.session_id: r for r in session_stats(s).collect()}
+    a = got["u:1"]
+    assert a.n_events == 2 and a.duration_us == 10_000_000
+    b = got["u:2"]
+    assert b.n_events == 1 and b.duration_us == 0
+    assert got["v:1"].n_events == 1
