@@ -2565,6 +2565,14 @@ def _queries() -> dict:
 
     q["dedup_rate_by_source"] = dup_rate
 
+    def skew(spark, sf):
+        # pre-join skew probe: top-10 heaviest suppkeys of lineitem
+        from tera_spark.operators.profile import key_skew_report
+
+        return key_skew_report(_t(spark, sf, "lineitem"), "l_suppkey")
+
+    q["quality_key_skew"] = skew
+
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
 
@@ -4502,6 +4510,21 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS start_ts, max(ts) AS end_ts,
        epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
 FROM s GROUP BY 1, 2
+"""
+    o["quality_key_skew"] = """
+WITH c AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT sum(n_rows) AS tt FROM c),
+r AS (
+  SELECT key, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, key ASC NULLS FIRST) AS rank
+  FROM c
+)
+SELECT key, n_rows,
+       round(n_rows / CAST((SELECT tt FROM t) AS DOUBLE), 6) AS share, rank
+FROM r WHERE rank <= 10
 """
     o["dedup_rate_by_source"] = r"""
 WITH keyed AS (

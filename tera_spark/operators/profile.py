@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -60,3 +60,38 @@ def profile_columns(df: DataFrame, columns: list | None = None) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """The pre-join skew probe: the ``top_n`` heaviest values of a key
+    column with their counts and share of the table — the number that
+    decides whether a planned join/groupBy on this key needs salting or
+    AQE skew-join before it ships (one key holding >1/shuffle-partitions
+    of the table IS the straggler). NULL keys are reported as a real
+    population (they hash to one partition like any hot key).
+
+    Returns (key string, n_rows, share round 6, rank) — ties break on
+    the key value for a deterministic cut.
+
+    Scale shape: one map-side-combine count + a distributed TakeOrdered
+    top-n (never a global sort); total rows as a broadcast 1-row
+    aggregate onto the n-row result.
+    """
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_t"))
+    w = Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_t"), 6).alias("share"),
+            "rank",
+        )
+    )

@@ -959,3 +959,16 @@ def test_dedup_rate_by_group(spark):
     a = got["a"]
     assert (a.n_docs, a.n_dupes, a.dup_rate) == (3, 1, round(1 / 3, 6))
     assert (got["b"].n_dupes, got["b"].dup_rate) == (0, 0.0)
+
+
+def test_key_skew_report(spark):
+    from tera_spark.operators.profile import key_skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [(None,)] * 2 + [("cold",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.rank: r for r in key_skew_report(df, "k", top_n=3).collect()}
+    assert got[1].key == "hot" and got[1].n_rows == 6
+    assert got[1].share == 0.5
+    assert got[2].key == "warm"
+    assert got[3].key is None and got[3].n_rows == 2  # NULLs are a population
+    assert len(got) == 3  # 'cold' cut by top_n
