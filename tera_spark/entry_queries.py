@@ -657,6 +657,86 @@ r{k} AS (SELECT n.node,
     return "".join(parts)
 
 
+def _sql_hits(iterations: int = 5) -> str:
+    """HITS oracle: replays ``graph_metrics.hits``'s fixed half-iterations
+    (authority from hubs, L2-normalize; hub from authorities, L2-normalize)
+    as a chained-CTE program over the supplier→nation ∪ nation→region edge
+    graph. Summation-order float fuzz absorbed by round(…, 6) on both
+    sides."""
+    parts = [
+        """
+WITH edges AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT 's:'||cast(s_suppkey AS varchar) AS u, 'n:'||cast(s_nationkey AS varchar) AS v FROM supplier
+    UNION ALL
+    SELECT 'n:'||cast(n_nationkey AS varchar), 'r:'||cast(n_regionkey AS varchar) FROM nation
+  ) WHERE u <> v
+),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""",
+au{k} AS MATERIALIZED (SELECT e.v AS node, sum(h.hub) AS s
+          FROM edges e JOIN h{p} h ON e.u = h.node GROUP BY e.v),
+na{k} AS MATERIALIZED (SELECT CASE WHEN coalesce(sqrt(sum(s*s)), 0) = 0 THEN 1
+                 ELSE sqrt(sum(s*s)) END AS z FROM au{k}),
+a{k} AS MATERIALIZED (SELECT node, s / (SELECT z FROM na{k}) AS authority FROM au{k}),
+hu{k} AS MATERIALIZED (SELECT e.u AS node, sum(a.authority) AS s
+          FROM edges e JOIN a{k} a ON e.v = a.node GROUP BY e.u),
+nh{k} AS MATERIALIZED (SELECT CASE WHEN coalesce(sqrt(sum(s*s)), 0) = 0 THEN 1
+                 ELSE sqrt(sum(s*s)) END AS z FROM hu{k}),
+h{k} AS MATERIALIZED (SELECT node, s / (SELECT z FROM nh{k}) AS hub FROM hu{k})"""
+        )
+    parts.append(
+        f"""
+SELECT n.node,
+       round(coalesce(h.hub, 0), 6) AS hub,
+       round(coalesce(a.authority, 0), 6) AS authority
+FROM nodes n
+LEFT JOIN h{iterations} h ON n.node = h.node
+LEFT JOIN a{iterations} a ON n.node = a.node
+"""
+    )
+    return "".join(parts)
+
+
+def _sql_shortest_paths(rounds: int = 2) -> str:
+    """Bounded Bellman-Ford oracle: replays ``graph_metrics.shortest_paths``
+    (min-weight parallel-edge collapse, seed-set init, ``rounds`` relax
+    rounds) as a chained-CTE program over the reversed region→nation→
+    supplier hierarchy. round(…, 6) absorbs summation-order fuzz."""
+    parts = [
+        """
+WITH e AS (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT 'r:'||cast(n_regionkey AS varchar) AS src,
+           'n:'||cast(n_nationkey AS varchar) AS dst, 1.0 AS w FROM nation
+    UNION ALL
+    SELECT 'n:'||cast(s_nationkey AS varchar),
+           's:'||cast(s_suppkey AS varchar),
+           cast(s_suppkey % 10 + 1 AS DOUBLE) FROM supplier
+  ) WHERE src <> dst GROUP BY src, dst
+),
+d0 AS (SELECT 'r:'||cast(r_regionkey AS varchar) AS node, 0.0 AS dist
+       FROM region WHERE r_regionkey < 2)"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+  SELECT node, dist FROM d{p}
+  UNION ALL
+  SELECT e.dst, d.dist + e.w FROM e JOIN d{p} d ON e.src = d.node
+) GROUP BY node)"""
+        )
+    parts.append(f"\nSELECT node, round(dist, 6) AS dist FROM d{rounds}\n")
+    return "".join(parts)
+
+
 def _sql_kcore(k: int, rounds: int) -> str:
     """k-core oracle: replays the peeling as a fixed chain of ``rounds``
     degree-filter CTEs over the co-supplier graph. Peeling is monotone —
@@ -2233,6 +2313,57 @@ def _queries() -> dict:
 
     q["graph_pagerank"] = pr
 
+    def hits_q(spark, sf):
+        from tera_spark.operators.graph_metrics import hits
+
+        supplier = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        edges = supplier.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("u"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("v"),
+        ).unionByName(
+            nation.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("u"),
+                F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("v"),
+            )
+        )
+        out = hits(edges, iterations=5)
+        return out.select(
+            "node",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+
+    q["graph_hits"] = hits_q
+
+    def sssp(spark, sf):
+        # weighted distance from the region seed set down the reversed
+        # region→nation→supplier hierarchy, 2 relaxation rounds
+        from tera_spark.operators.graph_metrics import shortest_paths
+
+        nation = _t(spark, sf, "nation")
+        supplier = _t(spark, sf, "supplier")
+        edges = nation.select(
+            F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("u"),
+            F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("v"),
+            F.lit(1.0).alias("w"),
+        ).unionByName(
+            supplier.select(
+                F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("u"),
+                F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("v"),
+                ((F.col("s_suppkey") % 10) + 1).cast("double").alias("w"),
+            )
+        )
+        seeds = (
+            _t(spark, sf, "region")
+            .filter(F.col("r_regionkey") < 2)
+            .select(F.concat(F.lit("r:"), F.col("r_regionkey").cast("string")).alias("node"))
+        )
+        out = shortest_paths(edges, seeds, rounds=2)
+        return out.select("node", F.round("dist", 6).alias("dist"))
+
+    q["graph_shortest_paths"] = sssp
+
     def _cosupplier_edges(spark, sf):
         # sparse co-supplier graph: suppliers sharing an order, every
         # 97th order only (the unfiltered sf0.01 graph is complete —
@@ -2581,6 +2712,53 @@ def _queries() -> dict:
         return out.select("event_id", "user_id", "session_idx", "session_id")
 
     q["ev_sessionize"] = sessions
+
+    def _incident_windows(spark, sf):
+        # deterministic incident windows: every 7th event opens a 90s
+        # window on its user — overlapping by construction (the
+        # coalesce/interval-join fixtures need real overlap)
+        ev = _t(spark, sf, "events")
+        return ev.filter(F.col("event_id") % 7 == 0).select(
+            "user_id",
+            F.col("ts").alias("s"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp")) + 90_000_000
+            ).alias("e"),
+            F.col("event_id").alias("incident_id"),
+        )
+
+    def iv_join(spark, sf):
+        # which incident window(s) was each event inside — bin-bucketed
+        # equi-join, never a nested-loop theta join
+        from tera_spark.operators.events import interval_join
+
+        ev = _t(spark, sf, "events")
+        out = interval_join(
+            ev.select("event_id", "user_id", "ts"),
+            _incident_windows(spark, sf),
+            on="user_id",
+            ts="ts",
+            start="s",
+            end="e",
+            bin_seconds=60,
+            interval_cols=["incident_id"],
+        )
+        return out.select("event_id", "user_id", "incident_id")
+
+    q["ev_interval_join"] = iv_join
+
+    def iv_coalesce(spark, sf):
+        # maximal disjoint incident spans per user (gaps-and-islands)
+        from tera_spark.operators.events import coalesce_intervals
+
+        return coalesce_intervals(
+            _incident_windows(spark, sf).drop("incident_id"),
+            on="user_id",
+            start="s",
+            end="e",
+        )
+
+    q["ev_interval_coalesce"] = iv_coalesce
 
     def q1(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -3881,6 +4059,8 @@ UNION
 SELECT DISTINCT 'n:'||cast(s_nationkey AS varchar), 'n:'||cast(s_nationkey AS varchar) FROM supplier
 """
     o["graph_pagerank"] = _sql_pagerank(iterations=5, damping=0.85)
+    o["graph_hits"] = _sql_hits(iterations=5)
+    o["graph_shortest_paths"] = _sql_shortest_paths(rounds=2)
 
     # triangle SET is orientation-invariant: the oracle enumerates each
     # triangle once by id-ordering (x < y < z) where the Spark operator
@@ -3988,6 +4168,33 @@ FROM (
     FROM events
   )
 )
+"""
+
+    o["ev_interval_join"] = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 90 SECOND AS e, event_id AS incident_id
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT p.event_id, p.user_id, iv.incident_id
+FROM events p JOIN iv
+  ON p.user_id = iv.user_id AND p.ts >= iv.s AND p.ts <= iv.e
+"""
+    o["ev_interval_coalesce"] = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 90 SECOND AS e
+  FROM events WHERE event_id % 7 = 0
+),
+o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+),
+m AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS new FROM o),
+i AS (SELECT *, sum(new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island FROM m)
+SELECT user_id, min(s) AS s, max(e) AS e, count(*) AS n_merged
+FROM i GROUP BY user_id, island
 """
 
     o["j2_convert_ids"] = """

@@ -195,3 +195,159 @@ def session_stats(
         F.max(ts).alias("end_ts"),
         (F.max(us) - F.min(us)).alias("duration_us"),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str,
+    start: str,
+    end: str,
+    bin_seconds: int = 3600,
+    interval_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: attach every same-key interval row whose
+    ``[start, end]`` (inclusive both ends) contains the point's ``ts``.
+    A point inside k intervals yields k output rows (standard interval-
+    join multiplicity); with ``how="left"`` unmatched points survive with
+    null interval columns.
+
+    Beyond-reference op: "which incident/session/deployment window was
+    active when this event fired" — the maintenance-window join every
+    event corpus needs and plain equi-joins can't express.
+
+    Scale design — the bin-bucketing formulation, NOT a theta join:
+
+    - A raw ``l.ts BETWEEN r.start AND r.end`` join is planned as
+      (broadcast) nested-loop — per-key quadratic, dead at 100 TB.
+    - Instead each interval is exploded to the epoch bins of width
+      ``bin_seconds`` it covers (``sequence()`` — JVM-side, no Python),
+      points compute their single bin, and the join is a plain EQUI-join
+      on (key, bin) followed by the exact range filter. Shuffle cost is
+      linear in points + interval-rows×bins-covered; Catalyst plans a
+      hash join and AQE handles skewed bins.
+    - ``bin_seconds`` trades duplication for selectivity: set it near the
+      TYPICAL interval length so each interval explodes to ~2 bins. A
+      degenerate interval spanning B bins emits B rows — bound below
+      asserts B ≤ 10_000 per row to catch a mis-sized bin before it
+      becomes a shuffle explosion.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join: how must be inner|left, got {how!r}")
+    interval_cols = interval_cols or [
+        c for c in intervals.columns if c not in (on,)
+    ]
+    clash = set(interval_cols) & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"interval_join: interval_cols clash with point columns: {sorted(clash)}"
+        )
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    iv = (
+        intervals.filter(
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (_us(start) <= _us(end))
+        )
+        .withColumn("_b0", F.floor(_us(start) / bin_us))
+        .withColumn("_b1", F.floor(_us(end) / bin_us))
+    )
+    # fail loudly on a mis-sized bin instead of silently exploding the
+    # join. The assert is fused INTO _b1 (when(assert.isNull(), _b1)) so
+    # column pruning can't optimize it away — a free-standing dropped
+    # assert column would never execute.
+    iv = iv.withColumn(
+        "_b1",
+        F.when(
+            F.assert_true(
+                F.col("_b1") - F.col("_b0") < 10_000,
+                F.lit(
+                    "interval_join: interval spans ≥10k bins — raise bin_seconds"
+                ),
+            ).isNull(),
+            F.col("_b1"),
+        ),
+    )
+    iv = iv.withColumn(
+        "_bin", F.explode(F.sequence(F.col("_b0"), F.col("_b1")))
+    ).select(
+        F.col(on).alias("_ik"),
+        "_bin",
+        F.struct(*[F.col(c) for c in interval_cols]).alias("_ip"),
+        _us(start).alias("_is"),
+        _us(end).alias("_ie"),
+    )
+    pt = points.withColumn("_bin", F.floor(_us(ts) / bin_us))
+    joined = pt.join(
+        iv,
+        (pt[on] == iv["_ik"])
+        & (pt["_bin"] == iv["_bin"])
+        & (_us(ts) >= iv["_is"])
+        & (_us(ts) <= iv["_ie"]),
+        "inner" if how == "inner" else "left_outer",
+    )
+    out = joined
+    for c in interval_cols:
+        out = out.withColumn(c, F.col("_ip")[c])
+    return out.drop("_ik", "_bin", "_ip", "_is", "_ie")
+
+
+def coalesce_intervals(
+    intervals: DataFrame,
+    on: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Merge overlapping or touching same-key intervals into maximal
+    disjoint spans (gaps-and-islands). Returns one row per merged span:
+    ``(on, start, end, n_merged)`` where ``n_merged`` counts the source
+    rows absorbed. Intervals touch when the next ``start`` ≤ the running
+    max ``end`` (inclusive ends — back-to-back [1,5],[5,9] merge).
+
+    The alert/maintenance/mention-window consolidation step: raw interval
+    emissions are heavily overlapping, and every downstream per-window
+    cost (interval_join fan-out, storage) scales with their count.
+
+    Scale shape: ONE shuffle — a single (key)-partitioned window ordered
+    by (start, end) computes the running max end; island ids are a
+    conditional running sum over the same sort; the final groupBy rides
+    the same hash partitioning. Microsecond-exact timestamp math (same
+    convention as ``sessionize``). NULL-bounded rows are dropped.
+    """
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    w = Window.partitionBy(on).orderBy(_us(start), _us(end))
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    df = (
+        intervals.filter(
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (_us(start) <= _us(end))
+        )
+        .withColumn("_s", _us(start))
+        .withColumn("_e", _us(end))
+        .withColumn("_pmax", F.max("_e").over(wprev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pmax").isNull() | (F.col("_s") > F.col("_pmax")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+    )
+    return (
+        df.groupBy(F.col(on), F.col("_island"))
+        .agg(
+            F.timestamp_micros(F.min("_s")).alias(start),
+            F.timestamp_micros(F.max("_e")).alias(end),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_island")
+    )

@@ -791,3 +791,155 @@ def pagerank_weighted(
         )
         dangling_mass = float(obs.get["dm"] or 0.0)
     return ranks.select("node", "rank")
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """HITS hubs & authorities over a directed edge list (string node ids).
+
+    Returns DataFrame(node string, hub double, authority double), both
+    scores L2-normalized. Beyond-reference analytics op (the reference's
+    graph lives in rdflib; no rank operators): in a transcript KG,
+    authorities are the entities many hub-turns point AT (canonical
+    chemicals/species), hubs are the connectors (conversations/tools that
+    reference many authorities) — the two-sided centrality PageRank's
+    single score conflates.
+
+    Scale design: same discipline as :func:`pagerank` —
+
+    - Edge table deduplicated, self-loops dropped, pre-partitioned by src
+      and ``localCheckpoint``-ed ONCE; each half-iteration joins only the
+      node-sized score table into that fixed partitioning.
+    - Fixed iteration count (no convergence test) → bit-stable and
+      CTE-replayable by the DuckDB oracle.
+    - The L2 norm of each new score vector rides the half-iteration's
+      checkpoint action as an ``observe()`` metric — exactly one Spark job
+      per half-iteration, no separate ``agg().collect()``; the division by
+      the norm is a lazy projection over the checkpointed table (no extra
+      shuffle, constant-size plan).
+    - Nodes with no out-edges have hub 0 after one iteration; no in-edges
+      → authority 0 (standard HITS; no dangling correction exists here).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .repartition("u")
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # init: every node hub=1, authority derived first — matches the oracle
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = None
+    for _ in range(iterations):
+        # authority(v) = Σ hub(u) over in-edges, then L2-normalize
+        obs_a = Observation()
+        a_un = (
+            e.join(hubs.select(F.col("node").alias("u"), "hub"), "u")
+            .groupBy("v")
+            .agg(F.sum("hub").alias("s"))
+            .observe(obs_a, F.sum(F.col("s") * F.col("s")).alias("n2"))
+            .localCheckpoint()
+        )
+        norm_a = float(obs_a.get["n2"] or 0.0) ** 0.5 or 1.0
+        auths = a_un.select(
+            F.col("v").alias("node"), (F.col("s") / F.lit(norm_a)).alias("authority")
+        )
+        # hub(u) = Σ authority(v) over out-edges, then L2-normalize
+        obs_h = Observation()
+        h_un = (
+            e.join(auths.select(F.col("node").alias("v"), "authority"), "v")
+            .groupBy("u")
+            .agg(F.sum("authority").alias("s"))
+            .observe(obs_h, F.sum(F.col("s") * F.col("s")).alias("n2"))
+            .localCheckpoint()
+        )
+        norm_h = float(obs_h.get["n2"] or 0.0) ** 0.5 or 1.0
+        hubs = h_un.select(
+            F.col("u").alias("node"), (F.col("s") / F.lit(norm_h)).alias("hub")
+        )
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src_col: str = "u",
+    dst_col: str = "v",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths, Bellman-Ford style,
+    bounded to paths of at most ``rounds`` edges. Returns (node, dist
+    double) for every node reachable within the bound; seeds at 0.0;
+    distance = min total weight over all ≤``rounds``-edge paths from any
+    seed. The weighted sibling of :func:`bfs_distances` — "how CLOSE is
+    this entity" (confidence-weighted KG edges, latency-weighted event
+    graphs) rather than "how many hops".
+
+    Directed; pass a pre-reversed / symmetrized edge list for undirected
+    semantics. Weights may be any double (the bounded-hop minimum is
+    well-defined even with negative edges — there is no negative-cycle
+    divergence because the hop count is capped).
+
+    Scale design — the same fixed-point discipline as :func:`pagerank`:
+
+    - Edge table deduplicated to min-weight per (u, v) (parallel edges
+      can never beat their cheapest member), pre-partitioned by src and
+      checkpointed ONCE; every relaxation round re-shuffles only the
+      node-sized distance table onto that fixed layout.
+    - One relaxation round = join + ``groupBy(node).min(dist)`` — the min
+      combines map-side, so the reduce shuffle carries one row per
+      (partition, node), not one per relaxed edge.
+    - Fixed ``rounds`` (no convergence test) → bit-stable, one job per
+      round, and a chained-CTE oracle replays it exactly.
+    - ``localCheckpoint`` per round keeps the plan constant-size.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    s0 = seeds.columns[0]
+    dist = (
+        seeds.select(F.col(s0).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

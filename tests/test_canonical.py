@@ -275,3 +275,99 @@ def test_label_propagation_two_cliques(spark):
     assert got4 == {"a": "a", "b": "a", "c": "a", "x": "c", "y": "c", "z": "c"}
     got5 = {r.node: r.label for r in label_propagation(df, rounds=5).collect()}
     assert got5 == got4
+
+
+# --------------------------------------------------------------------------
+# HITS (operators/graph_metrics.py)
+# --------------------------------------------------------------------------
+def _numpy_hits(edge_list, iterations=5):
+    """Reference dense HITS: auth from hubs then L2-norm, hub from auths
+    then L2-norm, starting from hub=1 everywhere."""
+    import numpy as np
+
+    edges = sorted({(u, v) for u, v in edge_list if u != v})
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {nm: i for i, nm in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iterations):
+        a = A.T @ h
+        a /= np.linalg.norm(a) or 1.0
+        h = A @ a
+        h /= np.linalg.norm(h) or 1.0
+    return {nm: (h[idx[nm]], a[idx[nm]]) for nm in nodes}
+
+
+def test_hits_matches_dense_reference(spark):
+    from tera_spark.operators.graph_metrics import hits
+
+    edge_list = [
+        ("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "sink"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("a", "hub"),  # duplicate — must not double-count
+        ("w", "w"),    # self-loop only — dropped entirely
+        ("sink2", "a"),
+    ]
+    df = spark.createDataFrame(edge_list, "u string, v string")
+    got = {r.node: (r.hub, r.authority) for r in hits(df, iterations=5).collect()}
+    want = _numpy_hits(edge_list)
+    assert set(got) == set(want)
+    for nm in want:
+        assert abs(got[nm][0] - want[nm][0]) < 1e-12, nm
+        assert abs(got[nm][1] - want[nm][1]) < 1e-12, nm
+    # 'hub' is the top authority (3 in-edges from pure hubs); its sources
+    # a/b/c are the top hubs; nodes with no out-edges have hub exactly 0
+    assert got["hub"][1] == max(v[1] for v in got.values())
+    assert got["sink"][0] == 0.0
+
+
+def test_hits_job_budget(spark):
+    """Two setup checkpoints (edges, nodes) + two observe()-fused
+    checkpoints per iteration (authority, hub) — no hidden agg jobs."""
+    from tera_spark.operators.graph_metrics import hits
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edge_list, "u string, v string")
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = len(tracker.getJobIdsForGroup(None))
+        hits(df, iterations=3)
+        after = len(tracker.getJobIdsForGroup(None))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert after - before == 2 + 2 * 3, f"hits ran {after - before} jobs, want 8"
+
+
+def test_shortest_paths_weighted(spark):
+    from tera_spark.operators.graph_metrics import shortest_paths
+
+    # s→a→b is cheaper (1+1=2) than the direct s→b (5); c only reachable
+    # in 3 hops; parallel edge s→a keeps its min; d unreachable
+    edges = spark.createDataFrame(
+        [("s", "a", 1.0), ("s", "a", 9.0), ("a", "b", 1.0), ("s", "b", 5.0),
+         ("b", "c", 1.0), ("d", "s", 1.0), ("x", "x", 0.0)],
+        "u string, v string, w double",
+    )
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got3 = {r.node: r.dist for r in shortest_paths(edges, seeds, rounds=3).collect()}
+    assert got3 == {"s": 0.0, "a": 1.0, "b": 2.0, "c": 3.0}
+    # hop bound respected: at 1 round the direct s→b edge is the best
+    got1 = {r.node: r.dist for r in shortest_paths(edges, seeds, rounds=1).collect()}
+    assert got1 == {"s": 0.0, "a": 1.0, "b": 5.0}
+
+
+def test_shortest_paths_seed_set_min(spark):
+    from tera_spark.operators.graph_metrics import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("p", "m", 10.0), ("q", "m", 2.0)], "u string, v string, w double"
+    )
+    seeds = spark.createDataFrame([("p",), ("q",)], "node string")
+    got = {r.node: r.dist for r in shortest_paths(edges, seeds, rounds=2).collect()}
+    assert got == {"p": 0.0, "q": 0.0, "m": 2.0}

@@ -117,3 +117,108 @@ def test_session_stats_durations(spark):
     b = got["u:2"]
     assert b.n_events == 1 and b.duration_us == 0
     assert got["v:1"].n_events == 1
+
+
+# --------------------------------------------------------------------------
+# interval_join / coalesce_intervals (operators/events.py)
+# --------------------------------------------------------------------------
+def test_interval_join_multiplicity_and_bounds(spark):
+    from tera_spark.operators.events import interval_join
+
+    points = spark.createDataFrame(
+        [("u1", _ts(5), "p5"), ("u1", _ts(10), "p10"), ("u1", _ts(100), "p100"),
+         ("u2", _ts(5), "q5")],
+        "k string, ts timestamp, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [("u1", _ts(0), _ts(10), "A"),     # contains p5, p10 (inclusive end)
+         ("u1", _ts(5), _ts(50), "B"),     # contains p5 (inclusive start), p10
+         ("u2", _ts(90), _ts(95), "C")],   # matches nothing
+        "k string, s timestamp, e timestamp, win string",
+    )
+    got = sorted(
+        (r.tag, r.win)
+        for r in interval_join(
+            points, intervals, on="k", ts="ts", start="s", end="e",
+            bin_seconds=7, interval_cols=["win"],
+        ).collect()
+    )
+    assert got == [("p10", "A"), ("p10", "B"), ("p5", "A"), ("p5", "B")]
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    from tera_spark.operators.events import interval_join
+
+    points = spark.createDataFrame(
+        [("u1", _ts(5), 1), ("u1", _ts(99), 2)], "k string, ts timestamp, pid int"
+    )
+    intervals = spark.createDataFrame(
+        [("u1", _ts(0), _ts(10), "A")], "k string, s timestamp, e timestamp, win string"
+    )
+    rows = {r.pid: r.win for r in interval_join(
+        points, intervals, on="k", ts="ts", start="s", end="e",
+        bin_seconds=60, interval_cols=["win"], how="left",
+    ).collect()}
+    assert rows == {1: "A", 2: None}
+
+
+def test_interval_join_rejects_clash_and_bad_how(spark):
+    import pytest as _pt
+
+    from tera_spark.operators.events import interval_join
+
+    df = spark.createDataFrame([("u", _ts(0), _ts(1))], "k string, s timestamp, e timestamp")
+    pts = spark.createDataFrame([("u", _ts(0), "x")], "k string, ts timestamp, s string")
+    with _pt.raises(ValueError, match="clash"):
+        interval_join(pts, df, on="k", ts="ts", start="s", end="e")
+    with _pt.raises(ValueError, match="how"):
+        interval_join(pts, df, on="k", ts="ts", start="s", end="e",
+                      interval_cols=["e"], how="full")
+
+
+def test_coalesce_intervals_islands(spark):
+    from tera_spark.operators.events import coalesce_intervals
+
+    iv = spark.createDataFrame(
+        [
+            # u1: [0,5]+[5,9] touch → merge; [3,4] nested → absorbed; [20,30] alone
+            ("u1", _ts(0), _ts(5)), ("u1", _ts(5), _ts(9)), ("u1", _ts(3), _ts(4)),
+            ("u1", _ts(20), _ts(30)),
+            # u2: strictly disjoint stay apart; inverted row dropped
+            ("u2", _ts(0), _ts(1)), ("u2", _ts(2), _ts(3)), ("u2", _ts(9), _ts(4)),
+        ],
+        "k string, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.k, r.s, r.e, r.n_merged)
+        for r in coalesce_intervals(iv, on="k", start="s", end="e").collect()
+    )
+    assert got == [
+        ("u1", _ts(0), _ts(9), 3),
+        ("u1", _ts(20), _ts(30), 1),
+        ("u2", _ts(0), _ts(1), 1),
+        ("u2", _ts(2), _ts(3), 1),
+    ]
+
+
+def test_interval_roundtrip_coalesce_then_join(spark):
+    # coalesced windows must classify points exactly as the raw set does
+    from tera_spark.operators.events import coalesce_intervals, interval_join
+
+    raw = spark.createDataFrame(
+        [("u", _ts(0), _ts(10)), ("u", _ts(8), _ts(20)), ("u", _ts(40), _ts(50))],
+        "k string, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [("u", _ts(i), i) for i in (0, 15, 20, 21, 45, 60)],
+        "k string, ts timestamp, pid int",
+    )
+    merged = coalesce_intervals(raw, on="k", start="s", end="e")
+    inside = sorted(
+        r.pid
+        for r in interval_join(
+            pts, merged, on="k", ts="ts", start="s", end="e",
+            bin_seconds=5, interval_cols=["n_merged"],
+        ).collect()
+    )
+    assert inside == [0, 15, 20, 45]
