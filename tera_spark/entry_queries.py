@@ -737,6 +737,51 @@ d{k} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
     return "".join(parts)
 
 
+def _sql_random_walks(walks_per_node: int = 2, length: int = 3) -> str:
+    """Random-walk oracle: replays the md5-argmin next-hop choice per
+    step as a chained-CTE program (row_number over (md5, dst) — the same
+    total order as the operator's min(struct(h, dst)))."""
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT u AS src, v AS dst FROM (
+    SELECT 's:'||cast(s_suppkey AS varchar) AS u, 'n:'||cast(s_nationkey AS varchar) AS v FROM supplier
+    UNION ALL
+    SELECT 'n:'||cast(n_nationkey AS varchar), 'r:'||cast(n_regionkey AS varchar) FROM nation
+  ) WHERE u <> v
+),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+w0 AS MATERIALIZED (
+  SELECT node||'#'||cast(g AS varchar) AS walk_id, node AS start, node AS cur,
+         node AS path, 0 AS steps
+  FROM nodes, range({walks_per_node}) t(g)
+)"""
+    ]
+    for s in range(1, length + 1):
+        p = s - 1
+        parts.append(
+            f""",
+p{s} AS MATERIALIZED (
+  SELECT walk_id, dst FROM (
+    SELECT w.walk_id, e.dst,
+           row_number() OVER (PARTITION BY w.walk_id
+                              ORDER BY md5(w.walk_id||':{s}:'||e.dst), e.dst) AS rn
+    FROM w{p} w JOIN e ON w.cur = e.src
+  ) WHERE rn = 1
+),
+w{s} AS MATERIALIZED (
+  SELECT w.walk_id, w.start, coalesce(p.dst, w.cur) AS cur,
+         CASE WHEN p.dst IS NULL THEN w.path ELSE w.path||'>'||p.dst END AS path,
+         CASE WHEN p.dst IS NULL THEN w.steps ELSE w.steps + 1 END AS steps
+  FROM w{p} w LEFT JOIN p{s} p USING (walk_id)
+)"""
+        )
+    parts.append(
+        f"\nSELECT walk_id, start, path, cast(steps AS INT) AS steps FROM w{length}\n"
+    )
+    return "".join(parts)
+
+
 def _sql_kcore(k: int, rounds: int) -> str:
     """k-core oracle: replays the peeling as a fixed chain of ``rounds``
     degree-filter CTEs over the co-supplier graph. Peeling is monotone —
@@ -1269,6 +1314,53 @@ SELECT conv_id,
                   chr(10) ORDER BY turn_idx) AS rendered,
        count(*) AS n_turns
 FROM transcripts GROUP BY conv_id
+"""
+
+
+def _sql_boilerplate(min_docs: int = 3, clean: bool = False) -> str:
+    """Boilerplate oracle: renders the fixture conversations exactly like
+    ``render_conversations`` (ordered string_agg), re-splits on newline
+    (turn text could itself contain one — splitting the RENDERED doc is
+    the operator's contract), normalizes each line (lower, collapse
+    whitespace, trim), counts distinct docs per line. ``clean=True``
+    additionally replays the removal: md5 of surviving lines in original
+    order, kept/dropped counts, id completeness via LEFT-join-free GROUP
+    BY over ALL lines."""
+    base = f"""
+WITH {_kg_fixture_sql_cte()},
+r AS MATERIALIZED (
+  SELECT conv_id,
+         string_agg(coalesce(role,'')||': '||coalesce(text,''),
+                    chr(10) ORDER BY turn_idx) AS rendered
+  FROM transcripts GROUP BY conv_id
+),
+pl AS MATERIALIZED (
+  SELECT conv_id,
+         generate_subscripts(string_split(rendered, chr(10)), 1) AS pos,
+         unnest(string_split(rendered, chr(10))) AS raw
+  FROM r
+),
+nl AS MATERIALIZED (
+  SELECT conv_id, pos, raw,
+         trim(regexp_replace(lower(raw), '\\s+', ' ', 'g')) AS lk
+  FROM pl
+),
+bp AS MATERIALIZED (
+  SELECT lk, count(DISTINCT conv_id) AS n_docs FROM nl
+  WHERE lk <> '' GROUP BY lk HAVING count(DISTINCT conv_id) >= {min_docs}
+)"""
+    if not clean:
+        return base + "\nSELECT lk AS line_key, n_docs FROM bp\n"
+    return base + """
+SELECT conv_id,
+       md5(coalesce(string_agg(raw, chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT drop), '')) AS clean_md5,
+       count(*) FILTER (WHERE NOT drop) AS n_lines_kept,
+       count(*) FILTER (WHERE drop) AS n_lines_dropped
+FROM (SELECT conv_id, pos, raw,
+             (lk <> '' AND lk IN (SELECT lk FROM bp)) AS drop
+      FROM nl)
+GROUP BY conv_id
 """
 
 
@@ -2363,6 +2455,26 @@ def _queries() -> dict:
         return out.select("node", F.round("dist", 6).alias("dist"))
 
     q["graph_shortest_paths"] = sssp
+
+    def walks(spark, sf):
+        # deterministic DeepWalk corpus over the supplier→nation→region
+        # hierarchy: md5-argmin next-hop, replayable byte-for-byte
+        from tera_spark.operators.graph_metrics import random_walks
+
+        supplier = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        edges = supplier.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("u"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("v"),
+        ).unionByName(
+            nation.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("u"),
+                F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("v"),
+            )
+        )
+        return random_walks(edges, walks_per_node=2, length=3)
+
+    q["graph_random_walks"] = walks
 
     def _cosupplier_edges(spark, sf):
         # sparse co-supplier graph: suppliers sharing an order, every
@@ -3479,6 +3591,39 @@ def _queries() -> dict:
 
     q["kg_render_conversations"] = kg_render
 
+    def bp_report(spark, sf):
+        # corpus-frequent lines over conversation documents: turn texts
+        # repeated across ≥3 conversations are the boilerplate (system
+        # prompts, tool chrome) a curation pass strips before training
+        from tera_spark.operators.textops import boilerplate_line_report
+        from tera_spark.pipeline.kg import render_conversations
+
+        docs = render_conversations(_kg_fixture(spark))
+        return boilerplate_line_report(
+            docs, min_docs=3, text_col="rendered", id_col="conv_id"
+        )
+
+    q["text_boilerplate_report"] = bp_report
+
+    def bp_clean(spark, sf):
+        # boilerplate removal with id completeness: every conversation
+        # survives, original line order/casing preserved (md5-pinned)
+        from tera_spark.operators.textops import remove_boilerplate
+        from tera_spark.pipeline.kg import render_conversations
+
+        docs = render_conversations(_kg_fixture(spark))
+        out = remove_boilerplate(
+            docs, min_docs=3, text_col="rendered", id_col="conv_id"
+        )
+        return out.select(
+            "conv_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_lines_kept",
+            "n_lines_dropped",
+        )
+
+    q["text_boilerplate_clean"] = bp_clean
+
     def deg_hist(spark, sf):
         # log2-bucketed degree distribution — the hot-vertex skew probe
         from tera_spark.operators.graph_metrics import degree_histogram
@@ -4061,6 +4206,7 @@ SELECT DISTINCT 'n:'||cast(s_nationkey AS varchar), 'n:'||cast(s_nationkey AS va
     o["graph_pagerank"] = _sql_pagerank(iterations=5, damping=0.85)
     o["graph_hits"] = _sql_hits(iterations=5)
     o["graph_shortest_paths"] = _sql_shortest_paths(rounds=2)
+    o["graph_random_walks"] = _sql_random_walks(walks_per_node=2, length=3)
 
     # triangle SET is orientation-invariant: the oracle enumerates each
     # triangle once by id-ordering (x < y < z) where the Spark operator
@@ -4687,6 +4833,8 @@ FROM transcripts GROUP BY conv_id
     o["kg_negative_samples"] = _sql_kg_negative_samples()
     o["text_length_percentiles"] = _sql_length_percentiles()
     o["kg_render_conversations"] = _sql_render_conversations()
+    o["text_boilerplate_report"] = _sql_boilerplate(min_docs=3)
+    o["text_boilerplate_clean"] = _sql_boilerplate(min_docs=3, clean=True)
     o["graph_degree_histogram"] = _sql_degree_histogram()
     o["sketch_count_min"] = _sql_count_min()
     o["kg_negative_samples_typed"] = _sql_kg_negative_samples_typed()

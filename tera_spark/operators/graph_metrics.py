@@ -943,3 +943,97 @@ def shortest_paths(
             .localCheckpoint()
         )
     return dist
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 1,
+    length: int = 3,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """Deterministic pseudo-random walks over a directed edge list — the
+    DeepWalk/node2vec corpus-generation step for KG embeddings, made
+    reproducible: at step s, walk w standing at node x moves to the
+    out-neighbor y minimizing ``md5(walk_id || ':s:' || y)`` (ties by y).
+    Every engine computes the same md5 bytes, so the walk corpus is a
+    pure function of the graph — append-stable, resumable, and replayable
+    by a chained-CTE oracle — while still mixing like a uniform pick
+    (md5 is effectively a per-(walk, step, neighbor) uniform draw).
+
+    Returns (walk_id string, start string, path string, steps int) where
+    ``path`` is '>'-joined node ids starting at the seed and ``steps``
+    counts edges taken. A walk at a node with no out-edges simply stops
+    (its remaining steps append nothing). ``walk_id = node || '#' || i``
+    for i in [0, walks_per_node).
+
+    Scale design — the :func:`pagerank` iteration shape:
+
+    - Edge table deduplicated and self-loops dropped (a walk stepping to
+      itself generates no skip-gram signal); parallel edges collapse —
+      the simple-graph convention of the other operators here.
+    - Pre-partitioned by src + ``localCheckpoint`` once; each step joins
+      the walk-sized frontier into that fixed layout, then the argmin is
+      a map-side-combinable ``min(struct(hash, dst))`` groupBy — never a
+      per-walk Python loop, never neighbor lists collected to the driver.
+    - Fixed ``length`` → constant plan size via per-step checkpoint.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .repartition("src")
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    walks = (
+        nodes.select(
+            "node", F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("_g")
+        )
+        .select(
+            F.concat("node", F.lit("#"), F.col("_g").cast("string")).alias("walk_id"),
+            F.col("node").alias("start"),
+            F.col("node").alias("cur"),
+            F.col("node").alias("path"),
+            F.lit(0).alias("steps"),
+        )
+        .localCheckpoint()
+    )
+    for s in range(1, length + 1):
+        pick = (
+            walks.join(e, walks["cur"] == e["src"])
+            .groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.md5(
+                            F.concat(F.col("walk_id"), F.lit(f":{s}:"), F.col("dst"))
+                        ).alias("h"),
+                        F.col("dst"),
+                    )
+                )["dst"].alias("_next")
+            )
+        )
+        walks = (
+            walks.join(pick, "walk_id", "left")
+            .select(
+                "walk_id",
+                "start",
+                F.coalesce("_next", "cur").alias("cur"),
+                F.when(
+                    F.col("_next").isNotNull(),
+                    F.concat("path", F.lit(">"), F.col("_next")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                F.when(F.col("_next").isNotNull(), F.col("steps") + 1)
+                .otherwise(F.col("steps"))
+                .alias("steps"),
+            )
+            .localCheckpoint()
+        )
+    return walks.select("walk_id", "start", "path", "steps")

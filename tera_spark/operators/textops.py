@@ -479,3 +479,97 @@ def rrf_fuse(rankings: list, id_col: str = "doc_id", k: int = 60) -> DataFrame:
         ),
         F.count("*").alias("n_lists"),
     )
+
+
+def _line_key(col: Column) -> Column:
+    """Normalized line identity for boilerplate matching: lowercase,
+    whitespace collapsed, trimmed — same convention as
+    ``dedup._norm_text`` so line- and doc-level dedup agree on what
+    "the same text" means."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def boilerplate_line_report(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequent lines: every normalized line occurring in at least
+    ``min_docs`` DISTINCT documents, with its document count. CCNet-style
+    boilerplate detection (navigation chrome, cookie banners, license
+    headers repeat across pages; body text doesn't) — the report is the
+    curation-review artifact, :func:`remove_boilerplate` the enforcement.
+
+    Returns (line_key string, n_docs long), empty/NULL lines excluded.
+
+    Scale shape: explode lines → per-doc distinct → one
+    map-side-combined ``groupBy(line_key)`` count. The distinct and the
+    count share the same hash partitioning (line_key), so Catalyst plans
+    ONE exchange; no driver-side state, no collect.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+    ).select("_d", _line_key(F.col("_raw")).alias("line_key"))
+    return (
+        lines.filter(F.col("line_key") != "")
+        .dropDuplicates(["line_key", "_d"])
+        .groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop corpus-frequent lines from every document. Returns one row
+    per input document: (``id_col``, clean_text string, n_lines_kept
+    long, n_lines_dropped long). Lines are matched by normalized
+    identity (:func:`_line_key`) but the ORIGINAL line text and order
+    are preserved in ``clean_text``; empty lines never count as
+    boilerplate but survive in place (they carry paragraph structure).
+
+    Scale shape: posexplode → left join against the (much smaller)
+    boilerplate line set on line_key → ``groupBy(doc)`` reassembly via
+    sort_array over (pos, line) structs. Two shuffles total (the
+    boilerplate count + the reassembly); the join key is the line hash,
+    so hot boilerplate lines are exactly the keys AQE's skew handling
+    splits. Documents with zero surviving lines keep an empty string —
+    the row is never lost (downstream joins depend on id completeness).
+    """
+    bp = boilerplate_line_report(
+        docs, min_docs=min_docs, text_col=text_col, id_col=id_col
+    ).select("line_key", F.lit(True).alias("_bp"))
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),
+    ).withColumn("line_key", _line_key(F.col("_raw")))
+    marked = lines.join(bp, "line_key", "left").withColumn(
+        "_drop", F.coalesce(F.col("_bp"), F.lit(False)) & (F.col("line_key") != "")
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct(F.col("_pos"), F.col("_raw").alias("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.when(~F.col("_drop"), True)).alias("n_lines_kept"),
+            F.count(F.when(F.col("_drop"), True)).alias("n_lines_dropped"),
+        )
+    )

@@ -371,3 +371,30 @@ def test_shortest_paths_seed_set_min(spark):
     seeds = spark.createDataFrame([("p",), ("q",)], "node string")
     got = {r.node: r.dist for r in shortest_paths(edges, seeds, rounds=2).collect()}
     assert got == {"p": 0.0, "q": 0.0, "m": 2.0}
+
+
+def test_random_walks_deterministic_and_bounded(spark):
+    import hashlib
+
+    from tera_spark.operators.graph_metrics import random_walks
+
+    edge_list = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("x", "x")]
+    df = spark.createDataFrame(edge_list, "u string, v string")
+    out = {r.walk_id: r for r in random_walks(df, walks_per_node=2, length=3).collect()}
+    # x has only a self-loop → isolated after the drop → absent entirely
+    assert not any(w.startswith("x#") for w in out)
+    # d is a sink: walks from d take zero steps
+    assert out["d#0"].path == "d" and out["d#0"].steps == 0
+    # a's first hop replays the md5 argmin by hand
+    for g in (0, 1):
+        wid = f"a#{g}"
+        pick = min(("b", "c"), key=lambda y: (hashlib.md5(f"{wid}:1:{y}".encode()).hexdigest(), y))
+        assert out[wid].path.split(">")[1] == pick
+    # every walk starts at its seed; steps == path length - 1
+    for wid, r in out.items():
+        parts = r.path.split(">")
+        assert parts[0] == r.start == wid.split("#")[0]
+        assert r.steps == len(parts) - 1 and r.steps <= 3
+    # determinism: a second run returns identical paths
+    again = {r.walk_id: r.path for r in random_walks(df, walks_per_node=2, length=3).collect()}
+    assert again == {k: v.path for k, v in out.items()}

@@ -972,3 +972,45 @@ def test_key_skew_report(spark):
     assert got[2].key == "warm"
     assert got[3].key is None and got[3].n_rows == 2  # NULLs are a population
     assert len(got) == 3  # 'cold' cut by top_n
+
+
+def test_boilerplate_report_and_removal(spark):
+    from tera_spark.operators.textops import boilerplate_line_report, remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE  banner\nunique alpha\n\nfooter"),
+            (2, "cookie BANNER\nunique beta\nfooter"),
+            (3, "unique gamma\nFooter"),
+            (4, ""),  # empty doc must survive removal
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r.line_key: r.n_docs
+        for r in boilerplate_line_report(docs, min_docs=2).collect()
+    }
+    # case/whitespace-insensitive identity; empty lines never counted
+    assert rep == {"cookie banner": 2, "footer": 3}
+
+    out = {r.doc_id: r for r in remove_boilerplate(docs, min_docs=2).collect()}
+    assert len(out) == 4
+    # original casing and order preserved; empty line kept in place
+    assert out[1].clean_text == "unique alpha\n"
+    assert out[1].n_lines_kept == 2 and out[1].n_lines_dropped == 2
+    assert out[2].clean_text == "unique beta"
+    assert out[3].clean_text == "unique gamma"
+    # empty doc: split('') yields one empty line — kept, never boilerplate
+    assert out[4].clean_text == "" and out[4].n_lines_dropped == 0
+
+
+def test_boilerplate_threshold_boundary(spark):
+    from tera_spark.operators.textops import boilerplate_line_report
+
+    # a line repeated many times WITHIN one doc counts that doc once
+    docs = spark.createDataFrame(
+        [(1, "x\nx\nx\ny"), (2, "z")], "doc_id long, text string"
+    )
+    assert boilerplate_line_report(docs, min_docs=2).count() == 0
+    got = {r.line_key for r in boilerplate_line_report(docs, min_docs=1).collect()}
+    assert got == {"x", "y", "z"}
