@@ -737,10 +737,14 @@ d{k} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
     return "".join(parts)
 
 
-def _sql_random_walks(walks_per_node: int = 2, length: int = 3) -> str:
+def _sql_random_walks(
+    walks_per_node: int = 2, length: int = 3, skipgrams_window: int | None = None
+) -> str:
     """Random-walk oracle: replays the md5-argmin next-hop choice per
     step as a chained-CTE program (row_number over (md5, dst) — the same
-    total order as the operator's min(struct(h, dst)))."""
+    total order as the operator's min(struct(h, dst))). With
+    ``skipgrams_window`` set, continues into the skip-gram pair counts
+    (walk_skipgrams replay) instead of returning the walks."""
     parts = [
         f"""
 WITH e AS MATERIALIZED (
@@ -776,9 +780,25 @@ w{s} AS MATERIALIZED (
   FROM w{p} w LEFT JOIN p{s} p USING (walk_id)
 )"""
         )
-    parts.append(
-        f"\nSELECT walk_id, start, path, cast(steps AS INT) AS steps FROM w{length}\n"
-    )
+    if skipgrams_window is not None:
+        parts.append(
+            f""",
+tk AS MATERIALIZED (
+  SELECT walk_id, generate_subscripts(string_split(path, '>'), 1) AS pos,
+         unnest(string_split(path, '>')) AS node
+  FROM w{length}
+)
+SELECT a.node AS center, b.node AS context, count(*) AS cnt
+FROM tk a JOIN tk b
+  ON a.walk_id = b.walk_id AND a.pos <> b.pos
+ AND abs(a.pos - b.pos) <= {skipgrams_window}
+GROUP BY 1, 2
+"""
+        )
+    else:
+        parts.append(
+            f"\nSELECT walk_id, start, path, cast(steps AS INT) AS steps FROM w{length}\n"
+        )
     return "".join(parts)
 
 
@@ -2476,6 +2496,25 @@ def _queries() -> dict:
 
     q["graph_random_walks"] = walks
 
+    def skipgrams(spark, sf):
+        # (center, context, count) SGNS training table from the walk corpus
+        from tera_spark.operators.graph_metrics import random_walks, walk_skipgrams
+
+        supplier = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        edges = supplier.select(
+            F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("u"),
+            F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("v"),
+        ).unionByName(
+            nation.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("u"),
+                F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("v"),
+            )
+        )
+        return walk_skipgrams(random_walks(edges, walks_per_node=2, length=3), window=2)
+
+    q["graph_walk_skipgrams"] = skipgrams
+
     def _cosupplier_edges(spark, sf):
         # sparse co-supplier graph: suppliers sharing an order, every
         # 97th order only (the unfiltered sf0.01 graph is complete —
@@ -2815,6 +2854,18 @@ def _queries() -> dict:
         return key_skew_report(_t(spark, sf, "lineitem"), "l_suppkey")
 
     q["quality_key_skew"] = skew
+
+    def zorder(spark, sf):
+        # Morton layout key over (customer, order-day): the write-side
+        # clustering column that keeps BOTH predicate dims file-skippable
+        from tera_spark.functions.layout import zorder_key2
+
+        o = _t(spark, sf, "orders")
+        x = F.col("o_custkey")
+        y = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        return o.select("o_orderkey", zorder_key2(x, y, 16).alias("zkey"))
+
+    q["layout_zorder_key"] = zorder
 
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
@@ -3238,6 +3289,16 @@ def _queries() -> dict:
     q["dedup_ngram_jaccard"] = lambda spark, sf: ngram_jaccard_pairs(
         _t(spark, sf, "documents"), threshold=0.5
     )
+
+    def jac_prefix(spark, sf):
+        # EXACT token-set similarity join (prefix filtering, zero false
+        # negatives) — the oracle is the naive all-pairs definition, so
+        # a hash match proves the pruning lost nothing
+        from tera_spark.operators.dedup import jaccard_prefix_pairs
+
+        return jaccard_prefix_pairs(_t(spark, sf, "documents"), threshold=0.95)
+
+    q["dedup_jaccard_prefix"] = jac_prefix
 
     def mh_sig(spark, sf):
         return minhash_signatures(_t(spark, sf, "documents"), num_hashes=8)
@@ -4207,6 +4268,9 @@ SELECT DISTINCT 'n:'||cast(s_nationkey AS varchar), 'n:'||cast(s_nationkey AS va
     o["graph_hits"] = _sql_hits(iterations=5)
     o["graph_shortest_paths"] = _sql_shortest_paths(rounds=2)
     o["graph_random_walks"] = _sql_random_walks(walks_per_node=2, length=3)
+    o["graph_walk_skipgrams"] = _sql_random_walks(
+        walks_per_node=2, length=3, skipgrams_window=2
+    )
 
     # triangle SET is orientation-invariant: the oracle enumerates each
     # triangle once by id-ordering (x < y < z) where the Spark operator
@@ -4316,6 +4380,18 @@ FROM (
 )
 """
 
+    o["layout_zorder_key"] = """
+WITH t AS (
+  SELECT o_orderkey,
+         cast(o_custkey AS BIGINT) AS x,
+         cast(o_orderdate::DATE - DATE '1970-01-01' AS BIGINT) AS y
+  FROM orders
+)
+SELECT o_orderkey,
+       cast(sum((((x >> i) & 1) << (2*i+1)) + (((y >> i) & 1) << (2*i))) AS BIGINT) AS zkey
+FROM t, range(16) r(i)
+GROUP BY o_orderkey
+"""
     o["ev_interval_join"] = """
 WITH iv AS (
   SELECT user_id, ts AS s, ts + INTERVAL 90 SECOND AS e, event_id AS incident_id
@@ -4738,6 +4814,22 @@ inter AS (
 SELECT a, b, round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
 FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
 WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+"""
+    o["dedup_jaccard_prefix"] = f"""
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split({_SQL_NORMTEXT}, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+s AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.95
 """
     mh_min = ",\n  ".join(
         f"min(md5('{i}|' || sh)) AS h{i}" for i in range(8)

@@ -1037,3 +1037,37 @@ def random_walks(
             .localCheckpoint()
         )
     return walks.select("walk_id", "start", "path", "steps")
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus (the node2vec/DeepWalk
+    step after :func:`random_walks`): every ordered (center, context)
+    node pair within ``window`` positions on some walk, with its corpus
+    multiplicity ``cnt`` — exactly the (word, context, count) table a
+    distributed SGNS/GloVe-style embedding trainer consumes.
+
+    Input: (walk_id, path) with '>'-joined node ids. Returns (center,
+    context, cnt long), center ≠ context positions (a node CAN co-occur
+    with itself if it reappears along the walk — that is real signal and
+    is kept).
+
+    Scale shape: one posexplode, one same-walk self-equi-join bounded by
+    walk length (a constant, so the per-key blow-up is ≤ L·(2·window) —
+    NOT a data-dependent quadratic), one map-side-combined count. The
+    aggregated output is what ships; raw pairs never materialize beyond
+    the shuffle.
+    """
+    toks = walks.select(
+        "walk_id", F.posexplode(F.split("path", ">")).alias("pos", "node")
+    )
+    a = toks.select("walk_id", F.col("pos").alias("pa"), F.col("node").alias("center"))
+    b = toks.select("walk_id", F.col("pos").alias("pb"), F.col("node").alias("context"))
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("pa") != F.col("pb"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

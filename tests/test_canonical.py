@@ -398,3 +398,18 @@ def test_random_walks_deterministic_and_bounded(spark):
     # determinism: a second run returns identical paths
     again = {r.walk_id: r.path for r in random_walks(df, walks_per_node=2, length=3).collect()}
     assert again == {k: v.path for k, v in out.items()}
+
+
+def test_walk_skipgrams_window_and_counts(spark):
+    from tera_spark.operators.graph_metrics import walk_skipgrams
+
+    walks = spark.createDataFrame(
+        [("w1", "a>b>c>d"), ("w2", "a>b")], "walk_id string, path string"
+    )
+    got = {(r.center, r.context): r.cnt for r in walk_skipgrams(walks, window=2).collect()}
+    # w1 window-2 pairs: a:(b,c) b:(a,c,d) c:(a,b,d) d:(b,c); w2 adds a:b, b:a
+    assert got[("a", "b")] == 2 and got[("b", "a")] == 2
+    assert got[("a", "c")] == 1 and got[("c", "a")] == 1
+    assert ("a", "d") not in got  # beyond the window
+    assert got[("b", "d")] == 1 and got[("d", "c")] == 1
+    assert sum(got.values()) == 2 * (3 + 2) + 2  # symmetric pairs + w2

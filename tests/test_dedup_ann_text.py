@@ -1014,3 +1014,43 @@ def test_boilerplate_threshold_boundary(spark):
     assert boilerplate_line_report(docs, min_docs=2).count() == 0
     got = {r.line_key for r in boilerplate_line_report(docs, min_docs=1).collect()}
     assert got == {"x", "y", "z"}
+
+
+def test_jaccard_prefix_pairs_exact_vs_bruteforce(spark):
+    # exactness property: prefix filtering must lose NOTHING vs the
+    # all-pairs brute force, across a corpus dense with near-dups
+    from tera_spark.operators.dedup import jaccard_prefix_pairs
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = []
+    for i in range(40):
+        # deterministic token subset of size 3-6, heavy overlap by design
+        toks = [vocab[(i * 7 + k * 3) % len(vocab)] for k in range(3 + i % 4)]
+        docs.append((i, " ".join(toks) + ("  EXTRA" if i % 5 == 0 else "")))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    t = 0.6
+    got = {(r.a, r.b): r.jaccard for r in jaccard_prefix_pairs(sdf, threshold=t).collect()}
+
+    sets = {i: set(txt.lower().split()) for i, txt in docs}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                jac = inter / (len(sets[i]) + len(sets[j]) - inter)
+                if jac >= t:
+                    want[(i, j)] = round(jac, 6)
+    assert got == want and len(want) > 50  # non-trivial corpus
+
+
+def test_jaccard_prefix_pairs_threshold_edges(spark):
+    from tera_spark.operators.dedup import jaccard_prefix_pairs
+
+    sdf = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a b c x"), (4, "zz")],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b): r.jaccard for r in jaccard_prefix_pairs(sdf, threshold=0.75).collect()}
+    # identical sets → 1.0; 3/5 overlap = 0.6 < 0.75 → excluded; singleton alone
+    assert got == {(1, 2): 1.0}

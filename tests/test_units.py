@@ -108,3 +108,69 @@ def test_unit_conversion_udf(spark):
     assert got["Milligram"] == 1e-6
     assert got["Hour"] is None
     assert got["Millimol"] == 0.01
+
+
+# --------------------------------------------------------------------------
+# Z-order layout key (functions/layout.py)
+# --------------------------------------------------------------------------
+def _py_morton(x, y, bits):
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    import pyspark.sql.functions as F
+
+    from tera_spark.functions.layout import zorder_key2
+
+    rows = [(x, y) for x in (0, 1, 2, 3, 255, 65535) for y in (0, 1, 7, 65535)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key2(F.col("x"), F.col("y"), 16).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _py_morton(x, y, 16), (x, y)
+    # interleave basics: (1,0)→2, (0,1)→1, (1,1)→3
+    assert got[(1, 0)] == 2 and got[(0, 1)] == 1 and got[(1, 1)] == 3
+
+
+def test_zorder_locality_beats_lexicographic(spark):
+    # the property that justifies the key: sorting by z keeps BOTH dims
+    # clustered — max per-chunk y-range under z-sort ≪ under x-sort
+    import pyspark.sql.functions as F
+
+    from tera_spark.functions.layout import zorder_key2
+
+    n = 32
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    zs = (
+        df.select("x", "y", zorder_key2(F.col("x"), F.col("y"), 5).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    chunk = 64  # pretend 64-row files
+    def spread(rows_sorted, dim):
+        worst = 0
+        for i in range(0, len(rows_sorted), chunk):
+            c = rows_sorted[i : i + chunk]
+            worst = max(worst, max(getattr(r, dim) for r in c) - min(getattr(r, dim) for r in c))
+        return worst
+
+    lex = sorted(rows)  # x-major sort: y spans the whole range in every chunk
+    assert spread(zs, "y") <= 8
+    assert max(y for _, y in lex[:chunk]) - min(y for _, y in lex[:chunk]) == n - 1
+
+
+def test_zorder_bits_validation(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from tera_spark.functions.layout import zorder_key2
+
+    with _pt.raises(ValueError, match="bits"):
+        zorder_key2(F.col("x"), F.col("y"), 32)
