@@ -2867,6 +2867,24 @@ def _queries() -> dict:
 
     q["layout_zorder_key"] = zorder
 
+    def mixture(spark, sf):
+        # temperature-0.5 token-budget sampling mixture over sources
+        from tera_spark.operators.corpus import mixture_weights
+
+        return mixture_weights(
+            _t(spark, sf, "documents"), "source", alpha=0.5, token_col="n_chars"
+        )
+
+    q["corpus_mixture_weights"] = mixture
+
+    def quant(spark, sf):
+        # int8 codes + per-vector affine params over the embedding corpus
+        from tera_spark.operators.ann import quantize_int8
+
+        return quantize_int8(_t(spark, sf, "embeddings"))
+
+    q["ann_quantize_int8"] = quant
+
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
 
@@ -4380,6 +4398,37 @@ FROM (
 )
 """
 
+    o["ann_quantize_int8"] = """
+WITH p AS (
+  SELECT vec_id, embedding,
+         cast(list_min(embedding) AS DOUBLE) AS lo,
+         (cast(list_max(embedding) AS DOUBLE) - cast(list_min(embedding) AS DOUBLE)) / 255.0 AS s
+  FROM embeddings
+)
+SELECT vec_id,
+       round(s, 6) AS scale,
+       round(lo, 6) AS zero_point,
+       CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                   x -> cast(floor((cast(x AS DOUBLE) - lo) / s + 0.5) AS INT))
+       END AS q,
+       round(CASE WHEN s = 0 THEN 0.0
+             ELSE list_max(list_transform(embedding,
+                    x -> abs(floor((cast(x AS DOUBLE) - lo) / s + 0.5) * s
+                             + lo - cast(x AS DOUBLE))))
+             END, 6) AS max_err
+FROM p
+"""
+    o["corpus_mixture_weights"] = """
+WITH g AS (
+  SELECT source AS "group", count(*) AS n_docs, cast(sum(n_chars) AS DOUBLE) AS mass
+  FROM documents GROUP BY 1
+),
+z AS (SELECT sum(pow(mass, 0.5)) AS z FROM g)
+SELECT "group", n_docs, round(mass, 6) AS mass,
+       round(pow(mass, 0.5) / (SELECT z FROM z), 6) AS weight
+FROM g
+"""
     o["layout_zorder_key"] = """
 WITH t AS (
   SELECT o_orderkey,

@@ -278,3 +278,58 @@ def mean_pool(
             lambda s: s["m"],
         ).alias("centroid"),
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector affine int8 quantization — the 4× storage/bandwidth
+    step an ANN serving tier applies before indexing (float32 corpus →
+    uint8 codes + per-vector (scale, zero_point)). Deterministic double
+    math, so codes are engine-portable and oracle-replayable.
+
+    q_i = floor((v_i − lo)/scale + 0.5) with scale = (hi − lo)/255 over
+    the vector's own [lo, hi] range; constant vectors (hi == lo) encode
+    as all-zero codes with scale 0. Returns (id, scale, zero_point,
+    q array<int>, max_err) where ``max_err`` is the max absolute
+    dequantization error — the quality metric that decides whether a
+    corpus tolerates int8 recall-wise (bounded by scale/2 by
+    construction; the column PROVES it per row).
+
+    Scale shape: a pure projection — array_min/array_max/transform are
+    JVM-side whole-stage-codegen expressions; no shuffle, no UDF, no
+    driver state. Composes with :func:`cosine_topk`/IVF as a re-rank
+    source (dequantize = q·scale + zero_point, also a projection).
+    """
+    v = F.col(vec_col)
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
+    s = (hi - lo) / F.lit(255.0)
+    q = F.when(
+        s == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            v, lambda x: F.floor((x.cast("double") - lo) / s + F.lit(0.5)).cast("int")
+        )
+    )
+    err = F.when(s == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                v,
+                lambda x: F.abs(
+                    F.floor((x.cast("double") - lo) / s + F.lit(0.5)) * s
+                    + lo
+                    - x.cast("double")
+                ),
+            )
+        )
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.round(s, 6).alias("scale"),
+        F.round(lo, 6).alias("zero_point"),
+        q.alias("q"),
+        F.round(err, 6).alias("max_err"),
+    )

@@ -683,3 +683,45 @@ def token_pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled sampling mixture over corpus groups (sources,
+    languages, domains): weight_g ∝ mass_g^alpha, normalized to sum 1 —
+    the standard multilingual/multi-source LM recipe (alpha=1 is
+    proportional sampling, alpha=0 uniform, 0<alpha<1 up-samples the
+    tail). ``mass_g`` is the document count, or the sum of ``token_col``
+    when given (token-budget mixing, the form training actually uses).
+
+    Returns (group, n_docs long, mass double, weight double), weights
+    rounded to 6. NULL group is a real population and keeps its row.
+
+    Scale shape: one map-side-combined groupBy; the normalizing constant
+    rides a single-row broadcast join (the same 1-row crossJoin idiom as
+    ``bigram_lm_scores`` — broadcast of one aggregate row, not a shuffle
+    of the table).
+    """
+    mass = (
+        F.sum(F.col(token_col)).cast("double")
+        if token_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    g = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs"), mass.alias("mass")
+    )
+    powered = g.withColumn("_p", F.pow(F.col("mass"), F.lit(float(alpha))))
+    total = powered.agg(F.sum("_p").alias("_z"))
+    return (
+        powered.crossJoin(F.broadcast(total))
+        .select(
+            "group",
+            "n_docs",
+            F.round("mass", 6).alias("mass"),
+            F.round(F.col("_p") / F.col("_z"), 6).alias("weight"),
+        )
+    )

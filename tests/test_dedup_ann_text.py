@@ -1054,3 +1054,43 @@ def test_jaccard_prefix_pairs_threshold_edges(spark):
     got = {(r.a, r.b): r.jaccard for r in jaccard_prefix_pairs(sdf, threshold=0.75).collect()}
     # identical sets → 1.0; 3/5 overlap = 0.6 < 0.75 → excluded; singleton alone
     assert got == {(1, 2): 1.0}
+
+
+def test_mixture_weights_temperature(spark):
+    from tera_spark.operators.corpus import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 100), (3, "a", 100), (4, "b", 100), (5, None, 25)],
+        "doc_id long, src string, n_tok long",
+    )
+    # alpha=0.5 on doc counts: weights ∝ sqrt(3), sqrt(1), sqrt(1)
+    got = {r.group: r for r in mixture_weights(docs, "src", alpha=0.5).collect()}
+    import math
+    z = math.sqrt(3) + 1 + 1
+    assert abs(got["a"].weight - math.sqrt(3) / z) < 1e-6
+    assert abs(got["b"].weight - 1 / z) < 1e-6
+    assert got[None].n_docs == 1  # NULL group is a real population
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-5
+    # token-budget mixing: alpha=1 reduces to mass share
+    tok = {r.group: r.weight for r in mixture_weights(docs, "src", alpha=1.0, token_col="n_tok").collect()}
+    assert abs(tok["a"] - 300 / 425) < 1e-6 and abs(tok[None] - 25 / 425) < 1e-6
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    from tera_spark.operators.ann import quantize_int8
+
+    rows = [
+        (1, [0.0, 1.0, 0.5]),
+        (2, [-2.0, 2.0, 0.0, 1.0]),
+        (3, [3.0, 3.0, 3.0]),  # constant vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    # endpoints hit the code range exactly
+    assert got[1].q == [0, 255, 128] and got[1].zero_point == 0.0
+    assert got[2].q[0] == 0 and got[2].q[1] == 255
+    # constant vector: scale 0, all-zero codes, zero error
+    assert got[3].scale == 0.0 and got[3].q == [0, 0, 0] and got[3].max_err == 0.0
+    # error bound: max_err <= scale/2 (+ rounding slack) for every vector
+    for r in got.values():
+        assert r.max_err <= r.scale / 2 + 1e-6, r
