@@ -2885,6 +2885,25 @@ def _queries() -> dict:
 
     q["ann_quantize_int8"] = quant
 
+    def drift(spark, sf):
+        # revenue-mix drift per order priority, 1993 → 1997 — the
+        # snapshot-monitoring join run after every incremental apply
+        from tera_spark.operators.profile import metric_drift
+
+        o = _t(spark, sf, "orders")
+        yr = F.year(F.col("o_orderdate").cast("date"))
+
+        def snap(y):
+            return (
+                o.filter(yr == y)
+                .groupBy("o_orderpriority")
+                .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+            )
+
+        return metric_drift(snap(1993), snap(1997), ["o_orderpriority"], "rev")
+
+    q["quality_metric_drift"] = drift
+
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
 
@@ -4398,6 +4417,24 @@ FROM (
 )
 """
 
+    o["quality_metric_drift"] = """
+WITH o93 AS (
+  SELECT o_orderpriority, cast(round(sum(o_totalprice), 2) AS DOUBLE) AS v
+  FROM orders WHERE year(o_orderdate::DATE) = 1993 GROUP BY 1
+),
+o97 AS (
+  SELECT o_orderpriority, cast(round(sum(o_totalprice), 2) AS DOUBLE) AS v
+  FROM orders WHERE year(o_orderdate::DATE) = 1997 GROUP BY 1
+)
+SELECT coalesce(o93.o_orderpriority, o97.o_orderpriority) AS o_orderpriority,
+       o93.v AS old_val, o97.v AS new_val,
+       round(coalesce(o97.v, 0) - coalesce(o93.v, 0), 6) AS delta,
+       CASE WHEN o93.v IS NULL THEN 'added'
+            WHEN o97.v IS NULL THEN 'removed'
+            WHEN abs(o97.v - o93.v) <= 0 THEN 'stable'
+            ELSE 'changed' END AS status
+FROM o93 FULL OUTER JOIN o97 ON o93.o_orderpriority = o97.o_orderpriority
+"""
     o["ann_quantize_int8"] = """
 WITH p AS (
   SELECT vec_id, embedding,

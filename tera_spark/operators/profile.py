@@ -95,3 +95,48 @@ def key_skew_report(
             "rank",
         )
     )
+
+
+def metric_drift(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    eps: float = 0.0,
+) -> DataFrame:
+    """Keyed-metric drift between two snapshots of the same aggregate —
+    the monitoring join run after every incremental KG apply or corpus
+    refresh ("which entities' PMI/activity/count moved, appeared,
+    vanished"). Generic over any (key → numeric) table: PMI edges,
+    entity activity, per-source doc counts, bench metrics.
+
+    Returns one row per key in EITHER snapshot: key columns,
+    ``old_val``/``new_val`` (null where absent), ``delta`` (new − old,
+    absent side treated as 0 so added/removed keys carry their full
+    magnitude), and ``status`` ∈ added | removed | changed | stable
+    (|delta| ≤ ``eps`` → stable).
+
+    Scale shape: ONE full-outer hash join on the key — both sides are
+    already aggregates (snapshot-sized, not corpus-sized); coalesce on
+    the join keys keeps the output key NULL-free. No window, no
+    collect.
+    """
+    ov = F.col("old_val")
+    nv = F.col("new_val")
+    o = old.select(*key_cols, F.col(value_col).cast("double").alias("old_val"))
+    n = new.select(*key_cols, F.col(value_col).cast("double").alias("new_val"))
+    joined = o.join(n, key_cols, "full_outer")
+    delta = F.coalesce(nv, F.lit(0.0)) - F.coalesce(ov, F.lit(0.0))
+    status = (
+        F.when(ov.isNull(), F.lit("added"))
+        .when(nv.isNull(), F.lit("removed"))
+        .when(F.abs(delta) <= F.lit(float(eps)), F.lit("stable"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *key_cols,
+        "old_val",
+        "new_val",
+        F.round(delta, 6).alias("delta"),
+        status.alias("status"),
+    )

@@ -1094,3 +1094,20 @@ def test_quantize_int8_roundtrip_bound(spark):
     # error bound: max_err <= scale/2 (+ rounding slack) for every vector
     for r in got.values():
         assert r.max_err <= r.scale / 2 + 1e-6, r
+
+
+def test_metric_drift_statuses(spark):
+    from tera_spark.operators.profile import metric_drift
+
+    old = spark.createDataFrame(
+        [("a", 10.0), ("b", 5.0), ("c", 1.0)], "k string, v double"
+    )
+    new = spark.createDataFrame(
+        [("a", 12.5), ("b", 5.0), ("d", 7.0)], "k string, v double"
+    )
+    got = {r.k: r for r in metric_drift(old, new, ["k"], "v", eps=0.1).collect()}
+    assert got["a"].status == "changed" and got["a"].delta == 2.5
+    assert got["b"].status == "stable" and got["b"].delta == 0.0
+    # removed/added carry full magnitude in delta
+    assert got["c"].status == "removed" and got["c"].delta == -1.0 and got["c"].new_val is None
+    assert got["d"].status == "added" and got["d"].delta == 7.0 and got["d"].old_val is None
