@@ -1225,6 +1225,46 @@ SELECT prev_tool, tool, count(*) AS n_transitions FROM tr GROUP BY 1, 2
 """
 
 
+def _sql_hll_distinct(p: int = 8) -> str:
+    """HLL oracle: DuckDB replays the md5→60-bit hash, register index
+    (h mod m), EXACT leading-zero rank via binary-string length (bin()),
+    per-register max, and the alpha_m·m²/Σ2^-rho estimator with linear-
+    counting small-range correction. The alpha·m² literal is computed
+    once here in Python so both engines divide the identical double."""
+    m = 1 << p
+    w = 60 - p
+    am2 = repr((0.7213 / (1.0 + 1.079 / m)) * m * m)
+    return rf"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+hashed AS (
+  SELECT source, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks
+),
+reg AS (
+  SELECT source, h % {m} AS j,
+         max(CASE WHEN (h >> {p}) = 0 THEN {w + 1}
+                  ELSE {w} - length(bin(h >> {p})) + 1 END) AS rho
+  FROM hashed GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, count(*) AS n_registers,
+         sum(pow(2.0, -rho)) AS s, {m} - count(*) AS v
+  FROM reg GROUP BY 1
+)
+SELECT source, n_registers,
+       round(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                  THEN {float(m)!r} * ln(cast(v AS DOUBLE) / {float(m)!r}) * -1.0
+                  ELSE raw END, 3) AS estimate
+FROM (SELECT source, n_registers, v,
+             {am2} / (s + cast(v AS DOUBLE)) AS raw
+      FROM agg)
+"""
+
+
 def _sql_kmv_distinct() -> str:
     """KMV oracle: DuckDB replays tokenization, the md5→60-bit uniform
     hash, the per-group k-th order statistic, and the (k-1)/h_(k)
@@ -3635,9 +3675,22 @@ def _queries() -> dict:
 
     q["kg_tool_transitions"] = tool_trans
 
+    def _source_tokens(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.where(F.col("text").isNotNull()).select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda x: F.length(x) > 0,
+                )
+            ).alias("tok"),
+        )
+
     def kmv(spark, sf):
         # KMV distinct-token cardinality sketch per document source —
-        # deterministic md5 hashing, exactly replayable (unlike HLL)
+        # deterministic md5 hashing, exactly replayable (unlike Spark's
+        # built-in HLL; the portable-register HLL below closes that gap)
         from tera_spark.operators.sketches import kmv_distinct
 
         docs = _t(spark, sf, "documents")
@@ -3653,6 +3706,16 @@ def _queries() -> dict:
         return kmv_distinct(toks, ["source"], "tok", k=64)
 
     q["sketch_kmv_distinct"] = kmv
+
+    def hll(spark, sf):
+        # portable-register HLL per source: same token stream as the KMV
+        # entry, so the two estimators cross-check each other
+        from tera_spark.operators.sketches import hll_estimate, hll_registers
+
+        regs = hll_registers(_source_tokens(spark, sf), "tok", p=8, group_cols=["source"])
+        return hll_estimate(regs, p=8, group_cols=["source"])
+
+    q["sketch_hll_distinct"] = hll
 
     def kg_negs(spark, sf):
         # deterministic filtered negative sampling over the exact-link
@@ -5008,6 +5071,7 @@ FROM transcripts GROUP BY conv_id
     o["dedup_conversations"] = _sql_conversation_dedup()
     o["kg_tool_transitions"] = _sql_tool_transitions()
     o["sketch_kmv_distinct"] = _sql_kmv_distinct()
+    o["sketch_hll_distinct"] = _sql_hll_distinct(p=8)
     o["kg_negative_samples"] = _sql_kg_negative_samples()
     o["text_length_percentiles"] = _sql_length_percentiles()
     o["kg_render_conversations"] = _sql_render_conversations()

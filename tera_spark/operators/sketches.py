@@ -231,3 +231,86 @@ def bloom_probe(
         .groupBy(*keep)
         .agg((F.count("_set") == k).alias("maybe_present"))
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog register table with a PORTABLE layout — the md5-derived
+    answer to the docstring caveat above: Spark's
+    ``approx_count_distinct`` IS HLL, but its registers are
+    implementation-private, so they can't be stored, merged across
+    engines, or replayed by an oracle. These can.
+
+    Layout: m = 2^p registers; for each value, h = 60-bit md5 hash,
+    register j = h mod m, rho = (number of leading zero bits of
+    h >> p within its 60-p bit width) + 1 — computed EXACTLY via the
+    binary-string length (``bin()``), no float log2 at bucket
+    boundaries. Returns one row per present (group, j): sparse —
+    absent registers are zero by convention (:func:`hll_estimate`
+    accounts for them).
+
+    Mergeable: register tables from any partition/engine/day union +
+    ``groupBy(j).max(rho)`` into the corpus sketch — the property that
+    makes a 10^12-turn distinct count a fixed 2^p-row table per group.
+
+    Scale shape: one projection + one map-side-combined groupBy onto
+    ≤ m·|groups| keys. NULLs carry no cardinality signal and are
+    excluded.
+    """
+    if not (4 <= p <= 16):
+        raise ValueError(f"hll_registers: p must be in [4, 16], got {p}")
+    group_cols = group_cols or []
+    m = 1 << p
+    w = 60 - p
+    h = _h60(F.col(value_col).cast("string"))
+    rest = F.shiftright(h, p)
+    rho = (
+        F.when(rest == 0, F.lit(w + 1))
+        .otherwise(F.lit(w) - F.length(F.bin(rest)) + 1)
+        .cast("int")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.pmod(h, F.lit(m)).alias("j"), rho.alias("rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cardinality estimate from an :func:`hll_registers` table (original
+    Flajolet et al. estimator): E = alpha_m·m² / Σ_j 2^-M_j with absent
+    registers contributing 2^0 = 1, and the small-range linear-counting
+    correction E := m·ln(m/V) when E ≤ 2.5·m and V (zero registers) > 0.
+    Returns (group..., n_registers long, estimate double) — estimate
+    rounded to 3 (the error is ~1.04/sqrt(m), far coarser than 1e-3).
+
+    One map-side-combined aggregate over the (already register-sized)
+    sketch — never touches the raw data.
+    """
+    if not (4 <= p <= 16):
+        raise ValueError(f"hll_estimate: p must be in [4, 16], got {p}")
+    group_cols = group_cols or []
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+    )
+    v = F.lit(m) - F.col("n_registers")  # zero registers
+    raw = F.lit(alpha * m * m) / (F.col("_s") + v.cast("double"))
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(v.cast("double") / F.lit(float(m))) * F.lit(-1.0),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, "n_registers", F.round(corrected, 3).alias("estimate")
+    )

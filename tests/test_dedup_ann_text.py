@@ -1111,3 +1111,43 @@ def test_metric_drift_statuses(spark):
     # removed/added carry full magnitude in delta
     assert got["c"].status == "removed" and got["c"].delta == -1.0 and got["c"].new_val is None
     assert got["d"].status == "added" and got["d"].delta == 7.0 and got["d"].old_val is None
+
+
+def test_hll_registers_match_python_and_merge(spark):
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from tera_spark.operators.sketches import hll_estimate, hll_registers
+
+    vals = [f"tok{i}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    p, m, w = 8, 256, 52
+
+    # python replay of the register layout
+    regs = {}
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        j, rest = h % m, h >> p
+        rho = (w + 1) if rest == 0 else w - rest.bit_length() + 1
+        regs[j] = max(regs.get(j, 0), rho)
+    got = {r.j: r.rho for r in hll_registers(df, "v", p=p).collect()}
+    assert got == regs
+
+    est = hll_estimate(hll_registers(df, "v", p=p), p=p).collect()[0]
+    assert abs(est.estimate - 2000) / 2000 < 0.15  # ~1.04/sqrt(256) ≈ 6.5%
+
+    # mergeability: sketch(first half) ∪ sketch(second half) == sketch(all)
+    h1 = hll_registers(spark.createDataFrame([(v,) for v in vals[:1000]], "v string"), "v", p=p)
+    h2 = hll_registers(spark.createDataFrame([(v,) for v in vals[1000:]], "v string"), "v", p=p)
+    merged = h1.unionByName(h2).groupBy("j").agg(F.max("rho").alias("rho"))
+    assert {(r.j, r.rho) for r in merged.collect()} == set(regs.items())
+
+
+def test_hll_small_range_correction(spark):
+    from tera_spark.operators.sketches import hll_estimate, hll_registers
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(10)], "v string")
+    est = hll_estimate(hll_registers(df, "v", p=8), p=8).collect()[0]
+    # linear counting regime: tiny sets estimate near-exactly
+    assert abs(est.estimate - 10) < 1.0
