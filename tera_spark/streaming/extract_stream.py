@@ -221,3 +221,92 @@ def windowed_mention_rate(
     return exploded.groupBy(F.window("ts", window), "role", F.col("_m.kind").alias("kind")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+):
+    """Streaming gap sessionization (applyInPandasWithState +
+    EventTimeTimeout): the streaming twin of the batch
+    ``events.sessionize`` — same merge rule (inter-event gap ≤
+    ``gap_seconds`` joins a session, > splits), emitted as CLOSED
+    sessions (key, session_start, session_end, n_events).
+
+    A session closes two ways:
+    - data-driven: a later event for the key arrives beyond the gap —
+      the open session is emitted in that same micro-batch;
+    - timeout-driven: the event-time watermark passes
+      session_end + gap (``state.setTimeoutTimestamp``) — idle keys
+      emit without waiting for their next event, and state is freed, so
+      the state store is bounded by ACTIVE sessions only (the property
+      that survives 10^12 turns; an unbounded open-session map does
+      not).
+
+    Within a micro-batch, events are sorted by event time before
+    merging, so bounded-late arrivals (inside the watermark) land in
+    the right session; the watermark bounds how late. State is keyed by
+    the same bucket key as the batch pipeline — state locality matches
+    storage locality.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, session_start timestamp, "
+        "session_end timestamp, n_events long"
+    )
+    state_schema = "s long, e long, n long"
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            closed.append((s, e, n))
+            state.remove()
+        else:
+            open_ = state.get if state.exists else None
+            ts_new = []
+            for pdf in pdfs:
+                if len(pdf):
+                    ts_new.extend(
+                        int(v) // 1000
+                        for v in pd.to_datetime(pdf[ts_col]).astype("int64")
+                    )
+            for t in sorted(ts_new):
+                if open_ is None:
+                    open_ = (t, t, 1)
+                elif t > open_[1] + gap_us:
+                    closed.append(open_)
+                    open_ = (t, t, 1)
+                else:
+                    open_ = (min(open_[0], t), max(open_[1], t), open_[2] + 1)
+            if open_ is not None:
+                state.update(open_)
+                # close when the watermark passes end + gap
+                state.setTimeoutTimestamp((open_[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -335,3 +335,76 @@ def test_streaming_dedup_exact(spark, tmp_path):
     kept = exact_dedup(batch.filter(F.col("text").isNotNull()))
     n_groups = kept.select("keep_id").distinct().count()
     assert n_groups == 11  # 10 unique + 1 boilerplate group
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """stream_sessionize emits the same sessions the batch operator finds:
+    two files (micro-batches) per conversation, second batch's far-future
+    events close the first session data-driven."""
+    import datetime as dt
+
+    from tera_spark.operators.events import sessionize
+    from tera_spark.streaming.extract_stream import TRANSCRIPT_SCHEMA, stream_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+
+    def row(conv, idx, sec):
+        return (conv, idx, "user", f"t{idx}", None, base + dt.timedelta(seconds=sec))
+
+    batch1 = [row("c1", 0, 0), row("c1", 1, 30), row("c2", 0, 5)]
+    batch2 = [row("c1", 2, 5000), row("c1", 3, 5020), row("c2", 1, 9000)]
+    in_dir = str(tmp_path / "sess_in")
+    cols = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    spark.createDataFrame(batch1, cols).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(batch2, cols).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_sessionize(stream, gap_seconds=60, watermark="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r.conv_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    # data-driven closes: batch2's far-future c1 events close c1's first
+    # session, c2's 9000s event closes c2's first
+    assert ("c1", base, base + dt.timedelta(seconds=30), 2) in got
+    assert ("c2", base + dt.timedelta(seconds=5), base + dt.timedelta(seconds=5), 1) in got
+    # timeout-driven close: the global watermark (9000s − 10s) passes c1's
+    # second session end (5020s) + gap, so EventTimeTimeout emits it too;
+    # c2's open 9000s session stays in state (watermark hasn't passed it)
+    assert (
+        "c1",
+        base + dt.timedelta(seconds=5000),
+        base + dt.timedelta(seconds=5020),
+        2,
+    ) in got
+    # parity: every emitted session is exactly a batch-sessionize session
+    all_rows = spark.createDataFrame(batch1 + batch2, cols)
+    b = sessionize(
+        all_rows.select(
+            F.col("conv_id").alias("user_id"),
+            F.col("turn_idx").alias("event_id"),
+            "ts",
+        ),
+        gap_seconds=60,
+        tiebreak="event_id",
+    )
+    bs = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in b.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got <= bs and len(got) == 3
