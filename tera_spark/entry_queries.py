@@ -2944,6 +2944,18 @@ def _queries() -> dict:
 
     q["quality_metric_drift"] = drift
 
+    def psi(spark, sf):
+        # distribution-level drift: order-value PSI, 1993 → 1997
+        from tera_spark.operators.profile import psi_report
+
+        o = _t(spark, sf, "orders")
+        yr = F.year(F.col("o_orderdate").cast("date"))
+        return psi_report(
+            o.filter(yr == 1993), o.filter(yr == 1997), "o_totalprice", bins=10
+        )
+
+    q["quality_psi"] = psi
+
     def sessions(spark, sf):
         from tera_spark.operators.events import sessionize
 
@@ -4480,6 +4492,37 @@ FROM (
 )
 """
 
+    o["quality_psi"] = """
+WITH o AS (SELECT cast(o_totalprice AS DOUBLE) AS x FROM orders
+           WHERE year(o_orderdate::DATE) = 1993 AND o_totalprice IS NOT NULL),
+nw AS (SELECT cast(o_totalprice AS DOUBLE) AS x FROM orders
+       WHERE year(o_orderdate::DATE) = 1997 AND o_totalprice IS NOT NULL),
+b AS (SELECT min(x) AS blo, max(x) AS bhi FROM o),
+oc AS (SELECT bin, count(*) AS c FROM (
+  SELECT cast(greatest(0, least(9, floor((x - blo) / ((bhi - blo) / 10.0)))) AS INT) AS bin
+  FROM o, b) GROUP BY 1),
+nc AS (SELECT bin, count(*) AS c FROM (
+  SELECT cast(greatest(0, least(9, floor((x - blo) / ((bhi - blo) / 10.0)))) AS INT) AS bin
+  FROM nw, b) GROUP BY 1),
+ot AS (SELECT sum(c) AS t FROM oc), nt AS (SELECT sum(c) AS t FROM nc),
+bins AS (SELECT cast(i AS INT) AS bin,
+                blo + i * (bhi - blo) / 10 AS lo,
+                blo + (i + 1) * (bhi - blo) / 10 AS hi
+         FROM range(10) r(i), b),
+j AS (SELECT bins.bin, lo, hi,
+             coalesce(oc.c * 1.0 / (SELECT t FROM ot), 0) AS old_frac,
+             coalesce(nc.c * 1.0 / (SELECT t FROM nt), 0) AS new_frac
+      FROM bins LEFT JOIN oc USING (bin) LEFT JOIN nc USING (bin)),
+k AS MATERIALIZED (SELECT *,
+       (greatest(new_frac, 1e-06) - greatest(old_frac, 1e-06))
+         * ln(greatest(new_frac, 1e-06) / greatest(old_frac, 1e-06)) AS contrib
+      FROM j)
+SELECT bin, round(lo, 6) AS lo, round(hi, 6) AS hi,
+       round(old_frac, 6) AS old_frac, round(new_frac, 6) AS new_frac,
+       round(contrib, 6) AS contrib,
+       round((SELECT sum(contrib) FROM k), 6) AS psi
+FROM k
+"""
     o["quality_metric_drift"] = """
 WITH o93 AS (
   SELECT o_orderpriority, cast(round(sum(o_totalprice), 2) AS DOUBLE) AS v

@@ -140,3 +140,94 @@ def metric_drift(
         F.round(delta, 6).alias("delta"),
         status.alias("status"),
     )
+
+
+def psi_report(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the distribution-level companion to :func:`metric_drift`
+    (which watches keyed aggregates): PSI = Σ_b (q_b − p_b)·ln(q_b/p_b)
+    over equal-width bins fixed by the OLD snapshot's [min, max] (the
+    standard scoring-model drift monitor; <0.1 stable, >0.25 action).
+
+    Returns one row per bin: (bin int, lo double, hi double,
+    old_frac, new_frac, contrib, psi) — ``psi`` is the total repeated
+    on every row so the table is self-contained. New-snapshot values
+    outside the old range clamp into the edge bins (they must count
+    somewhere, and the edge is where they semantically belong). Both
+    fractions are floored at ``eps`` before the log so empty bins
+    contribute finitely. NULLs are excluded.
+
+    Scale shape: one aggregate for the old bounds (a broadcast 1-row
+    join, same idiom as ``corpus.mixture_weights``), one
+    map-side-combined groupBy per side onto ≤ ``bins`` keys, one tiny
+    full-outer join. Never a sort, never a collect of data rows.
+    """
+    if bins < 2:
+        raise ValueError(f"psi_report: bins must be ≥ 2, got {bins}")
+    bounds = old.where(F.col(value_col).isNotNull()).agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+
+    def binned(df, frac_name):
+        x = F.col(value_col).cast("double")
+        width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+        raw = F.floor((x - F.col("_lo")) / width)
+        b = (
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+            .otherwise(F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw)))
+            .cast("int")
+        )
+        counts = (
+            df.where(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        total = counts.agg(F.sum("_n").alias("_t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bin", (F.col("_n") / F.col("_t")).alias(frac_name)
+        )
+
+    all_bins = (
+        old.sparkSession.range(bins)
+        .select(F.col("id").cast("int").alias("bin"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "bin",
+            (F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo")) / bins).alias("lo"),
+            (F.col("_lo") + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / bins).alias("hi"),
+        )
+    )
+    p = binned(old, "old_frac")
+    q = binned(new, "new_frac")
+    joined = (
+        all_bins.join(p, "bin", "left")
+        .join(q, "bin", "left")
+        .select(
+            "bin",
+            "lo",
+            "hi",
+            F.coalesce("old_frac", F.lit(0.0)).alias("old_frac"),
+            F.coalesce("new_frac", F.lit(0.0)).alias("new_frac"),
+        )
+    )
+    pf = F.greatest(F.col("old_frac"), F.lit(float(eps)))
+    qf = F.greatest(F.col("new_frac"), F.lit(float(eps)))
+    contrib = (qf - pf) * F.log(qf / pf)
+    w = Window.partitionBy()
+    return joined.select(
+        "bin",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round("old_frac", 6).alias("old_frac"),
+        F.round("new_frac", 6).alias("new_frac"),
+        F.round(contrib, 6).alias("contrib"),
+        F.round(F.sum(contrib).over(w), 6).alias("psi"),
+    )

@@ -1151,3 +1151,37 @@ def test_hll_small_range_correction(spark):
     est = hll_estimate(hll_registers(df, "v", p=8), p=8).collect()[0]
     # linear counting regime: tiny sets estimate near-exactly
     assert abs(est.estimate - 10) < 1.0
+
+
+def test_psi_report_hand_computed(spark):
+    import math
+
+    from tera_spark.operators.profile import psi_report
+
+    # old uniform over [0, 10); new shifted mass into the top bin
+    old = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    new = spark.createDataFrame([(9.0,)] * 50 + [(0.0,)] * 50, "x double")
+    rows = psi_report(old, new, "x", bins=5).collect()
+    assert len(rows) == 5 and all(r.psi == rows[0].psi for r in rows)
+    by_bin = {r.bin: r for r in rows}
+    # old: uniform 0.2/bin (max=9 → width 1.8); new: 0.0→bin0, 9.0→bin4
+    assert all(abs(by_bin[b].old_frac - 0.2) < 1e-9 for b in range(5))
+    assert by_bin[0].new_frac == 0.5 and by_bin[4].new_frac == 0.5
+    eps = 1e-6
+    want = sum(
+        (q - p) * math.log(q / p)
+        for p, q in [(0.2, 0.5), (0.2, eps), (0.2, eps), (0.2, eps), (0.2, 0.5)]
+    )
+    assert abs(rows[0].psi - round(want, 6)) < 2e-6
+    # identical distributions → psi 0
+    same = psi_report(old, old, "x", bins=5).collect()
+    assert same[0].psi == 0.0
+
+
+def test_psi_out_of_range_clamps(spark):
+    from tera_spark.operators.profile import psi_report
+
+    old = spark.createDataFrame([(0.0,), (10.0,)], "x double")
+    new = spark.createDataFrame([(-5.0,), (99.0,)], "x double")
+    by_bin = {r.bin: r for r in psi_report(old, new, "x", bins=2).collect()}
+    assert by_bin[0].new_frac == 0.5 and by_bin[1].new_frac == 0.5
