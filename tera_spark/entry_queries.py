@@ -3260,6 +3260,18 @@ def _queries() -> dict:
 
     q["curation_hash_split"] = split_assign
 
+    def safe_split(spark, sf):
+        # cluster-atomic split: near-dup clusters (here the exact-dedup
+        # mapping) can never straddle train/test — contamination by
+        # construction impossible
+        from tera_spark.operators.corpus import leakage_safe_split
+        from tera_spark.operators.dedup import exact_dedup
+
+        docs = _t(spark, sf, "documents")
+        return leakage_safe_split(docs, exact_dedup(docs)).select("doc_id", "split")
+
+    q["curation_leakage_safe_split"] = safe_split
+
     def pack(spark, sf):
         # GPT-style concat-and-chunk packing: one sharded window sort,
         # cumulative token offsets cut every 256 tokens
@@ -4788,6 +4800,22 @@ FROM (
     ('0x'||substr(md5('split|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
       / 1152921504606846976.0 AS frac
   FROM documents
+)
+"""
+    o["curation_leakage_safe_split"] = f"""
+WITH keyed AS (
+  SELECT doc_id, md5({_SQL_NORMTEXT}) AS k FROM documents
+),
+reps AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY k) AS rep FROM keyed)
+SELECT doc_id,
+  CASE WHEN frac < 0.9 THEN 'train'
+       WHEN frac < 0.95 THEN 'val'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+    ('0x'||substr(md5('split|'||CAST(rep AS VARCHAR)),1,15))::BIGINT
+      / 1152921504606846976.0 AS frac
+  FROM reps
 )
 """
     o["text_duplicate_spans"] = r"""

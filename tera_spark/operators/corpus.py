@@ -725,3 +725,41 @@ def mixture_weights(
             F.round(F.col("_p") / F.col("_z"), 6).alias("weight"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    mapping: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that can NOT leak near-duplicates across
+    splits: every document is assigned by the md5 fraction of its dedup
+    CLUSTER representative (``mapping`` = (doc_id, keep_id) from
+    ``dedup.exact_dedup`` or ``dedup.resolve_duplicate_clusters``), so a
+    cluster lands in one split atomically. Splitting raw doc ids instead
+    puts a test document's near-twin in train — the eval-contamination
+    mode :func:`contamination_pairs` exists to detect; this prevents it
+    by construction.
+
+    Unmapped documents (absent from ``mapping``) fall back to their own
+    id — equivalent to being their own singleton cluster. Same
+    determinism/append-stability/re-salt properties as
+    :func:`hash_split`, which does the actual assignment.
+
+    Scale shape: one hash join on doc_id (the mapping is corpus-sized —
+    NOT broadcast) + the pure-projection split. Append-stable because
+    both the mapping reps (min-id) and the md5 fraction are.
+    """
+    m = mapping.select(
+        F.col(id_col).alias("doc_id"), F.col(mapping.columns[1]).alias("_rep")
+    )
+    joined = docs.join(m, docs[id_col] == m["doc_id"], "left").drop(m["doc_id"])
+    keyed = joined.withColumn(
+        "_split_key", F.coalesce(F.col("_rep").cast("string"), F.col(id_col).cast("string"))
+    )
+    return (
+        hash_split(keyed, weights=weights, id_col="_split_key", salt=salt)
+        .drop("_rep", "_split_key")
+    )

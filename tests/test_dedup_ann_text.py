@@ -1185,3 +1185,24 @@ def test_psi_out_of_range_clamps(spark):
     new = spark.createDataFrame([(-5.0,), (99.0,)], "x double")
     by_bin = {r.bin: r for r in psi_report(old, new, "x", bins=2).collect()}
     assert by_bin[0].new_frac == 0.5 and by_bin[1].new_frac == 0.5
+
+
+def test_leakage_safe_split_clusters_atomic(spark):
+    from tera_spark.operators.corpus import hash_split, leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    # cluster {0,1,2} and {5,6}; others unmapped (singleton fallback)
+    mapping = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (5, 5), (6, 5)], "doc_id long, keep_id long"
+    )
+    out = leakage_safe_split(docs, mapping, weights={"train": 0.5, "test": 0.5})
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 20
+    # cluster members land in the SAME split
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[5] == rows[6]
+    # cluster members inherit the REP's assignment; singletons their own
+    rep = {r.doc_id: r.split for r in hash_split(docs, weights={"train": 0.5, "test": 0.5}).collect()}
+    assert rows[1] == rep[0] and rows[6] == rep[5] and rows[7] == rep[7]
