@@ -3456,6 +3456,19 @@ def _queries() -> dict:
 
     q["dedup_resolve_clusters"] = resolve
 
+    def blockq(spark, sf):
+        # measure the LSH blocker against the exact prefix-join truth:
+        # reduction ratio + pairs completeness, the record-linkage
+        # numbers this module's band/cap docstrings otherwise only argue
+        from tera_spark.operators.dedup import blocking_quality, jaccard_prefix_pairs
+
+        docs = _t(spark, sf, "documents")
+        cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+        truth = jaccard_prefix_pairs(docs, threshold=0.95)
+        return blocking_quality(docs, cand.select("a", "b"), truth.select("a", "b"))
+
+    q["dedup_blocking_quality"] = blockq
+
     # --- ANN -----------------------------------------------------------------------
     def ann(spark, sf):
         from tera_spark.operators.ann import cosine_topk
@@ -5070,6 +5083,48 @@ banded AS (
 )
 SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
 FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    # blocking-quality meta-report: the LSH candidate pairs measured
+    # against the exact prefix-join truth at t=0.95 — both replayed from
+    # their own oracles' CTE logic, then the RR / PC arithmetic
+    o["dedup_blocking_quality"] = f"""
+WITH {_SQL_SHINGLES.lstrip()},
+sig AS (SELECT doc_id, {mh_min} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, '0|' || h0 || '|' || h1 AS bucket FROM sig
+  UNION ALL SELECT doc_id, '1|' || h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc_id, '2|' || h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc_id, '3|' || h6 || '|' || h7 FROM sig
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+tt AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split({_SQL_NORMTEXT}, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+ts AS (SELECT doc_id, count(*) AS n FROM tt GROUP BY 1),
+tp AS MATERIALIZED (
+  SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS inter
+  FROM tt a JOIN tt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS MATERIALIZED (
+  SELECT x, y FROM tp JOIN ts sa ON tp.x = sa.doc_id JOIN ts sb ON tp.y = sb.doc_id
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.95
+),
+m AS (
+  SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM cand JOIN truth USING (x, y)) AS n_hit
+)
+SELECT n_docs, n_candidates, n_truth, n_hit,
+       round(1.0 - n_candidates / (n_docs * (n_docs - 1) / 2.0), 6) AS reduction_ratio,
+       round(CASE WHEN n_truth > 0 THEN n_hit * 1.0 / n_truth END, 6) AS pairs_completeness
+FROM m
 """
     # same pairs as dedup_minhash_lsh, then transitive closure (recursive
     # CTE over the symmetric pair edges; min reachable label == the CC

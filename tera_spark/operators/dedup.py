@@ -637,3 +637,65 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def blocking_quality(
+    docs: DataFrame,
+    candidates: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Measure a blocker instead of trusting it: given the candidate
+    pairs a blocking scheme produced (minhash bands, simhash pigeonhole,
+    shingle index, ...) and a ground-truth pair set (e.g. the EXACT
+    :func:`jaccard_prefix_pairs` join), report the two numbers every
+    record-linkage paper reports —
+
+    - ``reduction_ratio``: 1 − |candidates| / C(n, 2) — how much of the
+      quadratic pair space the blocker pruned;
+    - ``pairs_completeness``: |candidates ∩ truth| / |truth| — the
+      measured recall, the thing this module's band/cap docstrings
+      otherwise only argue.
+
+    Returns ONE row: (n_docs, n_candidates, n_truth, n_hit,
+    reduction_ratio, pairs_completeness), ratios rounded to 6;
+    completeness is NULL when truth is empty (0/0 is "nothing to
+    recall", not 1.0 or 0.0). Pair orientation is normalized
+    (least, greatest) and deduplicated on both sides first, so the
+    numbers cannot be gamed by emitting a pair twice.
+
+    Scale shape: two distinct-aggregates + one pair-table join + three
+    single-row counts — everything is pair-table-sized (bounded by the
+    blocker caps), never corpus².
+    """
+    def norm(df):
+        a, b = df.columns[0], df.columns[1]
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("x"),
+            F.greatest(F.col(a), F.col(b)).alias("y"),
+        ).filter(F.col("x") != F.col("y")).distinct()
+
+    c = norm(candidates)
+    t = norm(truth)
+    n = docs.select(F.col(id_col)).distinct().count()
+    n_c = c.count()
+    n_t = t.count()
+    n_hit = c.join(t, ["x", "y"]).count()
+    all_pairs = n * (n - 1) / 2.0
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(n, n_c, n_t, n_hit)],
+        "n_docs long, n_candidates long, n_truth long, n_hit long",
+    ).select(
+        "n_docs",
+        "n_candidates",
+        "n_truth",
+        "n_hit",
+        F.round(
+            F.when(F.lit(all_pairs) > 0, 1.0 - F.col("n_candidates") / F.lit(all_pairs)),
+            6,
+        ).alias("reduction_ratio"),
+        F.round(
+            F.when(F.col("n_truth") > 0, F.col("n_hit") / F.col("n_truth")), 6
+        ).alias("pairs_completeness"),
+    )

@@ -1206,3 +1206,21 @@ def test_leakage_safe_split_clusters_atomic(spark):
     # cluster members inherit the REP's assignment; singletons their own
     rep = {r.doc_id: r.split for r in hash_split(docs, weights={"train": 0.5, "test": 0.5}).collect()}
     assert rows[1] == rep[0] and rows[6] == rep[5] and rows[7] == rep[7]
+
+
+def test_blocking_quality_hand_computed(spark):
+    from tera_spark.operators.dedup import blocking_quality
+
+    docs = spark.createDataFrame([(i, "t") for i in range(5)], "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (1, 1)], "a long, b long"  # dup + self-pair ignored
+    )
+    truth = spark.createDataFrame([(1, 2), (2, 3), (0, 4)], "a long, b long")
+    r = blocking_quality(docs, cand, truth).collect()[0]
+    # 2 distinct candidates of C(5,2)=10 → rr = 0.8; hits = {(1,2)} → 1/3
+    assert r.n_docs == 5 and r.n_candidates == 2 and r.n_truth == 3 and r.n_hit == 1
+    assert r.reduction_ratio == 0.8
+    assert abs(r.pairs_completeness - 1 / 3) < 1e-6
+    # empty truth → NULL completeness, not 1.0/0.0
+    r2 = blocking_quality(docs, cand, truth.filter("a > 99")).collect()[0]
+    assert r2.pairs_completeness is None
