@@ -23,6 +23,17 @@ mode, by design; golden-tested in pytest). Post-criterion additions
 cut): sliding context-window assembly, KG snapshot diff (CDC),
 RAG document chunking, conversation-level turn-set-Jaccard near-dup
 pairs, tool-transition mining, and the KMV distinct-count sketch.
+
+Round-4 continuation (all oracle-checked; ``_sampling_order`` floats
+never-driver-sampled names first automatically): HITS, bounded weighted
+shortest paths, deterministic random walks + skip-gram pairs, interval
+join/coalesce, boilerplate line report/removal, exact prefix-filter
+Jaccard join, Z-order layout key, temperature mixture weights, int8
+embedding quantization, keyed metric drift + PSI distribution drift,
+portable-register HyperLogLog, leakage-safe cluster-atomic split,
+blocking-quality (measured LSH recall vs the exact join), vocabulary
+coverage head; plus streaming gap sessionization with event-time
+timeout (pytest-only by design).
 """
 
 from __future__ import annotations

@@ -3272,6 +3272,15 @@ def _queries() -> dict:
 
     q["curation_leakage_safe_split"] = safe_split
 
+    def vocab(spark, sf):
+        # tokenizer-design report: the vocabulary head covering 90% of
+        # corpus token mass (max rank = required vocab size)
+        from tera_spark.operators.textops import vocab_coverage
+
+        return vocab_coverage(_t(spark, sf, "documents"), coverage=0.9)
+
+    q["text_vocab_coverage"] = vocab
+
     def pack(spark, sf):
         # GPT-style concat-and-chunk packing: one sharded window sort,
         # cumulative token offsets cut every 256 tokens
@@ -4814,6 +4823,25 @@ FROM (
       / 1152921504606846976.0 AS frac
   FROM documents
 )
+"""
+    o["text_vocab_coverage"] = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> len(x) > 0)) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+t AS (SELECT sum(cnt) AS tt FROM c),
+r AS (
+  SELECT tok, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+         sum(cnt * 1.0 / (SELECT tt FROM t))
+           OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT cast(rank AS INT) AS rank, tok, cnt, round(cum, 6) AS cum_frac
+FROM r
+WHERE cum - cnt * 1.0 / (SELECT tt FROM t) < 0.9
 """
     o["curation_leakage_safe_split"] = f"""
 WITH keyed AS (

@@ -824,6 +824,8 @@ def hits(
     - Nodes with no out-edges have hub 0 after one iteration; no in-edges
       → authority 0 (standard HITS; no dangling correction exists here).
     """
+    if iterations < 1:
+        raise ValueError(f"hits: iterations must be ≥ 1, got {iterations}")
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))

@@ -573,3 +573,47 @@ def remove_boilerplate(
             F.count(F.when(F.col("_drop"), True)).alias("n_lines_dropped"),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    coverage: float = 0.95,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary head needed to cover a target share of token mass —
+    the tokenizer-design report ("how large a word vocabulary covers 95%
+    of this corpus"): tokens ranked by corpus frequency (ties by token,
+    total order), kept while the PREVIOUS token's cumulative share is
+    still below ``coverage`` — so the head INCLUDES the token that
+    crosses the threshold and ``max(rank)`` is the answer.
+
+    Returns (rank int, tok, cnt long, cum_frac double) for the head
+    only; cum_frac rounded to 6 (the inclusion test uses the unrounded
+    running sum, which is deterministic because the order is total).
+
+    Scale shape: one map-side-combined token count (corpus-sized scan,
+    vocab-sized result), a broadcast 1-row total, then ONE global sort
+    of the VOCAB-sized table for the running sum — bounded by distinct
+    tokens, never by corpus rows. The global window is the honest cost
+    of a ranked report; it never touches corpus-sized data.
+    """
+    if not (0 < coverage <= 1):
+        raise ValueError(f"vocab_coverage: coverage must be in (0, 1], got {coverage}")
+    counts = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("_t"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("_cum", F.sum(F.col("cnt") / F.col("_t")).over(w))
+    )
+    prev_cum = F.col("_cum") - F.col("cnt") / F.col("_t")
+    return (
+        ranked.filter(prev_cum < F.lit(float(coverage)))
+        .select("rank", "tok", "cnt", F.round("_cum", 6).alias("cum_frac"))
+    )

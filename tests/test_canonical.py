@@ -413,3 +413,13 @@ def test_walk_skipgrams_window_and_counts(spark):
     assert ("a", "d") not in got  # beyond the window
     assert got[("b", "d")] == 1 and got[("d", "c")] == 1
     assert sum(got.values()) == 2 * (3 + 2) + 2  # symmetric pairs + w2
+
+
+def test_hits_rejects_zero_iterations(spark):
+    import pytest as _pt
+
+    from tera_spark.operators.graph_metrics import hits
+
+    df = spark.createDataFrame([("a", "b")], "u string, v string")
+    with _pt.raises(ValueError, match="iterations"):
+        hits(df, iterations=0)

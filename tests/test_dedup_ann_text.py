@@ -1224,3 +1224,17 @@ def test_blocking_quality_hand_computed(spark):
     # empty truth → NULL completeness, not 1.0/0.0
     r2 = blocking_quality(docs, cand, truth.filter("a > 99")).collect()[0]
     assert r2.pairs_completeness is None
+
+
+def test_vocab_coverage_head(spark):
+    from tera_spark.operators.textops import vocab_coverage
+
+    # a:6 b:3 c:1 → fracs 0.6/0.3/0.1; 80% target → head is a,b
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a a a b b c")], "doc_id long, text string"
+    )
+    rows = sorted(vocab_coverage(docs, coverage=0.8).collect(), key=lambda r: r.rank)
+    assert [(r.rank, r.tok, r.cnt) for r in rows] == [(1, "a", 6), (2, "b", 3)]
+    assert rows[-1].cum_frac == 0.9
+    # coverage=1.0 returns the whole vocabulary
+    assert vocab_coverage(docs, coverage=1.0).count() == 3

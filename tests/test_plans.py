@@ -299,3 +299,70 @@ def test_length_percentiles_one_sort_window(spark):
     plan = explain_str(out, "simple")
     assert "Python" not in plan
     assert count_exchanges(out) <= 3
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The bin-bucketing formulation must plan a hash EQUI-join — a raw
+    ts-range theta join degenerates to (broadcast) nested loop, the exact
+    shape interval_join exists to avoid."""
+    import datetime as dt
+
+    from tera_spark.operators.events import interval_join
+    from tera_spark.plans.checks import explain_str
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [("k", base + dt.timedelta(seconds=i), i) for i in range(50)],
+        "k string, ts timestamp, pid int",
+    )
+    ivs = spark.createDataFrame(
+        [("k", base, base + dt.timedelta(seconds=10), "w")],
+        "k string, s timestamp, e timestamp, win string",
+    )
+    out = interval_join(pts, ivs, on="k", ts="ts", start="s", end="e",
+                        bin_seconds=30, interval_cols=["win"])
+    plan = explain_str(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_prefix_join_no_cartesian(spark):
+    from tera_spark.operators.dedup import jaccard_prefix_pairs
+    from tera_spark.plans.checks import explain_str
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} shared common words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = explain_str(jaccard_prefix_pairs(docs, threshold=0.8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The Morton key must add ZERO exchanges — it is a write-layout
+    projection, not a computation that reorganizes data by itself."""
+    import pyspark.sql.functions as F
+
+    from tera_spark.functions.layout import zorder_key2
+    from tera_spark.plans.checks import count_exchanges
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    out = df.select(zorder_key2(F.col("x"), F.col("y"), 16).alias("z"))
+    assert count_exchanges(out) == 0
+
+
+def test_coalesce_intervals_single_exchange(spark):
+    """Running-max, island ids, and the final groupBy all share the same
+    (key) hash partitioning — one exchange end-to-end."""
+    import datetime as dt
+
+    from tera_spark.operators.events import coalesce_intervals
+    from tera_spark.plans.checks import count_exchanges
+
+    base = dt.datetime(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [("k", base, base + dt.timedelta(seconds=5))],
+        "k string, s timestamp, e timestamp",
+    )
+    assert count_exchanges(coalesce_intervals(iv, on="k", start="s", end="e")) == 1
