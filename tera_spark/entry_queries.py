@@ -3281,6 +3281,23 @@ def _queries() -> dict:
 
     q["text_vocab_coverage"] = vocab
 
+    def lca(spark, sf):
+        # batched LCA + taxonomy distance over the log-depth cust/ binary
+        # tree — the species-similarity primitive, whole pair-table at once
+        from tera_spark.operators.query_api import lowest_common_ancestor
+
+        customer = _t(spark, sf, "customer")
+        ck = F.col("c_custkey")
+        pairs = customer.filter((ck >= 2) & (ck < 200)).select(
+            F.concat(F.lit(NSX + "cust/"), ck.cast("string")).alias("a"),
+            F.concat(
+                F.lit(NSX + "cust/"), ((ck * 7) % 97 + 2).cast("string")
+            ).alias("b"),
+        )
+        return lowest_common_ancestor(taxo_graph(spark, sf), pairs, max_depth=15)
+
+    q["q20_taxonomy_lca"] = lca
+
     def pack(spark, sf):
         # GPT-style concat-and-chunk packing: one sharded window sort,
         # cumulative token offsets cut every 256 tokens
@@ -4823,6 +4840,36 @@ FROM (
       / 1152921504606846976.0 AS frac
   FROM documents
 )
+"""
+    o["q20_taxonomy_lca"] = """
+WITH RECURSIVE p AS (
+  SELECT 'urn:x:cust/'||cast(c_custkey AS varchar) AS child,
+         'urn:x:cust/'||cast(c_custkey // 2 AS varchar) AS parent
+  FROM customer WHERE c_custkey >= 2
+),
+pairs AS (
+  SELECT 'urn:x:cust/'||cast(c_custkey AS varchar) AS a,
+         'urn:x:cust/'||cast((c_custkey * 7) % 97 + 2 AS varchar) AS b
+  FROM customer WHERE c_custkey >= 2 AND c_custkey < 200
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)),
+anc(node, anc, depth) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION ALL
+  SELECT a.node, p.parent, a.depth + 1 FROM anc a JOIN p ON a.anc = p.child
+),
+amin AS (SELECT node, anc, min(depth) AS depth FROM anc GROUP BY 1, 2),
+cand AS (
+  SELECT pr.a, pr.b, aa.anc, aa.depth AS da, ab.depth AS db,
+         aa.depth + ab.depth AS dist
+  FROM pairs pr
+  JOIN amin aa ON aa.node = pr.a
+  JOIN amin ab ON ab.node = pr.b AND ab.anc = aa.anc
+)
+SELECT a, b, anc AS lca, da AS depth_a, db AS depth_b, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY dist, anc, da) AS rn
+  FROM cand
+) WHERE rn = 1
 """
     o["text_vocab_coverage"] = r"""
 WITH toks AS (

@@ -270,3 +270,86 @@ def get_endpoint(
     if pairs is not None:
         out = out.join(F.broadcast(pairs.select("c", "s").distinct()), ["c", "s"], "left_semi")
     return out.distinct()
+
+
+def lowest_common_ancestor(
+    g: DataFrame, pairs: DataFrame, max_depth: int = 25
+) -> DataFrame:
+    """Batched lowest-common-ancestor + taxonomy distance over the
+    ``rdfs:subClassOf`` hierarchy — the primitive behind taxonomy-based
+    species similarity (the reference walks one ancestor chain at a time
+    in Python, utils.py ``do_recursively_in_class``-style; this answers
+    a whole DataFrame of pairs with joins).
+
+    ``pairs`` is (a, b) of class URIs. Returns one row per input pair
+    that HAS a common ancestor: (a, b, lca, depth_a, depth_b, dist)
+    where depth_x is the hop count from x up to the lca and
+    dist = depth_a + depth_b (the standard taxonomy path distance
+    through the LCA). Pairs with no shared ancestor (forest roots in
+    different trees) are absent. The LCA is selected per pair as the
+    common ancestor minimizing ``dist`` (unique in a tree — every
+    shallower common ancestor is ABOVE the true LCA on both chains, so
+    it costs strictly more hops; ties, possible only in a subClassOf
+    DAG with multiple parents, break on the lexicographically smallest
+    ancestor URI for determinism).
+
+    Scale shape: ancestor chains are built ONLY for the node set the
+    pairs mention (frontier-sized, never hierarchy-sized) by
+    ``max_depth`` bounded join rounds against the checkpointed parent
+    table — the :func:`subclass_closure` discipline plus a depth
+    column; the per-pair argmin is one map-side-combinable
+    ``min(struct(dist, lca))`` groupBy. A node's chain stops at its
+    root; multi-parent DAGs keep the MIN depth per (node, ancestor).
+    """
+    parents = (
+        _s(g, RDFS_SUBCLASSOF)
+        .select(F.col("subject").alias("child"), F.col("object").alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
+        .dropDuplicates(["child", "parent"])
+        .repartition("child")
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # (node, ancestor, depth) — every node is its own depth-0 ancestor
+    anc = nodes.select("node", F.col("node").alias("anc"), F.lit(0).alias("depth"))
+    frontier = anc
+    for d in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(parents, frontier["anc"] == parents["child"])
+            .select("node", F.col("parent").alias("anc"), F.lit(d).alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+        if frontier.isEmpty():
+            break
+        anc = anc.unionByName(frontier)
+    # DAG safety: keep the cheapest route to each ancestor
+    anc = anc.groupBy("node", "anc").agg(F.min("depth").alias("depth"))
+    aa = anc.select(F.col("node").alias("a"), "anc", F.col("depth").alias("da"))
+    ab = anc.select(F.col("node").alias("b"), "anc", F.col("depth").alias("db"))
+    cand = (
+        pairs.join(aa, "a")
+        .join(ab, ["b", "anc"])
+        .select("a", "b", "anc", "da", "db", (F.col("da") + F.col("db")).alias("dist"))
+    )
+    best = (
+        cand.groupBy("a", "b")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("dist"), F.col("anc"), F.col("da"), F.col("db")
+                )
+            ).alias("_m")
+        )
+    )
+    return best.select(
+        "a",
+        "b",
+        F.col("_m.anc").alias("lca"),
+        F.col("_m.da").alias("depth_a"),
+        F.col("_m.db").alias("depth_b"),
+        F.col("_m.dist").alias("dist"),
+    )

@@ -189,3 +189,39 @@ def test_get_chemicals_and_species(spark):
         graph, ns, spark.createDataFrame([(ns + "taxon/101",)], "s string")
     )
     assert {r.c for r in from_species.collect()} == {ns + "cas/50000"}
+
+
+def test_lowest_common_ancestor_binary_tree(spark):
+    from tera_spark.constants import RDFS_SUBCLASSOF
+    from tera_spark.operators.query_api import lowest_common_ancestor
+
+    # binary tree: k subClassOf k//2, rooted at 1
+    g = spark.createDataFrame(
+        [(str(k), RDFS_SUBCLASSOF, str(k // 2), False) for k in range(2, 32)],
+        "subject string, predicate string, object string, obj_is_literal boolean",
+    )
+    pairs = spark.createDataFrame(
+        [("12", "13"), ("12", "7"), ("8", "9"), ("5", "5"), ("20", "21")],
+        "a string, b string",
+    )
+    got = {(r.a, r.b): (r.lca, r.depth_a, r.depth_b, r.dist)
+           for r in lowest_common_ancestor(g, pairs, max_depth=10).collect()}
+    assert got[("12", "13")] == ("6", 1, 1, 2)    # siblings
+    assert got[("12", "7")] == ("3", 2, 1, 3)     # cousin/uncle via 6→3
+    assert got[("8", "9")] == ("4", 1, 1, 2)
+    assert got[("5", "5")] == ("5", 0, 0, 0)      # identical pair
+    assert got[("20", "21")] == ("10", 1, 1, 2)
+
+
+def test_lca_disjoint_forest_absent(spark):
+    from tera_spark.constants import RDFS_SUBCLASSOF
+    from tera_spark.operators.query_api import lowest_common_ancestor
+
+    g = spark.createDataFrame(
+        [("a1", RDFS_SUBCLASSOF, "ra", False), ("b1", RDFS_SUBCLASSOF, "rb", False)],
+        "subject string, predicate string, object string, obj_is_literal boolean",
+    )
+    pairs = spark.createDataFrame([("a1", "b1"), ("a1", "ra")], "a string, b string")
+    got = {(r.a, r.b): r.lca for r in lowest_common_ancestor(g, pairs, max_depth=5).collect()}
+    assert ("a1", "b1") not in got          # different trees → no row
+    assert got[("a1", "ra")] == "ra"        # ancestor pair → the ancestor
