@@ -3298,6 +3298,79 @@ def _queries() -> dict:
 
     q["q20_taxonomy_lca"] = lca
 
+    def rollup_rev(spark, sf):
+        # OLAP rollup: revenue at (year, priority), per-year, and grand
+        # total in ONE pass — partial aggregation handles all three
+        # grouping sets map-side, no triple scan
+        o = _t(spark, sf, "orders")
+        yr = F.year(F.col("o_orderdate").cast("date")).alias("yr")
+        return (
+            o.select(yr, F.col("o_orderpriority").alias("prio"), "o_totalprice")
+            .rollup("yr", "prio")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("rev"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.grouping_id().alias("gid"),
+            )
+        )
+
+    q["a_rollup_revenue"] = rollup_rev
+
+    def pivot_rev(spark, sf):
+        # pivot: per-year revenue with one column per order priority —
+        # Catalyst rewrites to conditional aggregation, one shuffle
+        o = _t(spark, sf, "orders")
+        yr = F.year(F.col("o_orderdate").cast("date")).alias("yr")
+        prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        out = (
+            o.select(yr, F.col("o_orderpriority").alias("prio"), "o_totalprice")
+            .groupBy("yr")
+            .pivot("prio", prios)
+            .agg(F.round(F.sum("o_totalprice"), 2))
+        )
+        cols = {"1-URGENT": "p1", "2-HIGH": "p2", "3-MEDIUM": "p3",
+                "4-NOT SPECIFIED": "p4", "5-LOW": "p5"}
+        for old, new in cols.items():
+            out = out.withColumnRenamed(old, new)
+        return out
+
+    q["a_pivot_revenue"] = pivot_rev
+
+    def funnel(spark, sf):
+        # sessionized funnel: which sessions complete view→click→purchase
+        # IN ORDER — per-session ordered event-type string + one regexp;
+        # state bounded by session length, one sort stage end-to-end
+        from tera_spark.operators.events import sessionize
+
+        ev = _t(spark, sf, "events")
+        s = sessionize(ev, gap_seconds=3600, tiebreak="event_id")
+        seq = F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros(F.col("ts").cast("timestamp")).alias("_t"),
+                            F.col("event_id").alias("_id"),
+                            F.col("event_type").alias("_e"),
+                        )
+                    )
+                ),
+                lambda x: x["_e"],
+            ),
+        )
+        return (
+            s.groupBy("session_id")
+            .agg(seq.alias("seq"), F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "session_id",
+                "n_events",
+                F.col("seq").rlike("view.*click.*purchase").alias("converted"),
+            )
+        )
+
+    q["ev_funnel_conversion"] = funnel
+
     def pack(spark, sf):
         # GPT-style concat-and-chunk packing: one sharded window sort,
         # cumulative token offsets cut every 256 tokens
@@ -4840,6 +4913,43 @@ FROM (
       / 1152921504606846976.0 AS frac
   FROM documents
 )
+"""
+    o["a_rollup_revenue"] = """
+SELECT year(o_orderdate::DATE) AS yr, o_orderpriority AS prio,
+       round(sum(o_totalprice), 2) AS rev,
+       count(*) AS n_orders,
+       cast(grouping(year(o_orderdate::DATE), o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate::DATE), o_orderpriority)
+"""
+    o["a_pivot_revenue"] = """
+SELECT year(o_orderdate::DATE) AS yr,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS p1,
+       round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS p2,
+       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS p3,
+       round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p4,
+       round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p5
+FROM orders GROUP BY 1
+"""
+    o["ev_funnel_conversion"] = """
+WITH sess AS (
+  SELECT event_id, user_id, ts, event_type,
+    cast(user_id AS varchar) || ':' || cast(
+      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS varchar) AS session_id
+  FROM (
+    SELECT event_id, user_id, ts, event_type,
+      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                > 3600000000::BIGINT
+           THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+)
+SELECT session_id, count(*) AS n_events,
+       regexp_matches(string_agg(event_type, '>' ORDER BY ts, event_id),
+                      'view.*click.*purchase') AS converted
+FROM sess GROUP BY session_id
 """
     o["q20_taxonomy_lca"] = """
 WITH RECURSIVE p AS (
