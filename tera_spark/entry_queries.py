@@ -3316,6 +3316,22 @@ def _queries() -> dict:
 
     q["a_rollup_revenue"] = rollup_rev
 
+    def wup(spark, sf):
+        # Wu-Palmer similarity over the same cust/ binary tree pairs
+        from tera_spark.operators.query_api import taxonomy_similarity
+
+        customer = _t(spark, sf, "customer")
+        ck = F.col("c_custkey")
+        pairs = customer.filter((ck >= 2) & (ck < 200)).select(
+            F.concat(F.lit(NSX + "cust/"), ck.cast("string")).alias("a"),
+            F.concat(
+                F.lit(NSX + "cust/"), ((ck * 7) % 97 + 2).cast("string")
+            ).alias("b"),
+        )
+        return taxonomy_similarity(taxo_graph(spark, sf), pairs, max_depth=15)
+
+    q["q21_taxonomy_wup"] = wup
+
     def pivot_rev(spark, sf):
         # pivot: per-year revenue with one column per order priority —
         # Catalyst rewrites to conditional aggregation, one shuffle
@@ -4913,6 +4929,45 @@ FROM (
       / 1152921504606846976.0 AS frac
   FROM documents
 )
+"""
+    o["q21_taxonomy_wup"] = """
+WITH RECURSIVE p AS (
+  SELECT 'urn:x:cust/'||cast(c_custkey AS varchar) AS child,
+         'urn:x:cust/'||cast(c_custkey // 2 AS varchar) AS parent
+  FROM customer WHERE c_custkey >= 2
+),
+pairs AS (
+  SELECT 'urn:x:cust/'||cast(c_custkey AS varchar) AS a,
+         'urn:x:cust/'||cast((c_custkey * 7) % 97 + 2 AS varchar) AS b
+  FROM customer WHERE c_custkey >= 2 AND c_custkey < 200
+),
+nodes AS (SELECT DISTINCT node FROM (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)),
+anc(node, anc, depth) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION ALL
+  SELECT a.node, p.parent, a.depth + 1 FROM anc a JOIN p ON a.anc = p.child
+),
+amin AS (SELECT node, anc, min(depth) AS depth FROM anc GROUP BY 1, 2),
+rootd AS (SELECT node, max(depth) AS rd FROM amin GROUP BY 1),
+cand AS (
+  SELECT pr.a, pr.b, aa.anc, aa.depth AS da, ab.depth AS db,
+         aa.depth + ab.depth AS dist
+  FROM pairs pr
+  JOIN amin aa ON aa.node = pr.a
+  JOIN amin ab ON ab.node = pr.b AND ab.anc = aa.anc
+),
+best AS (
+  SELECT a, b, anc AS lca, da, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY a, b ORDER BY dist, anc, da) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT bs.a, bs.b, bs.lca, bs.dist,
+       round(CASE WHEN ra.rd + rb.rd = 0 THEN 1.0
+             ELSE 2.0 * (ra.rd - bs.da) / (ra.rd + rb.rd) END, 6) AS wup
+FROM best bs
+JOIN rootd ra ON ra.node = bs.a
+JOIN rootd rb ON rb.node = bs.b
 """
     o["a_rollup_revenue"] = """
 SELECT year(o_orderdate::DATE) AS yr, o_orderpriority AS prio,

@@ -353,3 +353,58 @@ def lowest_common_ancestor(
         F.col("_m.db").alias("depth_b"),
         F.col("_m.dist").alias("dist"),
     )
+
+
+def taxonomy_similarity(
+    g: DataFrame, pairs: DataFrame, max_depth: int = 25
+) -> DataFrame:
+    """Wu-Palmer taxonomy similarity for a pair table:
+    wup = 2·depth_root(lca) / (depth_root(a) + depth_root(b)) ∈ (0, 1],
+    the classic taxonomy-distance similarity (the reference's
+    species-similarity use case for its NCBI hierarchy). Builds on
+    :func:`lowest_common_ancestor`; root depths come from the SAME
+    bounded ancestor climb (a node's root depth is its deepest
+    ancestor's depth, and depth_root(lca) = depth_root(x) − depth_x for
+    either side), so no second graph traversal happens.
+
+    Returns (a, b, lca, dist, wup) — dist is the LCA path distance,
+    wup rounded to 6. Pairs without a common ancestor are absent.
+    Self-pairs at the root (root depth 0 both sides) would divide 0/0
+    and are emitted with wup 1.0 (identical nodes are maximally
+    similar by definition).
+    """
+    lca = lowest_common_ancestor(g, pairs, max_depth=max_depth)
+    parents = (
+        _s(g, RDFS_SUBCLASSOF)
+        .select(F.col("subject").alias("child"), F.col("object").alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
+        .dropDuplicates(["child", "parent"])
+        .repartition("child")
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # root depth per node: length of the (bounded) parent chain
+    chain = nodes.select("node", F.col("node").alias("anc"), F.lit(0).alias("depth"))
+    frontier = chain
+    for d in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(parents, frontier["anc"] == parents["child"])
+            .select("node", F.col("parent").alias("anc"), F.lit(d).alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+        if frontier.isEmpty():
+            break
+        chain = chain.unionByName(frontier)
+    rootd = chain.groupBy("node").agg(F.max("depth").alias("rd"))
+    ra = rootd.select(F.col("node").alias("a"), F.col("rd").alias("rd_a"))
+    rb = rootd.select(F.col("node").alias("b"), F.col("rd").alias("rd_b"))
+    out = lca.join(ra, "a").join(rb, "b")
+    lca_rd = F.col("rd_a") - F.col("depth_a")
+    wup = F.when(
+        (F.col("rd_a") + F.col("rd_b")) == 0, F.lit(1.0)
+    ).otherwise(2.0 * lca_rd / (F.col("rd_a") + F.col("rd_b")))
+    return out.select("a", "b", "lca", "dist", F.round(wup, 6).alias("wup"))

@@ -225,3 +225,26 @@ def test_lca_disjoint_forest_absent(spark):
     got = {(r.a, r.b): r.lca for r in lowest_common_ancestor(g, pairs, max_depth=5).collect()}
     assert ("a1", "b1") not in got          # different trees → no row
     assert got[("a1", "ra")] == "ra"        # ancestor pair → the ancestor
+
+
+def test_taxonomy_similarity_wu_palmer(spark):
+    from tera_spark.constants import RDFS_SUBCLASSOF
+    from tera_spark.operators.query_api import taxonomy_similarity
+
+    g = spark.createDataFrame(
+        [(str(k), RDFS_SUBCLASSOF, str(k // 2), False) for k in range(2, 16)],
+        "subject string, predicate string, object string, obj_is_literal boolean",
+    )
+    pairs = spark.createDataFrame(
+        [("12", "13"), ("12", "3"), ("8", "15"), ("1", "1")], "a string, b string"
+    )
+    got = {(r.a, r.b): (r.lca, r.dist, r.wup)
+           for r in taxonomy_similarity(g, pairs, max_depth=8).collect()}
+    # siblings 12,13 under 6: root depths 3,3; lca depth 2 → 2*2/6
+    assert got[("12", "13")] == ("6", 2, round(4 / 6, 6))
+    # 12 vs its grandparent 3: lca=3 (root depth 1) → 2*1/(3+1)
+    assert got[("12", "3")] == ("3", 2, 0.5)
+    # 8 (depth 3) vs 15 (depth 3), lca=1 (root) → 0 similarity numerator
+    assert got[("8", "15")] == ("1", 6, 0.0)
+    # root self-pair: 0/0 band → defined as 1.0
+    assert got[("1", "1")] == ("1", 0, 1.0)
