@@ -3387,6 +3387,24 @@ def _queries() -> dict:
 
     q["ev_funnel_conversion"] = funnel
 
+    def cohorts(spark, sf):
+        # weekly cohort retention matrix over the event stream
+        from tera_spark.operators.events import cohort_retention
+
+        return cohort_retention(_t(spark, sf, "events"), bucket_days=7)
+
+    q["ev_cohort_retention"] = cohorts
+
+    def outliers(spark, sf):
+        # heavy-tail-safe length-outlier summary per source (median/MAD)
+        from tera_spark.operators.profile import robust_outlier_stats
+
+        return robust_outlier_stats(
+            _t(spark, sf, "documents"), "n_chars", "source", k=3.0
+        )
+
+    q["quality_robust_outliers"] = outliers
+
     def pack(spark, sf):
         # GPT-style concat-and-chunk packing: one sharded window sort,
         # cumulative token offsets cut every 256 tokens
@@ -4985,6 +5003,29 @@ SELECT year(o_orderdate::DATE) AS yr,
        round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p4,
        round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p5
 FROM orders GROUP BY 1
+"""
+    o["quality_robust_outliers"] = """
+WITH d AS (SELECT source AS "group", cast(n_chars AS DOUBLE) AS x FROM documents),
+med AS (SELECT "group", median(x) AS m, count(x) AS n FROM d GROUP BY 1),
+dev AS (SELECT d."group", abs(d.x - med.m) AS adev FROM d JOIN med USING ("group")),
+mad AS (SELECT "group", median(adev) AS md FROM dev GROUP BY 1)
+SELECT med."group", med.n,
+       round(med.m, 6) AS median, round(mad.md, 6) AS mad,
+       (SELECT count(*) FROM dev
+        WHERE dev."group" = med."group"
+          AND dev.adev > 3.0 * 1.4826 * mad.md) AS n_outliers
+FROM med JOIN mad USING ("group")
+"""
+    o["ev_cohort_retention"] = """
+WITH ev AS (
+  SELECT user_id, cast(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS b
+  FROM events WHERE ts IS NOT NULL
+),
+f AS (SELECT user_id, min(b) AS cohort FROM ev GROUP BY 1)
+SELECT cohort AS cohort_bucket, b - cohort AS bucket_offset,
+       count(DISTINCT user_id) AS n_users
+FROM ev JOIN f USING (user_id)
+GROUP BY 1, 2
 """
     o["ev_funnel_conversion"] = """
 WITH sess AS (

@@ -351,3 +351,46 @@ def coalesce_intervals(
         )
         .drop("_island")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users are
+    cohorted by the epoch bucket (``bucket_days``-day granularity) of
+    their FIRST event; each later event credits its user to
+    (cohort_bucket, offset) where offset counts buckets since the
+    cohort's. Returns (cohort_bucket long, bucket_offset long,
+    n_users long) with distinct-user counts — offset 0 is the cohort
+    size, and retention@k = n_users(k) / n_users(0) downstream.
+
+    Scale shape: one min-aggregate per user (map-side combined), one
+    join back on the user key (same hash partitioning), one
+    distinct-count groupBy onto (cohort, offset) — tiny result. Epoch
+    bucketing (floor of epoch-days / bucket_days) rather than calendar
+    weeks keeps the math engine-portable and timezone-free (the session
+    pins UTC; a calendar-week variant is a trivial recohort).
+    """
+    day_us = 86_400_000_000
+
+    def _bucket(c):
+        return F.floor(
+            F.unix_micros(F.col(c).cast("timestamp"))
+            / F.lit(day_us * int(bucket_days))
+        )
+
+    ev = events.where(F.col(ts).isNotNull()).select(
+        F.col(on).alias("_u"), _bucket(ts).alias("_b")
+    )
+    first = ev.groupBy("_u").agg(F.min("_b").alias("_cohort"))
+    return (
+        ev.join(first, "_u")
+        .groupBy(
+            F.col("_cohort").alias("cohort_bucket"),
+            (F.col("_b") - F.col("_cohort")).alias("bucket_offset"),
+        )
+        .agg(F.count_distinct(F.col("_u")).alias("n_users"))
+    )

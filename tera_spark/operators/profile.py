@@ -231,3 +231,56 @@ def psi_report(
         F.round(contrib, 6).alias("contrib"),
         F.round(F.sum(contrib).over(w), 6).alias("psi"),
     )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier summary per group — the curation filter that
+    survives heavy-tailed corpora where mean/stddev thresholds don't
+    (one 100 MB document drags a mean; it cannot drag a median). A row
+    is an outlier when |x − median| > k · 1.4826 · MAD (the 1.4826
+    factor scales MAD to σ under normality, so ``k`` reads like a
+    z-score). MAD = 0 (over half the group identical) degenerates to
+    flagging every x ≠ median — documented, and exactly what the oracle
+    replays.
+
+    Returns (group, n long, median double, mad double, n_outliers
+    long), median/mad rounded to 6.
+
+    Scale shape: two exact-median aggregates (Spark's ``median`` is a
+    single-pass typed aggregate, no global sort) with a same-key join
+    between them, then one count — three map-side-combinable exchanges
+    on the group key, nothing corpus-wide.
+    """
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col).alias("group")
+    med = df.groupBy(g).agg(
+        F.median(x).alias("_med"), F.count(x).alias("n")
+    )
+    joined = df.select(g, x.alias("_x")).join(med, "group")
+    dev = joined.withColumn("_adev", F.abs(F.col("_x") - F.col("_med")))
+    mad = dev.groupBy("group").agg(F.median("_adev").alias("_mad"))
+    flagged = (
+        dev.join(mad, "group")
+        .withColumn(
+            "_out",
+            F.col("_adev") > F.lit(float(k)) * F.lit(1.4826) * F.col("_mad"),
+        )
+        .groupBy("group")
+        .agg(F.count(F.when(F.col("_out"), True)).alias("n_outliers"))
+    )
+    return (
+        med.join(mad, "group")
+        .join(flagged, "group")
+        .select(
+            "group",
+            "n",
+            F.round("_med", 6).alias("median"),
+            F.round("_mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )

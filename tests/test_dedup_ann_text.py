@@ -1238,3 +1238,18 @@ def test_vocab_coverage_head(spark):
     assert rows[-1].cum_frac == 0.9
     # coverage=1.0 returns the whole vocabulary
     assert vocab_coverage(docs, coverage=1.0).count() == 3
+
+
+def test_robust_outlier_stats_median_mad(spark):
+    from tera_spark.operators.profile import robust_outlier_stats
+
+    # g1: median 10, MAD 1 → threshold 3*1.4826 ≈ 4.45; 100 is the outlier
+    # g2: constant values → MAD 0 → any deviation flags
+    rows = [("g1", v) for v in [8.0, 9.0, 10.0, 11.0, 12.0, 100.0]] + [
+        ("g2", 5.0), ("g2", 5.0), ("g2", 5.0), ("g2", 7.0)
+    ]
+    df = spark.createDataFrame(rows, "src string, x double")
+    got = {r.group: r for r in robust_outlier_stats(df, "x", "src", k=3.0).collect()}
+    assert got["g1"].median == 10.5 and got["g1"].n == 6
+    assert got["g1"].n_outliers == 1
+    assert got["g2"].mad == 0.0 and got["g2"].n_outliers == 1

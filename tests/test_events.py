@@ -222,3 +222,29 @@ def test_interval_roundtrip_coalesce_then_join(spark):
         ).collect()
     )
     assert inside == [0, 15, 20, 45]
+
+
+def test_cohort_retention_matrix(spark):
+    from tera_spark.operators.events import cohort_retention
+
+    d0 = dt.datetime(2024, 1, 1)   # epoch-day 19723 → bucket floor(19723/7)
+    rows = [
+        # u1 first in bucket B, active B and B+1; u2 first B, active B only;
+        # u3 first B+1, active B+1 and B+3
+        ("u1", d0), ("u1", d0 + dt.timedelta(days=1)), ("u1", d0 + dt.timedelta(days=8)),
+        ("u2", d0 + dt.timedelta(days=2)),
+        ("u3", d0 + dt.timedelta(days=7)), ("u3", d0 + dt.timedelta(days=22)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (r.cohort_bucket, r.bucket_offset): r.n_users
+        for r in cohort_retention(df, bucket_days=7).collect()
+    }
+    b = (d0 - dt.datetime(1970, 1, 1)).days // 7
+    # d0 is a Monday-aligned epoch-week? No: bucket is floor(epoch_days/7)
+    b = ((d0 - dt.datetime(1970, 1, 1)).days) // 7
+    assert got[(b, 0)] == 2            # u1, u2 in cohort b at offset 0
+    assert got[(b, 1)] == 1            # only u1 returns next bucket
+    assert got[(b + 1, 0)] == 1        # u3's cohort
+    assert got[(b + 1, 2)] == 1        # u3 back two buckets later
+    assert (b, 2) not in got
