@@ -5215,7 +5215,7 @@ WITH t AS (
 o AS (
   SELECT doc_id, n_tokens, shard,
     coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS "offset"
   FROM t
 )
 SELECT doc_id, n_tokens, shard, "offset",
@@ -5459,11 +5459,11 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.40
     o["kg_conversation_stats"] = f"""
 WITH {_kg_fixture_sql_cte()}
 SELECT conv_id, count(*) AS n_turns,
-       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
-       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
-       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool_calls,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_tool_calls,
        count(DISTINCT tool) AS n_tools,
-       sum(length(text)) AS total_chars,
+       sum(length(text))::BIGINT AS total_chars,
        (max(turn_idx) - min(turn_idx) + 1 = count(*)) AS contiguous,
        max_by(role, turn_idx) AS last_role
 FROM transcripts GROUP BY conv_id

@@ -588,10 +588,14 @@ def jaccard_prefix_pairs(
     ).filter(F.size("_ts") > 0)
     flat = toks.select("doc_id", F.explode("_ts").alias("tok"))
     df_ = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
-    # rarest-first total order: zero-pad df so lexicographic == numeric
+    # rarest-first total order: zero-pad df so lexicographic == numeric.
+    # 19 digits = max bigint width; Spark lpad TRUNCATES longer inputs, so
+    # a narrower pad would silently degrade prefix selectivity at df ≥ 10^pad
+    # (order stays total + doc-consistent, so exactness would survive — but
+    # the rarest-first heuristic would not).
     ranked = (
         flat.join(df_, "tok")
-        .withColumn("_key", F.concat(F.lpad(F.col("_df").cast("string"), 12, "0"), F.lit("|"), F.col("tok")))
+        .withColumn("_key", F.concat(F.lpad(F.col("_df").cast("string"), 19, "0"), F.lit("|"), F.col("tok")))
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("_key", "tok"))).alias("_ord"))
         .select(
@@ -644,6 +648,8 @@ def blocking_quality(
     candidates: DataFrame,
     truth: DataFrame,
     id_col: str = "doc_id",
+    a_col: str | None = None,
+    b_col: str | None = None,
 ) -> DataFrame:
     """Measure a blocker instead of trusting it: given the candidate
     pairs a blocking scheme produced (minhash bands, simhash pigeonhole,
@@ -669,7 +675,19 @@ def blocking_quality(
     blocker caps), never corpus².
     """
     def norm(df):
-        a, b = df.columns[0], df.columns[1]
+        # Pair columns are taken by explicit name when given; otherwise the
+        # frame must have EXACTLY two columns — silently reading the first
+        # two of a wider/reordered frame would yield wrong metrics.
+        if a_col is not None or b_col is not None:
+            a, b = a_col or df.columns[0], b_col or df.columns[1]
+        elif len(df.columns) == 2:
+            a, b = df.columns
+        else:
+            raise ValueError(
+                "blocking_quality: pair frame has columns "
+                f"{df.columns}; pass a_col/b_col explicitly for frames "
+                "with more than two columns"
+            )
         return df.select(
             F.least(F.col(a), F.col(b)).alias("x"),
             F.greatest(F.col(a), F.col(b)).alias("y"),

@@ -161,7 +161,11 @@ def psi_report(
     outside the old range clamp into the edge bins (they must count
     somewhere, and the edge is where they semantically belong). Both
     fractions are floored at ``eps`` before the log so empty bins
-    contribute finitely. NULLs are excluded.
+    contribute finitely. NULLs are excluded. If the OLD snapshot has no
+    non-null rows at all, the bin bounds are undefined and every
+    numeric column comes back NULL (psi included) — a broken upstream
+    snapshot must read as "unknown drift", never as a silent 0.0
+    "no drift".
 
     Scale shape: one aggregate for the old bounds (a broadcast 1-row
     join, same idiom as ``corpus.mixture_weights``), one
@@ -220,16 +224,20 @@ def psi_report(
     )
     pf = F.greatest(F.col("old_frac"), F.lit(float(eps)))
     qf = F.greatest(F.col("new_frac"), F.lit(float(eps)))
-    contrib = (qf - pf) * F.log(qf / pf)
+    # lo IS NULL ⇔ the old snapshot had no non-null rows (bounds agg
+    # returned NULL min/max) — poison every numeric output instead of
+    # letting the eps floors manufacture a plausible-looking psi.
+    ok = F.col("lo").isNotNull()
+    contrib = F.when(ok, (qf - pf) * F.log(qf / pf))
     w = Window.partitionBy()
     return joined.select(
         "bin",
         F.round("lo", 6).alias("lo"),
         F.round("hi", 6).alias("hi"),
-        F.round("old_frac", 6).alias("old_frac"),
-        F.round("new_frac", 6).alias("new_frac"),
+        F.round(F.when(ok, F.col("old_frac")), 6).alias("old_frac"),
+        F.round(F.when(ok, F.col("new_frac")), 6).alias("new_frac"),
         F.round(contrib, 6).alias("contrib"),
-        F.round(F.sum(contrib).over(w), 6).alias("psi"),
+        F.round(F.when(ok, F.sum(contrib).over(w)), 6).alias("psi"),
     )
 
 

@@ -362,10 +362,15 @@ def taxonomy_similarity(
     wup = 2·depth_root(lca) / (depth_root(a) + depth_root(b)) ∈ (0, 1],
     the classic taxonomy-distance similarity (the reference's
     species-similarity use case for its NCBI hierarchy). Builds on
-    :func:`lowest_common_ancestor`; root depths come from the SAME
-    bounded ancestor climb (a node's root depth is its deepest
-    ancestor's depth, and depth_root(lca) = depth_root(x) − depth_x for
-    either side), so no second graph traversal happens.
+    :func:`lowest_common_ancestor`; root depths come from one bounded
+    ancestor climb seeded with the pair endpoints AND the LCA nodes, so
+    depth_root(lca) is measured directly from the LCA's own chain
+    rather than derived as rd_a − depth_a — the derived form is only
+    valid in a strict tree, and in a multi-parent subClassOf DAG (or
+    when ``max_depth`` truncates one side's chain) the a-side and
+    b-side derivations can disagree and push wup outside (0, 1].
+    As a belt-and-braces guard against residual ``max_depth``
+    truncation asymmetry, wup is clamped to (0, 1].
 
     Returns (a, b, lca, dist, wup) — dist is the LCA path distance,
     wup rounded to 6. Pairs without a common ancestor are absent.
@@ -385,6 +390,7 @@ def taxonomy_similarity(
     nodes = (
         pairs.select(F.col("a").alias("node"))
         .unionByName(pairs.select(F.col("b").alias("node")))
+        .unionByName(lca.select(F.col("lca").alias("node")))
         .distinct()
     )
     # root depth per node: length of the (bounded) parent chain
@@ -402,9 +408,14 @@ def taxonomy_similarity(
     rootd = chain.groupBy("node").agg(F.max("depth").alias("rd"))
     ra = rootd.select(F.col("node").alias("a"), F.col("rd").alias("rd_a"))
     rb = rootd.select(F.col("node").alias("b"), F.col("rd").alias("rd_b"))
-    out = lca.join(ra, "a").join(rb, "b")
-    lca_rd = F.col("rd_a") - F.col("depth_a")
+    rl = rootd.select(F.col("node").alias("lca"), F.col("rd").alias("rd_lca"))
+    out = lca.join(ra, "a").join(rb, "b").join(rl, "lca")
     wup = F.when(
         (F.col("rd_a") + F.col("rd_b")) == 0, F.lit(1.0)
-    ).otherwise(2.0 * lca_rd / (F.col("rd_a") + F.col("rd_b")))
+    ).otherwise(
+        F.least(
+            F.lit(1.0),
+            2.0 * F.col("rd_lca") / (F.col("rd_a") + F.col("rd_b")),
+        )
+    )
     return out.select("a", "b", "lca", "dist", F.round(wup, 6).alias("wup"))

@@ -255,8 +255,11 @@ def stream_sessionize(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Key type follows the input schema — a long user_id key must come
+    # back as long, not a hardcoded string.
+    key_type = stream.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} string, session_start timestamp, "
+        f"{key_col} {key_type}, session_start timestamp, "
         "session_end timestamp, n_events long"
     )
     state_schema = "s long, e long, n long"

@@ -1187,6 +1187,19 @@ def test_psi_out_of_range_clamps(spark):
     assert by_bin[0].new_frac == 0.5 and by_bin[1].new_frac == 0.5
 
 
+def test_psi_empty_old_snapshot_is_null_not_zero(spark):
+    """A broken upstream snapshot (no non-null old rows) must surface as
+    NULL psi, never as a silent 0.0 'no drift'."""
+    from tera_spark.operators.profile import psi_report
+
+    old = spark.createDataFrame([(None,), (None,)], "x double")
+    new = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    rows = psi_report(old, new, "x", bins=4).collect()
+    assert len(rows) == 4
+    assert all(r.psi is None and r.contrib is None for r in rows)
+    assert all(r.old_frac is None and r.new_frac is None for r in rows)
+
+
 def test_leakage_safe_split_clusters_atomic(spark):
     from tera_spark.operators.corpus import hash_split, leakage_safe_split
 
@@ -1224,6 +1237,26 @@ def test_blocking_quality_hand_computed(spark):
     # empty truth → NULL completeness, not 1.0/0.0
     r2 = blocking_quality(docs, cand, truth.filter("a > 99")).collect()[0]
     assert r2.pairs_completeness is None
+
+
+def test_blocking_quality_explicit_columns(spark):
+    """Wide/reordered pair frames must be addressed by name, never read
+    positionally — a frame with extra leading columns either uses
+    a_col/b_col or is rejected."""
+    import pytest
+
+    from tera_spark.operators.dedup import blocking_quality
+
+    docs = spark.createDataFrame([(i, "t") for i in range(5)], "doc_id long, text string")
+    cand_wide = spark.createDataFrame(
+        [(0.9, 1, 2), (0.8, 3, 4)], "score double, a long, b long"
+    )
+    truth = spark.createDataFrame([(1, 2), (2, 3), (0, 4)], "a long, b long")
+    r = blocking_quality(docs, cand_wide, truth, a_col="a", b_col="b").collect()[0]
+    assert r.n_candidates == 2 and r.n_hit == 1
+    # no names given + more than two columns → loud error, not wrong metrics
+    with pytest.raises(ValueError, match="a_col/b_col"):
+        blocking_quality(docs, cand_wide, truth).collect()
 
 
 def test_vocab_coverage_head(spark):

@@ -408,3 +408,41 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got <= bs and len(got) == 3
+
+
+def test_stream_sessionize_nonstring_key_schema(spark, tmp_path):
+    """The output key column follows the input schema — a long user_id
+    key must come back long, not hardcoded string."""
+    import datetime as dt
+
+    from tera_spark.streaming.extract_stream import stream_sessionize
+
+    in_dir = str(tmp_path / "sess_long_in")
+    cols = "user_id long, ts timestamp"
+    base = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(7, base), (7, base + dt.timedelta(seconds=10))], cols
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [(9, base + dt.timedelta(seconds=5000))], cols
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = stream_sessionize(stream, key_col="user_id", gap_seconds=60, watermark="10 seconds")
+    assert out.schema["user_id"].dataType.simpleString() == "bigint"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_long_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    rows = spark.sql("select * from sess_long_out").collect()
+    # user 7's session closes via watermark from user 9's far-future event
+    assert {(r.user_id, r.n_events) for r in rows} >= {(7, 2)}
+    assert all(isinstance(r.user_id, int) for r in rows)

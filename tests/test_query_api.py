@@ -248,3 +248,30 @@ def test_taxonomy_similarity_wu_palmer(spark):
     assert got[("8", "15")] == ("1", 6, 0.0)
     # root self-pair: 0/0 band → defined as 1.0
     assert got[("1", "1")] == ("1", 0, 1.0)
+
+
+def test_taxonomy_similarity_multi_parent_dag(spark):
+    """wup in a multi-parent subClassOf DAG: depth_root(lca) must be the
+    LCA's OWN measured chain depth, not the tree-only rd_a − depth_a
+    derivation (which here would claim rd_lca = 4 − 1 = 3 and report a
+    saturated wup of 1.0 for two clearly non-identical nodes)."""
+    from tera_spark.constants import RDFS_SUBCLASSOF
+    from tera_spark.operators.query_api import taxonomy_similarity
+
+    # A has two routes to root R: short (A→X→R) and long (A→Y→Y2→Z→R),
+    # so rd_A = 4 (longest chain) while the lca X has rd_X = 1.
+    edges = [
+        ("A", "X"), ("X", "R"),
+        ("A", "Y"), ("Y", "Y2"), ("Y2", "Z"), ("Z", "R"),
+        ("B", "X"),
+    ]
+    g = spark.createDataFrame(
+        [(c, RDFS_SUBCLASSOF, p, False) for c, p in edges],
+        "subject string, predicate string, object string, obj_is_literal boolean",
+    )
+    pairs = spark.createDataFrame([("A", "B")], "a string, b string")
+    r = taxonomy_similarity(g, pairs, max_depth=8).collect()[0]
+    assert (r.lca, r.dist) == ("X", 2)
+    # rd_A=4 (via Y chain), rd_B=2, rd_X=1 → wup = 2·1/(4+2)
+    assert r.wup == round(2 / 6, 6)
+    assert 0.0 <= r.wup <= 1.0
