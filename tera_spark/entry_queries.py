@@ -4286,6 +4286,52 @@ def _rotate_registration(q: dict) -> dict:
     return head
 
 
+_GOLDEN_DUCK_TYPES = {
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "float": "FLOAT",
+}
+
+
+def _sql_frozen_golden(fname: str) -> str:
+    """Build a ``SELECT * FROM (VALUES ...)`` oracle from a frozen golden
+    row set (tools/freeze_goldens.py). Used for the two WRatio-scored
+    entries whose difflib scorer no SQL engine can replay: the driver
+    still gets a full value/hash comparison — against the frozen output
+    instead of a recomputation — so any nondeterminism or behavior
+    drift in the fuzzy path turns the row red (round-4 verdict
+    "What's wrong" #3). Types are cast explicitly to match the Spark
+    schema, mirroring the BIGINT-cast discipline of every other oracle."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "goldens", fname)
+    with open(path) as fh:
+        g = _json.load(fh)
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, (int,)):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    rows = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in g["rows"])
+    inner_cols = ", ".join(f"c{i}" for i in range(len(g["columns"])))
+    casts = ", ".join(
+        f"CAST(c{i} AS {_GOLDEN_DUCK_TYPES[t]}) AS {c}"
+        for i, (c, t) in enumerate(zip(g["columns"], g["types"]))
+    )
+    return f"SELECT {casts} FROM (VALUES\n{rows}\n) AS _g({inner_cols})"
+
+
 def _oracle_sql() -> dict:
     o = {}
     o["t9_tests_triples"] = _sql_t9()
@@ -4305,6 +4351,13 @@ WITH RECURSIVE d(s) AS (
 SELECT s FROM d
 """
     from tera_spark.functions.similarity import sql_portable_ratio
+
+    # WRatio-scored entries: oracle = frozen golden (see _sql_frozen_golden).
+    # j6's golden reads the part table and is captured at sf0.01, the only
+    # scale the driver's gate runs; kg_pipeline_triples is a pure function
+    # of in-repo fixtures and is sf-independent.
+    o["j6_string_matching"] = _sql_frozen_golden("j6_string_matching.sf001.json")
+    o["kg_pipeline_triples"] = _sql_frozen_golden("kg_pipeline_triples.json")
 
     _j6p_score = sql_portable_ratio("label1", "label2")
     o["j6_string_matching_portable"] = f"""
