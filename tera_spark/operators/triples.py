@@ -99,10 +99,17 @@ def filter_pattern(
     return out
 
 
+# Broadcast cliff guard: above this many mapping rows a broadcast would
+# put driver + every executor's memory on the line (a full NCBI-scale
+# multi-label lexicon is ~2.4M labels — right at the edge). Callers that
+# pass broadcast_mapping=None get this row-count gate instead of a hope.
+BROADCAST_MAPPING_MAX_ROWS = 2_000_000
+
+
 def replace_entities(
     graph: DataFrame,
     mapping: DataFrame,
-    broadcast_mapping: bool = True,
+    broadcast_mapping: bool | None = True,
     deduplicate: bool = True,
 ) -> DataFrame:
     """Entity rewrite = reference ``DataObject.replace``
@@ -116,6 +123,15 @@ def replace_entities(
     broadcast mapping this is map-side only — no shuffle of the triple
     table — then one shuffle for the final distinct.
 
+    ``broadcast_mapping``: ``True`` forces the broadcast (callers that
+    KNOW the mapping is small, e.g. a per-batch canonical delta);
+    ``False`` forces a shuffle-hash join; ``None`` size-gates — one cheap
+    count of the (deduplicated, two-column) mapping decides against
+    ``BROADCAST_MAPPING_MAX_ROWS``, so an unexpectedly large mapping
+    degrades to a shuffle join instead of an executor OOM. Above the
+    gate, prefer :func:`tera_spark.operators.canonical.
+    replace_entities_salted` when the id distribution is skewed.
+
     Literal objects are never rewritten (the reference replaces any term
     equal to ``old``; its mappings only ever contain entity IRIs, so
     guarding on ``obj_is_literal`` is semantics-preserving and skips the
@@ -126,8 +142,12 @@ def replace_entities(
     one shuffle instead of two over the full triple table).
     """
     m = mapping.select(F.col("old"), F.col("new")).dropDuplicates(["old"])
+    if broadcast_mapping is None:
+        broadcast_mapping = m.count() <= BROADCAST_MAPPING_MAX_ROWS
     if broadcast_mapping:
         m = F.broadcast(m)
+    else:
+        m = m.hint("shuffle_hash")
     ms = m.withColumnRenamed("old", "_s_old").withColumnRenamed("new", "_s_new")
     mo = m.withColumnRenamed("old", "_o_old").withColumnRenamed("new", "_o_new")
     out = (

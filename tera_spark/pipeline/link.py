@@ -32,6 +32,12 @@ from tera_spark.functions.similarity import wratio_udf
 
 PROVISIONAL_PREFIX = "urn:mention:"
 
+# Exact-path broadcast gate: lexicons at or below this many (entity,
+# norm_label) rows broadcast (map-side-only join); larger ones degrade to
+# a shuffle-hash join instead of risking an executor/driver OOM. ~2M
+# two-string rows ≈ 100-150 MB serialized — the edge of sane broadcast.
+LEXICON_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def _persistent_rdd_ids(sc) -> set[int]:
     """Ids of all RDDs currently pinned in the block manager (localCheckpoint
@@ -73,6 +79,7 @@ class PreparedLexicon:
     l_tok: DataFrame      # (entity, lex_kind, norm_label, l_n, sh) hot-filtered
     hot: DataFrame        # (sh) shingles above max_shingle_freq
     max_shingle_freq: int
+    n_rows: int | None = None  # |lex| — drives the exact-path broadcast gate
 
     def release(self) -> None:
         """Unpersist the three localCheckpoint block sets. Long-lived
@@ -131,8 +138,11 @@ def prepare_lexicon(
         .localCheckpoint()
     )
     l_tok = l_tok.join(F.broadcast(hot), "sh", "left_anti").localCheckpoint()
+    # |lex| for the exact-path broadcast gate: counting a just-
+    # localCheckpointed table only scans its cached blocks.
     prepared = PreparedLexicon(
-        lex=lex, l_tok=l_tok, hot=hot, max_shingle_freq=max_shingle_freq
+        lex=lex, l_tok=l_tok, hot=hot, max_shingle_freq=max_shingle_freq,
+        n_rows=lex.count(),
     )
     prepared._rdd_ids = _persistent_rdd_ids(sc) - ids_before
     return prepared
@@ -174,7 +184,21 @@ def link_mentions(
     non_terms = mentions.filter(F.col("kind") != "term")
 
     # --- exact path -------------------------------------------------------
-    exact_lex = F.broadcast(lex.withColumnRenamed("norm_label", "norm"))
+    # Size-gated broadcast: lexicons are usually ≤ a few M rows and the
+    # broadcast makes the exact join map-side-only, but at a full
+    # NCBI-scale multi-label lexicon (or beyond) an unconditional hint is
+    # the first 100×-scale OOM cliff. Above the gate the join degrades to
+    # shuffle-hash — one extra shuffle of the terms, zero memory cliff.
+    # norm is a near-unique key on the lexicon side, so no salting needed.
+    n_lex = prepared.n_rows
+    if n_lex is None:  # hand-built PreparedLexicon (tests): count lazily
+        n_lex = lex.count()
+        prepared.n_rows = n_lex
+    lex_norm = lex.withColumnRenamed("norm_label", "norm")
+    if n_lex <= LEXICON_BROADCAST_MAX_ROWS:
+        exact_lex = F.broadcast(lex_norm)
+    else:
+        exact_lex = lex_norm.hint("shuffle_hash")
     exact = terms.join(exact_lex, "norm", "left")
 
     linked_exact = exact.filter(F.col("entity").isNotNull()).select(

@@ -42,6 +42,13 @@ from tera_spark.sources.writers import bucketize, read_table, write_table
 
 N_BUCKETS = 32
 
+# Canonicalization-join broadcast gate: a canonical map above this many
+# rows is not broadcast — the rewrite switches to the salted shuffle join
+# (replace_entities_salted) automatically. Canonical targets are the
+# textbook hot key, so the fallback salts rather than plain shuffle-hash.
+CANONICAL_BROADCAST_MAX_ROWS = 2_000_000
+AUTO_SALTS = 16
+
 _LINEAGE_SCHEMA = pa.schema(
     [("stage", pa.string()), ("bucket", pa.int32()), ("rows", pa.int64())]
 )
@@ -127,8 +134,10 @@ def run_pipeline(
     scorer: str = "wratio",
 ) -> PipelineResult:
     """Run (or resume) the 4-stage KG construction over a transcripts
-    DataFrame. ``salts``: use the salted rewrite instead of broadcast for
-    the canonicalization join (the >broadcast-size mapping path)."""
+    DataFrame. ``salts``: force the salted rewrite for the
+    canonicalization join; ``None`` auto-selects — broadcast while the
+    canonical map is at most CANONICAL_BROADCAST_MAX_ROWS rows, the
+    AUTO_SALTS-way salted shuffle join beyond that."""
     res = PipelineResult(out_dir=out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -238,11 +247,27 @@ def run_pipeline(
             # fused into the stage write's bucket shuffle (dedup_cols
             # below) — one shuffle instead of two over the full table
             triples = build_triples(transcripts, linked, deduplicate=False)
-            if salts is None:
+            # Size-gated broadcast: salts=None means AUTO, not "always
+            # broadcast" — a canonical map above the row gate switches to
+            # the salted shuffle join (canonical ids are exactly the kind
+            # of key that goes hot, so plain shuffle-hash isn't enough).
+            # The map's row count is already known from the stage metrics
+            # (or a metadata-cheap parquet count on resume).
+            eff_salts = salts
+            if eff_salts is None:
+                n_map = next(
+                    (m["rows_out"] for m in res.metrics if m["stage"] == "canonical_map"),
+                    None,
+                )
+                if n_map is None:
+                    n_map = cmap.count()
+                if n_map > CANONICAL_BROADCAST_MAX_ROWS:
+                    eff_salts = AUTO_SALTS
+            if eff_salts is None:
                 return replace_entities(
                     triples, cmap, broadcast_mapping=True, deduplicate=False
                 )
-            return replace_entities_salted(triples, cmap, salts, deduplicate=False)
+            return replace_entities_salted(triples, cmap, eff_salts, deduplicate=False)
 
         triples = stage(
             "triples", "subject", _canon, dedup_cols=["subject", "predicate", "object"]

@@ -60,6 +60,50 @@ def test_replace_entities_broadcasts_mapping(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_replace_entities_size_gate_degrades_to_shuffle(spark, monkeypatch):
+    """broadcast_mapping=None is a row-count gate, not a hope: an
+    over-threshold mapping must compile to a NON-broadcast join (the
+    100×-scale OOM cliff the round-4 verdict flagged)."""
+    import tera_spark.operators.triples as t
+
+    g = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i}", False) for i in range(10)],
+        "subject string, predicate string, object string, obj_is_literal boolean",
+    )
+    m = spark.createDataFrame(
+        [(f"s{i}", f"c{i}") for i in range(8)], "old string, new string"
+    )
+    monkeypatch.setattr(t, "BROADCAST_MAPPING_MAX_ROWS", 4)
+    plan = explain_str(t.replace_entities(g, m, broadcast_mapping=None), "simple")
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    # ...and an under-threshold mapping still broadcasts
+    monkeypatch.setattr(t, "BROADCAST_MAPPING_MAX_ROWS", 1000)
+    plan2 = explain_str(t.replace_entities(g, m, broadcast_mapping=None), "simple")
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_link_exact_path_lexicon_size_gate(spark, monkeypatch):
+    """An over-threshold lexicon must NOT broadcast into the exact-match
+    join — the plan degrades to a shuffle-hash join on norm. (The fuzzy
+    path's hot-shingle anti-joins stay broadcast: hot sets are bounded
+    tiny by construction.)"""
+    import tera_spark.pipeline.link as lk
+    from tera_spark.fixtures.transcripts import lexicon_spark_df, transcripts_spark_df
+    from tera_spark.pipeline.extract import extract_mentions
+
+    mentions = extract_mentions(transcripts_spark_df(spark, n_convs=3))
+    lexicon = lexicon_spark_df(spark)
+
+    monkeypatch.setattr(lk, "LEXICON_BROADCAST_MAX_ROWS", 1)
+    linked, _ = lk.link_mentions(mentions, lexicon, scorer="portable")
+    assert "ShuffledHashJoin" in explain_str(linked, "simple")
+
+    monkeypatch.setattr(lk, "LEXICON_BROADCAST_MAX_ROWS", 2_000_000)
+    linked2, _ = lk.link_mentions(mentions, lexicon, scorer="portable")
+    assert "ShuffledHashJoin" not in explain_str(linked2, "simple")
+
+
 def test_flagship_star_join_no_rowwise_python(spark):
     """The endpoint star join must not fall back to row-at-a-time eval:
     the only Python boundary is the Arrow-vectorized, dictionary-encoded
