@@ -4633,7 +4633,7 @@ WITH tok AS (
 ),
 counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
 total AS (SELECT sum(cnt) AS total FROM counts)
-SELECT token, cnt, round(cnt::DOUBLE / (SELECT total FROM total), 6) AS share, rank FROM (
+SELECT token, cnt, round(cnt::DOUBLE / (SELECT total FROM total), 6) AS share, rank::INTEGER AS rank FROM (
   SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank FROM counts
 ) WHERE rank <= 100
 """
@@ -4652,7 +4652,7 @@ scored AS (
          round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)::DOUBLE) + 1.0), 6) AS score
   FROM tf JOIN df USING (term) CROSS JOIN n
 )
-SELECT doc_id, term, score, rank FROM (
+SELECT doc_id, term, score, rank::INTEGER AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
   FROM scored
 ) WHERE rank <= 5
@@ -5041,7 +5041,7 @@ JOIN rootd ra ON ra.node = bs.a
 JOIN rootd rb ON rb.node = bs.b
 """
     o["a_rollup_revenue"] = """
-SELECT year(o_orderdate::DATE) AS yr, o_orderpriority AS prio,
+SELECT year(o_orderdate::DATE)::INTEGER AS yr, o_orderpriority AS prio,
        round(sum(o_totalprice), 2) AS rev,
        count(*) AS n_orders,
        cast(grouping(year(o_orderdate::DATE), o_orderpriority) AS BIGINT) AS gid
@@ -5049,7 +5049,7 @@ FROM orders
 GROUP BY ROLLUP (year(o_orderdate::DATE), o_orderpriority)
 """
     o["a_pivot_revenue"] = """
-SELECT year(o_orderdate::DATE) AS yr,
+SELECT year(o_orderdate::DATE)::INTEGER AS yr,
        round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS p1,
        round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS p2,
        round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS p3,
@@ -5260,7 +5260,7 @@ ORDER BY score DESC, doc_id LIMIT 100
     o["curation_pack_sequences"] = r"""
 WITH t AS (
   SELECT doc_id,
-    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))::BIGINT AS n_tokens,
+    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0))::INTEGER AS n_tokens,
     md5('pack|'||CAST(doc_id AS VARCHAR)) AS key,
     (('0x'||substr(md5('pack|'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 8)::INTEGER AS shard
   FROM documents
@@ -5580,7 +5580,7 @@ r AS (
   FROM c
 )
 SELECT key, n_rows,
-       round(n_rows / CAST((SELECT tt FROM t) AS DOUBLE), 6) AS share, rank
+       round(n_rows / CAST((SELECT tt FROM t) AS DOUBLE), 6) AS share, rank::INTEGER AS rank
 FROM r WHERE rank <= 10
 """
     o["dedup_rate_by_source"] = r"""
@@ -5591,7 +5591,7 @@ WITH keyed AS (
 ),
 reps AS (SELECT k, min(doc_id) AS keep_id FROM keyed GROUP BY k)
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS n_dupes,
+       sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)::BIGINT AS n_dupes,
        round(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 6) AS dup_rate
 FROM keyed JOIN reps USING (k) GROUP BY source
