@@ -77,6 +77,61 @@ def test_read_pc_ttl(spark, tmp_path):
     assert r.object == "http://rdf.ncbi.nlm.nih.gov/pubchem/compound/CID2"
 
 
+def test_read_ttl_lines_general(spark, tmp_path):
+    """Beyond the pc profile: SPARQL-style PREFIX, empty prefix, <iri>
+    terms, 'a' shorthand, quoted literals with escapes/@lang/^^type,
+    bare numerics, and comment/blank lines."""
+    from tera_spark.constants import RDF_TYPE
+    from tera_spark.sources.readers import read_ttl_lines
+
+    p = tmp_path / "gen.ttl"
+    p.write_text(
+        "@prefix ex: <http://e.org/> .\n"
+        "PREFIX x: <http://x.org/#>\n"
+        "@prefix : <http://default.org/> .\n"
+        "\n"
+        "# a comment line\n"
+        "ex:s1 x:p1 ex:o1 .\n"
+        "<http://raw.org/s2> a ex:Thing .\n"
+        ':s3 ex:label "a \\"quoted\\" name" .\n'
+        "ex:s4 ex:lang \"bonjour\"@fr .\n"
+        "ex:s5 ex:typed \"42\"^^<http://www.w3.org/2001/XMLSchema#int> .\n"
+        "ex:s6 ex:count 17 .\n"
+    )
+    rows = {r.subject: r for r in read_ttl_lines(spark, str(p)).collect()}
+    assert len(rows) == 6
+    assert rows["http://e.org/s1"].predicate == "http://x.org/#p1"
+    assert rows["http://e.org/s1"].object == "http://e.org/o1"
+    assert not rows["http://e.org/s1"].obj_is_literal
+    assert rows["http://raw.org/s2"].predicate == RDF_TYPE
+    assert rows["http://default.org/s3"].object == 'a "quoted" name'
+    assert rows["http://default.org/s3"].obj_is_literal
+    assert rows["http://e.org/s4"].object == "bonjour"
+    assert rows["http://e.org/s5"].object == "42"
+    assert rows["http://e.org/s6"].object == "17"
+    assert rows["http://e.org/s6"].obj_is_literal
+
+
+def test_read_ttl_lines_rejects_multiline_constructs(spark, tmp_path):
+    import pytest
+
+    from tera_spark.sources.readers import read_ttl_lines
+
+    p = tmp_path / "multi.ttl"
+    p.write_text(
+        "@prefix ex: <http://e.org/> .\n"
+        "ex:s1 ex:p ex:o1 ;\n"
+        "      ex:q ex:o2 .\n"
+    )
+    with pytest.raises(ValueError, match="line-oriented"):
+        read_ttl_lines(spark, str(p))
+
+    p2 = tmp_path / "undeclared.ttl"
+    p2.write_text("ex:s1 ex:p ex:o1 .\n")
+    with pytest.raises(ValueError, match="undeclared prefix"):
+        read_ttl_lines(spark, str(p2))
+
+
 def test_read_mapping_csv(spark, tmp_path):
     p = tmp_path / "m.csv"
     p.write_text("from,to\nIK1,50-00-0\n")
