@@ -696,16 +696,20 @@ class _Parser:
             PathAlt  ::= PathSeq ('|' PathSeq)*
             PathSeq  ::= PathEltOrInv ('/' PathEltOrInv)*
             PathEltOrInv ::= '^'? PathElt
-            PathElt  ::= (iri | 'a' | '(' PathAlt ')') ('*'|'+'|'?')?
+            PathElt  ::= (iri | 'a' | '!' NPS | '(' PathAlt ')')
+                         ('*'|'+'|'?'|'{'n(','m?)?'}')?
+            NPS      ::= (iri|'^'iri) | '(' (iri|'^'iri) ('|' ...)* ')'
 
         A bare IRI parses to the plain ``("iri", v)`` pattern term (the
         common case — no path machinery engages); a bare variable to
         ``("var", v)`` (variable predicates are plain patterns, never
         paths). Everything else becomes ``("path", node)`` over the
-        algebra ``("p", iri) | ("pinv", iri) | ("seq", [...]) |
-        ("alt", [...]) | ("star"|"plus"|"opt", node)``; ``^`` is
-        normalized away here (pushed onto the atoms, reversing
-        sequences), so the compiler never sees an inverse node."""
+        algebra ``("p", iri) | ("pinv", iri) | ("nps", fwd, rev) |
+        ("seq", [...]) | ("alt", [...]) | ("star"|"plus"|"opt", node)``;
+        ``^`` is normalized away here (pushed onto the atoms, reversing
+        sequences, swapping nps exclusion sets), and the ``{n,m}``
+        quantifiers desugar into seq/opt/plus/star at parse time — the
+        compiler sees neither an inverse nor a quantifier node."""
         node = self._parse_path_alt()
         if node[0] == "pvar":
             return ("var", node[1])
@@ -735,10 +739,9 @@ class _Parser:
             self.next()
         k, v = self.peek()
         if (k, v) == ("punct", "!"):
-            raise SparqlUnsupported(
-                "negated property set (!) is outside the supported fragment"
-            )
-        if (k, v) == ("punct", "("):
+            self.next()
+            node = self._parse_negated_set()
+        elif (k, v) == ("punct", "("):
             self.next()
             node = self._parse_path_alt()
             self.expect("punct", ")")
@@ -753,11 +756,93 @@ class _Parser:
             if node[0] == "pvar":
                 raise SparqlUnsupported("property path over a variable predicate")
             node = ({"*": "star", "+": "plus", "?": "opt"}[v], node)
+        elif (k, v) == ("punct", "{"):
+            if node[0] == "pvar":
+                raise SparqlUnsupported("property path over a variable predicate")
+            node = self._parse_path_quantifier(node)
         if inv:
             if node[0] == "pvar":
                 raise SparqlUnsupported("property path over a variable predicate")
             node = _invert_path(node)
         return node
+
+    def _parse_negated_set(self):
+        """``!iri`` / ``!a`` / ``!(iri1|^iri2|...)`` — SPARQL 1.1 §9.1
+        negated property set. Forward members exclude predicates on
+        forward edges, ``^``-members on reversed edges; the two arms
+        union (each arm exists only if it has members, per spec)."""
+        fwd: list[str] = []
+        rev: list[str] = []
+
+        def one():
+            neg_inv = self.peek() == ("punct", "^")
+            if neg_inv:
+                self.next()
+            t = self.parse_term(allow_a=True)
+            if t[0] != "iri":
+                raise SparqlSyntaxError(
+                    "negated property set members must be IRIs"
+                )
+            (rev if neg_inv else fwd).append(t[1])
+
+        if self.peek() == ("punct", "("):
+            self.next()
+            one()
+            while self.peek() == ("punct", "|"):
+                self.next()
+                one()
+            self.expect("punct", ")")
+        else:
+            one()
+        return ("nps", tuple(fwd), tuple(rev))
+
+    def _parse_path_quantifier(self, node):
+        """``elt{n}`` / ``elt{n,}`` / ``elt{n,m}`` (the widely-implemented
+        SPARQL 1.1 draft quantifiers, e.g. Jena) — desugared at parse time
+        into the existing seq/opt/plus/star algebra, so the compiler
+        needs no new node kind:
+
+          e{0,}  → e*          e{1,}  → e+         e{n,}  → e/…/e/e+
+          e{n}   → e/…/e       e{n,m} → n copies then (m−n) opt-copies
+          e{0,m} → opt(e / e{0,m−1})  (right-nested; zero-length arm
+                   only ever at the TOP, matching the compiler's
+                   zero-length domain restrictions exactly)
+        """
+        self.expect("punct", "{")
+        k, v = self.next()
+        if k != "num" or "." in v:
+            raise SparqlSyntaxError("path quantifier bounds must be integers")
+        lo = int(v)
+        hi: int | None = lo
+        if self.peek() == ("punct", ","):
+            self.next()
+            if self.peek() == ("punct", "}"):
+                hi = None
+            else:
+                k2, v2 = self.next()
+                if k2 != "num" or "." in v2:
+                    raise SparqlSyntaxError(
+                        "path quantifier bounds must be integers"
+                    )
+                hi = int(v2)
+        self.expect("punct", "}")
+        if hi is not None and hi < lo:
+            raise SparqlSyntaxError("path quantifier upper bound below lower")
+        if lo == 0 and hi == 0:
+            raise SparqlUnsupported("e{0} (zero-length-only path)")
+        if hi is None:
+            if lo == 0:
+                return ("star", node)
+            if lo == 1:
+                return ("plus", node)
+            return ("seq", [node] * (lo - 1) + [("plus", node)])
+        if lo == 0:
+            inner = node
+            for _ in range(hi - 1):
+                inner = ("seq", [node, ("opt", inner)])
+            return ("opt", inner)
+        parts = [node] * lo + [("opt", node)] * (hi - lo)
+        return parts[0] if len(parts) == 1 else ("seq", parts)
 
     def parse_predobj(self, subj, g: Group) -> None:
         while True:
@@ -1247,6 +1332,9 @@ def _invert_path(n):
         return ("p", n[1])
     if k == "pvar":
         return n
+    if k == "nps":
+        # ^!(p|^q) ≡ !(q|^p): the forward and reversed exclusion sets swap
+        return ("nps", n[2], n[1])
     if k == "seq":
         return ("seq", [_invert_path(x) for x in reversed(n[1])])
     if k == "alt":
@@ -1258,7 +1346,7 @@ def _path_has_var(n) -> bool:
     k = n[0]
     if k == "pvar":
         return True
-    if k in ("p", "pinv"):
+    if k in ("p", "pinv", "nps"):
         return False
     if k in ("seq", "alt"):
         return any(_path_has_var(x) for x in n[1])
@@ -1307,6 +1395,38 @@ def _rel_atom(graph: DataFrame, iri: str, inverse: bool = False) -> DataFrame:
         .distinct()
     )
     return _rel_swap(rel) if inverse else rel
+
+
+def _rel_nps(graph: DataFrame, fwd: tuple, rev: tuple) -> DataFrame:
+    """Negated property set as a pair relation: forward edges whose
+    predicate is NOT in ``fwd``, unioned with reversed edges whose
+    predicate is NOT in ``rev`` — each arm present only if it has
+    members (SPARQL 1.1 §9.1). Single-step-priced like any atom, but
+    note the slice is "everything except", i.e. potentially fact-sized:
+    putting an NPS under a closure would be a design error, same caveat
+    as _rel_plus documents for fact-sized predicates."""
+
+    def slice_(excl):
+        return (
+            graph.filter(~F.col("predicate").isin(*excl))
+            .select(
+                F.col("subject").alias("_src"),
+                F.lit(True).alias("_src_isuri"),
+                F.col("object").alias("_dst"),
+                (~F.col("obj_is_literal")).alias("_dst_isuri"),
+            )
+            .distinct()
+        )
+
+    parts = []
+    if fwd:
+        parts.append(slice_(fwd))
+    if rev:
+        parts.append(_rel_swap(slice_(rev)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct() if len(parts) > 1 else out
 
 
 def _rel_swap(rel: DataFrame) -> DataFrame:
@@ -1364,6 +1484,8 @@ def _path_rel(graph: DataFrame, node, max_iter: int) -> DataFrame:
     k = node[0]
     if k in ("p", "pinv"):
         return _rel_atom(graph, node[1], inverse=(k == "pinv"))
+    if k == "nps":
+        return _rel_nps(graph, node[1], node[2])
     if k == "alt":
         parts = [_path_rel(graph, x, max_iter) for x in node[1]]
         out = parts[0]
@@ -1448,6 +1570,8 @@ def _apply_path_nodes(graph: DataFrame, node, nodes: DataFrame, max_iter: int) -
     if k == "opt":
         rel = _path_rel(graph, node[1], max_iter)
         return nodes.unionByName(_node_image(rel, nodes)).distinct()
+    if k == "nps":
+        return _node_image(_rel_nps(graph, node[1], node[2]), nodes)
     return _node_image(_rel_atom(graph, node[1], inverse=(k == "pinv")), nodes)
 
 

@@ -720,9 +720,85 @@ def test_path_same_var_both_ends(chain_graph):
     assert query_graph(chain_graph, q).count() == 0
 
 
-def test_path_negated_property_set_raises(graph):
-    with pytest.raises(SparqlUnsupported, match="negated property set"):
-        query_graph(graph, "SELECT ?s WHERE { ?s !(<urn:t:label>) ?o }")
+def test_path_negated_property_set_forward(graph):
+    # everything except label/ref/note/type: chemical, result, value edges
+    q = (
+        "PREFIX t: <urn:t:> "
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> "
+        "SELECT ?s ?o WHERE { ?s !(t:label|t:ref|t:note|rdf:type) ?o }"
+    )
+    pairs = {(r.s, r.o) for r in query_graph(graph, q).collect()}
+    assert pairs == {
+        (NS + "t1", NS + "c1"),
+        (NS + "t1", NS + "r1"),
+        (NS + "r1", "42"),
+    }
+
+
+def test_path_negated_property_set_single_iri(graph):
+    # constant subject + bare !iri form: seeded evaluation; t1's
+    # non-result edges are rdf:type -> Test and chemical -> c1
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { t:t1 !t:result ?x }"
+    assert {r.x for r in query_graph(graph, q).collect()} == {
+        NS + "c1",
+        NS + "Test",
+    }
+
+
+def test_path_negated_property_set_inverse_members(chain_graph):
+    # only ^-members → reversed edges only, with pred ∉ {label}
+    q = "PREFIX t: <urn:t:> SELECT ?x ?y WHERE { ?x !(^t:label) ?y }"
+    pairs = {(r.x, r.y) for r in query_graph(chain_graph, q).collect()}
+    assert pairs == {
+        (NS + "c1", NS + "d1"),
+        (NS + "c1", NS + "d2"),
+        (NS + "b1", NS + "c1"),
+        (NS + "a1", NS + "b1"),
+        (NS + "x0", NS + "x1"),
+    }
+
+
+def test_path_quantifier_exact(chain_graph):
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { ?x t:sub{2} t:a1 }"
+    assert {r.x for r in query_graph(chain_graph, q).collect()} == {NS + "c1"}
+
+
+def test_path_quantifier_range(chain_graph):
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { t:d1 t:sub{1,2} ?x }"
+    assert {r.x for r in query_graph(chain_graph, q).collect()} == {
+        NS + "c1",
+        NS + "b1",
+    }
+
+
+def test_path_quantifier_open_upper(chain_graph):
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { ?x t:sub{2,} t:a1 }"
+    assert {r.x for r in query_graph(chain_graph, q).collect()} == {
+        NS + "c1",
+        NS + "d1",
+        NS + "d2",
+    }
+
+
+def test_path_quantifier_zero_lower(chain_graph):
+    # {0,m} keeps the zero-length arm: the seed itself is a solution
+    q = "PREFIX t: <urn:t:> SELECT ?x WHERE { t:d1 t:sub{0,2} ?x }"
+    assert {r.x for r in query_graph(chain_graph, q).collect()} == {
+        NS + "d1",
+        NS + "c1",
+        NS + "b1",
+    }
+
+
+def test_path_quantifier_bad_bounds(chain_graph):
+    with pytest.raises(SparqlSyntaxError, match="upper bound"):
+        query_graph(
+            chain_graph, "PREFIX t: <urn:t:> SELECT ?x WHERE { t:d1 t:sub{3,2} ?x }"
+        )
+    with pytest.raises(SparqlUnsupported, match="zero-length-only"):
+        query_graph(
+            chain_graph, "PREFIX t: <urn:t:> SELECT ?x WHERE { t:d1 t:sub{0} ?x }"
+        )
 
 
 # ---------------------------------------------------------------------------
