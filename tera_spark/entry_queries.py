@@ -3097,7 +3097,9 @@ def _queries() -> dict:
     q["ann_quantize_int8"] = quant
 
     def drift(spark, sf):
-        # revenue-mix drift per order priority, 1993 → 1997 — the
+        # revenue-mix drift per order priority, 1995 → 1999 (both
+        # populated in the driver tables, so changed/stable paths are
+        # actually exercised) — the
         # snapshot-monitoring join run after every incremental apply
         from tera_spark.operators.profile import metric_drift
 
@@ -3111,18 +3113,21 @@ def _queries() -> dict:
                 .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
             )
 
-        return metric_drift(snap(1993), snap(1997), ["o_orderpriority"], "rev")
+        return metric_drift(snap(1995), snap(1999), ["o_orderpriority"], "rev")
 
     q["quality_metric_drift"] = drift
 
     def psi(spark, sf):
-        # distribution-level drift: order-value PSI, 1993 → 1997
+        # distribution-level drift: order-value PSI, 1995 → 1999 (both
+        # years populated in the driver tables, 1995-2001 — an empty old
+        # snapshot now deliberately yields NULL psi, unit-tested, and
+        # would make this oracle meaningless)
         from tera_spark.operators.profile import psi_report
 
         o = _t(spark, sf, "orders")
         yr = F.year(F.col("o_orderdate").cast("date"))
         return psi_report(
-            o.filter(yr == 1993), o.filter(yr == 1997), "o_totalprice", bins=10
+            o.filter(yr == 1995), o.filter(yr == 1999), "o_totalprice", bins=10
         )
 
     q["quality_psi"] = psi
@@ -5059,9 +5064,9 @@ FROM (
 
     o["quality_psi"] = """
 WITH o AS (SELECT cast(o_totalprice AS DOUBLE) AS x FROM orders
-           WHERE year(o_orderdate::DATE) = 1993 AND o_totalprice IS NOT NULL),
+           WHERE year(o_orderdate::DATE) = 1995 AND o_totalprice IS NOT NULL),
 nw AS (SELECT cast(o_totalprice AS DOUBLE) AS x FROM orders
-       WHERE year(o_orderdate::DATE) = 1997 AND o_totalprice IS NOT NULL),
+       WHERE year(o_orderdate::DATE) = 1999 AND o_totalprice IS NOT NULL),
 b AS (SELECT min(x) AS blo, max(x) AS bhi FROM o),
 oc AS (SELECT bin, count(*) AS c FROM (
   SELECT cast(greatest(0, least(9, floor((x - blo) / ((bhi - blo) / 10.0)))) AS INT) AS bin
@@ -5091,11 +5096,11 @@ FROM k
     o["quality_metric_drift"] = """
 WITH o93 AS (
   SELECT o_orderpriority, cast(round(sum(o_totalprice), 2) AS DOUBLE) AS v
-  FROM orders WHERE year(o_orderdate::DATE) = 1993 GROUP BY 1
+  FROM orders WHERE year(o_orderdate::DATE) = 1995 GROUP BY 1
 ),
 o97 AS (
   SELECT o_orderpriority, cast(round(sum(o_totalprice), 2) AS DOUBLE) AS v
-  FROM orders WHERE year(o_orderdate::DATE) = 1997 GROUP BY 1
+  FROM orders WHERE year(o_orderdate::DATE) = 1999 GROUP BY 1
 )
 SELECT coalesce(o93.o_orderpriority, o97.o_orderpriority) AS o_orderpriority,
        o93.v AS old_val, o97.v AS new_val,
