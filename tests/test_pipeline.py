@@ -135,6 +135,25 @@ def test_salted_canonicalization_same_output(spark, transcripts, lexicon, tmp_pa
     assert ta == tb
 
 
+def test_auto_salt_above_broadcast_gate_same_output(
+    spark, transcripts, lexicon, tmp_path, monkeypatch
+):
+    """salts=None is AUTO: with the canonical-map broadcast gate forced to
+    0 rows, the pipeline must take the salted shuffle rewrite (not the
+    broadcast) and still produce byte-identical triples."""
+    import tera_spark.pipeline.run as runmod
+
+    out_a = str(tmp_path / "auto_a")
+    out_b = str(tmp_path / "auto_b")
+    run_pipeline(spark, transcripts, lexicon, out_a)
+    monkeypatch.setattr(runmod, "CANONICAL_BROADCAST_MAX_ROWS", 0)
+    res = run_pipeline(spark, transcripts, lexicon, out_b)
+    assert "triples" in res.stages_run
+    ta = {tuple(r) for r in spark.read.parquet(out_a + "/triples").collect()}
+    tb = {tuple(r) for r in spark.read.parquet(out_b + "/triples").collect()}
+    assert ta == tb
+
+
 def test_prepared_lexicon_release_and_freq_guard(spark, lexicon):
     """release() must drop exactly the checkpoint blocks a PreparedLexicon
     pinned (no RDD growth across repeated prepare/release cycles), and
