@@ -203,7 +203,10 @@ def with_parsed_units(df: DataFrame, col_map: dict[str, str]) -> DataFrame:
     joint vocabulary, then a broadcast join back per column. The vocabulary
     is localCheckpointed so the three broadcast builds don't recompute it
     (the round-1 plan ran the distinct+UDF subquery once per column — 3
-    scans of the tests table in T9; VERDICT.md next-round #1)."""
+    scans of the tests table in T9; VERDICT.md next-round #1). Deriving
+    the vocabulary from ``df`` itself (not some cheaper upstream frame) is
+    deliberate: the subquery then shares ``df``'s own exchanges via
+    runtime exchange reuse (A/B'd in round 6 on T10)."""
     unit_cols = list(col_map)
     vocab = (
         df.select(

@@ -96,6 +96,36 @@ def _seed_hash(col: Column, portable: bool) -> Column:
     return F.xxhash64(col)
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def centroid_argmin(vec: Column, cent_rows: list) -> Column:
+    """Nearest-centroid id as a pure map-side expression: the (tiny,
+    bounded — k rows of k×dim doubles) centroid table is inlined as a
+    literal array<struct<cid,c>>, distances computed per row with the same
+    zip_with/aggregate expression Lloyd's loop uses, and the argmin taken
+    with array_min over (d, cid) structs — lexicographic struct ordering
+    IS the (distance asc, centroid_id asc) tie-break. This replaces the
+    k-way row-multiplying broadcast join + per-id window (a full shuffle
+    + sort of corpus×k rows) that previously implemented assignment."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["centroid_id"])).cast("int").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["c"]]).alias("c"),
+            )
+            for r in cent_rows
+        ]
+    )
+    pairs = F.transform(
+        arr, lambda s: F.struct(_sq_dist(vec, s["c"]).alias("d"), s["cid"].alias("cid"))
+    )
+    return F.array_min(pairs)["cid"]
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -106,13 +136,19 @@ def kmeans_centroids(
     portable: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means as DataFrame ops: seeds are the k
-    hash-smallest vectors (reproducible, no RNG), each iteration is one
-    broadcast-join argmin + one groupBy mean. Returns (centroid_id, centroid).
+    hash-smallest vectors (reproducible, no RNG). Returns
+    (centroid_id int, centroid array<double>) as a lineage-free local
+    relation.
 
-    Iteration hygiene (round-1 verdict "what's wrong" #2): ``dim`` is read
-    ONCE before the loop (or passed by the caller), and each iteration's
-    centroid table is ``localCheckpoint``-ed — exactly one Spark job per
-    Lloyd round, constant-size plan, no recompute of prior rounds.
+    Each Lloyd round is ONE Spark job (a k-group mean with map-side
+    partial aggregation); assignment is the map-side literal argmin of
+    :func:`centroid_argmin`, so no round ever shuffles corpus×k rows (the
+    previous implementation's broadcast-join + per-id window did, per
+    round). The k×dim centroid table round-trips through the driver each
+    round — a bounded (k·dim doubles, ~8 KB at 16×64) collect, exactly the
+    scale the repo's bounded-collect rule covers; lit(float) preserves the
+    IEEE doubles bit-for-bit, so distances and means are unchanged.
+    ``dim`` is read ONCE before the loop (or passed by the caller).
     """
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if dim is None:
@@ -120,32 +156,42 @@ def kmeans_centroids(
         if first is None:
             raise ValueError("kmeans_centroids: empty corpus (and no dim given)")
         dim = len(first["v"])
-    cents = (
+    # TakeOrdered returns rows already sorted by _h; enumerate = row_number.
+    seed = (
         v.withColumn("_h", _seed_hash(F.col("id").cast("string"), portable))
         .orderBy("_h")
         .limit(k)
-        .select(F.row_number().over(Window.orderBy("_h")).alias("centroid_id"), F.col("v").alias("c"))
-        .localCheckpoint()
+        .select("v")
+        .collect()
     )
-    dist = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
-    )
+    rows = [{"centroid_id": i + 1, "c": list(r["v"])} for i, r in enumerate(seed)]
     for _ in range(iterations):
-        assigned = (
-            v.join(F.broadcast(cents))
-            .withColumn("d", dist(F.col("v"), F.col("c")))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
-                ),
-            )
-            .filter(F.col("rn") == 1)
+        if not rows:  # empty corpus with dim given: no centroids
+            break
+        cid = centroid_argmin(F.col("v"), rows)
+        new = (
+            v.select("v", cid.alias("centroid_id"))
+            .groupBy("centroid_id")
+            .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c"))
+            .collect()
         )
-        cents = assigned.groupBy("centroid_id").agg(
-            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c")
-        ).localCheckpoint()
-    return cents.select("centroid_id", F.col("c").alias("centroid"))
+        # deterministic literal order (and empty clusters drop, as before)
+        rows = sorted(
+            ({"centroid_id": r["centroid_id"], "c": list(r["c"])} for r in new),
+            key=lambda r: r["centroid_id"],
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.IntegerType(), False),
+            T.StructField("centroid", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(int(r["centroid_id"]), [float(x) for x in r["c"]]) for r in rows], schema
+    )
 
 
 def ivf_topk(

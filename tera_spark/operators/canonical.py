@@ -37,30 +37,45 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 
 def _sym(edges: DataFrame) -> DataFrame:
+    """Both directions of every edge. Deliberately NOT deduplicated: every
+    consumer (the star steps' min-aggregates, the label min-agg, the root
+    anti-join) is duplicate-insensitive, and the dropDuplicates this used
+    to carry was a full extra shuffle per CC iteration."""
     return edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).dropDuplicates(["u", "v"])
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
-    nbrs = _sym(edges)
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u}).
+
+    Output is a duplicate-bearing edge MULTISET (bounded by |sym edges|):
+    ``_small_star``'s min-aggregate is duplicate-insensitive and the
+    iteration's final dropDuplicates canonicalizes, so the per-step dedup
+    shuffles the original implementation paid bought nothing.
+    """
+    # repartition("u") is the ONE exchange of this half-step, shared by the
+    # min-aggregate and the join (both keyed on u): the aggregate needs no
+    # further shuffle over u-partitioned input, the join none either, and
+    # both consumers reuse the exchange instead of re-deriving nbrs.
+    nbrs = _sym(edges).repartition("u")
     m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
         nbrs.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges large→small; connect all small neighbors (and u) to the
-    minimum."""
+    minimum. Input may be a multiset (see ``_large_star``); the final
+    dropDuplicates canonicalizes the iteration's edge set — it must stay,
+    the convergence fingerprint hashes exactly this set."""
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).dropDuplicates(["u", "v"])
+    ).repartition("u")  # shared exchange: min-agg + join both keyed on u
     m = oriented.groupBy("u").agg(F.min("v").alias("m"))
     joined = oriented.join(m, "u")
     out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
@@ -93,7 +108,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     one-pass (count, hash-sum) fingerprint — no expensive set-difference —
     fused into each iteration's checkpoint action.
     """
-    e = _canon(edges).localCheckpoint()
+    e0 = _canon(edges).localCheckpoint()
+    e = e0
     prev = None
     for _ in range(max_iter):
         e, fp = _checkpoint_fingerprint(_small_star(_large_star(e)))
@@ -110,9 +126,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("u"))
     )
-    # Isolated nodes in the original input (self-loop-only rows) keep themselves.
+    # Isolated nodes in the original input (self-loop-only rows) keep
+    # themselves. Derived from the CHECKPOINTED initial edge set — deriving
+    # from the raw ``edges`` lineage here re-ran the caller's whole pair
+    # generation a second time (for dedup_resolve_clusters that was the
+    # full minhash-LSH pass again).
     orig_nodes = (
-        _sym(_canon(edges)).select("u").distinct()
+        e0.select("u")
+        .unionAll(e0.select(F.col("v").alias("u")))
+        .distinct()
     )
     out = labels.unionByName(roots).dropDuplicates(["u"])
     out = orig_nodes.join(out, "u", "left").select(

@@ -56,6 +56,13 @@ def bigram_lm_scores(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # Shape note (round 6): the tokenize+explode runs once per broadcast
+    # build here (3x over the corpus) — but the A/B'd alternative (one
+    # shared repartition(w1, w2) exchange) was 1.4x SLOWER: it ships every
+    # bigram OCCURRENCE through a full sort+shuffle while this shape only
+    # ever shuffles partially-aggregated zipf-small count tables and keeps
+    # the scoring probe side broadcast-joined at scan parallelism. Left as
+    # measured-fastest.
     bg = t.select("doc_id", F.explode(grams).alias("_g")).select(
         "doc_id", F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2")
     )

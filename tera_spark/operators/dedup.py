@@ -57,6 +57,16 @@ def ngram_jaccard_pairs(
     |∩| from the join group-count, |∪| = |a|+|b|-|∩|. Shingles appearing
     in > max_shingle_freq docs are dropped (boilerplate/skew control) —
     a standard recall trade documented at the call site."""
+    # Shape note (round 6): this dropDuplicates looks redundant
+    # (word_shingles is array_distinct per doc, ids unique) but its
+    # exchange is the load-bearing SHARED materialization point — sizes,
+    # the hot-shingle aggregate and both self-join sides all reuse it, and
+    # with the b-side small enough the planner broadcasts the join so the
+    # pair enumeration keeps full scan parallelism. Two A/B'd "optimized"
+    # variants (map-side sizes; an explicit repartition("sh") with n_sh
+    # folded through) were 1.6-2.1x SLOWER: they recomputed the tokenize
+    # per consumer or forced a sorted co-partitioned SMJ where a broadcast
+    # join was winning. Left exactly as measured-fastest.
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
@@ -95,16 +105,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: h_i = min(md5(i || shingle)). md5 is
     engine-portable (same hex in Spark and DuckDB) so signatures are
-    oracle-checkable; min over hex strings ≡ min over the 128-bit value."""
+    oracle-checkable; min over hex strings ≡ min over the 128-bit value.
+
+    Computed entirely as array expressions over the per-doc shingle array
+    (array_min over a transform) — a pure map-side projection with ZERO
+    shuffle, replacing the explode + groupBy(doc_id) that shuffled the
+    corpus×shingles table. Values are identical: word_shingles is already
+    distinct per doc, and min over the same md5 set is the same min
+    (an all-null shingle array yields null h_i on both paths).
+    """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+    def _minh(i: int):
+        # NB: the transform lambda must stay single-argument — a 2-arg
+        # lambda would receive the ARRAY INDEX as its second parameter.
+        prefix = str(i) + "|"
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        ).alias(f"h{i}")
+
+    return sh.select("doc_id", *[_minh(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -129,6 +152,13 @@ def minhash_lsh_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
+    # minhash_signatures is a pure map-side projection now (no exchange of
+    # its own), so localCheckpoint the narrow (doc_id, h0..h7) table as the
+    # shared materialization point: the 8-md5-per-shingle compute runs
+    # once, both self-join sides read it from memory, and the planner is
+    # free to broadcast one side (an explicit repartition("bucket") here
+    # forced a sorted co-partitioned SMJ instead — A/B'd 1.14x slower).
+    sig = sig.localCheckpoint()
     banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bucket"))
     a = banded.select(F.col("doc_id").alias("a"), "bucket")
     b = banded.select(F.col("doc_id").alias("b"), "bucket")
@@ -334,28 +364,33 @@ def semantic_dedup_pairs(
     ``portable=True`` uses the md5 seed hash so a SQL oracle replays the
     clustering bit-for-bit.
     """
-    from pyspark.sql import Window
-
-    from tera_spark.operators.ann import cosine, kmeans_centroids
+    from tera_spark.operators.ann import centroid_argmin, cosine, kmeans_centroids
 
     cents = kmeans_centroids(
         embeddings, k=n_clusters, id_col=id_col, vec_col=vec_col, dim=dim,
         portable=portable,
     )
-    d = F.aggregate(
-        F.zip_with(F.col("_v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("id").orderBy(F.col("d").asc(), F.col("centroid_id").asc())
-    assigned = (
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-        .join(F.broadcast(cents))
-        .withColumn("d", d)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "_v", "centroid_id")
-    )
+    # Final assignment with the same map-side literal argmin Lloyd's loop
+    # uses (ann.centroid_argmin) — identical (distance, centroid_id)
+    # tie-break as the broadcast-join + per-id window this replaces, with
+    # zero shuffle; cents is a k-row local relation, so the collect is free.
+    cent_rows = [
+        {"centroid_id": r["centroid_id"], "c": r["centroid"]} for r in cents.collect()
+    ]
+    if cent_rows:
+        cid = centroid_argmin(F.col(vec_col), cent_rows)
+    else:  # empty corpus (dim given): no clusters, no pairs — typed empty
+        cid = F.lit(None).cast("int")
+    # No explicit repartition here: forcing centroid_id partitioning caps
+    # the (dominant) pair-cosine stage at k active partitions, while
+    # leaving the join to the planner lets AQE broadcast the (small) build
+    # side and keep the stream side's full scan parallelism — A/B'd both
+    # ways in round 6 (repartition("centroid_id") was 1.39x SLOWER).
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        cid.alias("centroid_id"),
+    ).filter(F.col("centroid_id").isNotNull())
     a = assigned.select(F.col("id").alias("a"), F.col("_v").alias("va"), "centroid_id")
     b = assigned.select(F.col("id").alias("b"), F.col("_v").alias("vb"), "centroid_id")
     return (

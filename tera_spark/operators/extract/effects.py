@@ -121,6 +121,11 @@ def results_triples(results: DataFrame) -> DataFrame:
         .withColumn("dup_seq", F.explode(F.sequence(F.lit(1), F.col("_n"))))
         .drop("_n")
     )
+    # NB: the unit-vocabulary branch deliberately derives from ``grouped``
+    # (not the cheaper pre-group frame): its subquery then shares the main
+    # plan's groupBy exchange via runtime exchange reuse, so the 5-column
+    # shuffle runs ONCE — A/B'd both ways in round 6 (vocab-from-results
+    # re-scanned lineitem and was ~20% slower end to end).
     df = with_parsed_unit(grouped, "conc1_unit", "_pu_conc")
     df = df.withColumn("_digits", F.regexp_replace(F.col("conc1_mean"), "[^0-9]", ""))
 
@@ -185,19 +190,36 @@ def get_endpoint_relational(tests: DataFrame, results: DataFrame) -> DataFrame:
         & (F.col("_pu_std") != "")
     )
     ns = NS_ECOTOX
-    return (
+    # distinct BEFORE minting the URIs: prefixing with fixed namespaces is
+    # injective per column (and null-preserving for sd/sdu), so dedup over
+    # the raw tuples is the same set — but the distinct's exchange carries
+    # the short raw values instead of ~50-char-prefixed URIs (guide §2.3,
+    # shuffle fewer bytes).
+    narrow = (
         r.join(t, "test_id", "inner")
         .select(
-            uri(ns + "cas/", "test_cas").alias("c"),
-            uri(ns + "taxon/", "species_number").alias("s"),
+            F.col("test_cas").alias("_cas"),
+            F.col("species_number").alias("_sp"),
             F.col("_digits").alias("cc"),
-            F.concat(F.lit(NS_UNIT), F.col("_pu_conc")).alias("cu"),
-            uri(ns + "endpoint/", "endpoint").alias("ep"),
-            uri(ns + "effect/", "effect").alias("ef"),
+            F.col("_pu_conc").alias("_puc"),
+            F.col("endpoint").alias("_ep"),
+            F.col("effect").alias("_ef"),
             F.when(sd_ok, F.col("study_duration_mean")).alias("sd"),
-            F.when(sd_ok, F.concat(F.lit(NS_UNIT), F.col("_pu_std"))).alias("sdu"),
+            F.when(sd_ok, F.col("_pu_std")).alias("_pus"),
         )
         .distinct()
+    )
+    return narrow.select(
+        uri(ns + "cas/", "_cas").alias("c"),
+        uri(ns + "taxon/", "_sp").alias("s"),
+        F.col("cc"),
+        F.concat(F.lit(NS_UNIT), F.col("_puc")).alias("cu"),
+        uri(ns + "endpoint/", "_ep").alias("ep"),
+        uri(ns + "effect/", "_ef").alias("ef"),
+        F.col("sd"),
+        F.when(F.col("_pus").isNotNull(), F.concat(F.lit(NS_UNIT), F.col("_pus"))).alias(
+            "sdu"
+        ),
     )
 
 

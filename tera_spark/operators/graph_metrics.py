@@ -148,6 +148,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
+        # localCheckpoint: ``und`` fans out into deg (2x) and oriented, and
+        # through them wedges/closing/tris/per_node — without the barrier
+        # the caller's whole edge-generation lineage replicates ~50x
+        # through the join DAG (the graph_triangles entry planned 932
+        # operators / 94 parquet scans of lineitem; ~1 scan after), and
+        # Catalyst planning time alone scales with that tree.
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -171,6 +178,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.src", "e.dst")
+        # second barrier: oriented feeds the wedge self-join (2x), closing
+        # and — via tris — per_node (3x); checkpointing stops the und⋈deg⋈deg
+        # orientation join re-running once per consumer.
+        .localCheckpoint()
     )
     w1 = oriented.select(F.col("src").alias("pivot"), F.col("dst").alias("x"))
     w2 = oriented.select(F.col("src").alias("pivot"), F.col("dst").alias("y"))

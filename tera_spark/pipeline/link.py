@@ -115,6 +115,12 @@ def prepare_lexicon(
         return lexicon
     sc = lexicon.sparkSession.sparkContext
     ids_before = _persistent_rdd_ids(sc)
+    # |lex| rides the checkpoint action as an observed metric (same
+    # CollectMetrics fuse as canonical._checkpoint_fingerprint) instead of
+    # a separate count() job — one serial job less per prepare.
+    from pyspark.sql import Observation
+
+    obs = Observation()
     lex = (
         lexicon.select(
             F.col("entity"),
@@ -122,6 +128,7 @@ def prepare_lexicon(
             _norm(F.col("label")).alias("norm_label"),
         )
         .dropDuplicates(["entity", "norm_label"])
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
     lex_sh = lex.withColumn("l_sh", _shingles(F.col("norm_label"))).withColumn(
@@ -138,11 +145,9 @@ def prepare_lexicon(
         .localCheckpoint()
     )
     l_tok = l_tok.join(F.broadcast(hot), "sh", "left_anti").localCheckpoint()
-    # |lex| for the exact-path broadcast gate: counting a just-
-    # localCheckpointed table only scans its cached blocks.
     prepared = PreparedLexicon(
         lex=lex, l_tok=l_tok, hot=hot, max_shingle_freq=max_shingle_freq,
-        n_rows=lex.count(),
+        n_rows=int(obs.get["n"]),
     )
     prepared._rdd_ids = _persistent_rdd_ids(sc) - ids_before
     return prepared
@@ -177,6 +182,23 @@ def link_mentions(
     """
     prepared = prepare_lexicon(lexicon, max_shingle_freq)
     lex = prepared.lex
+
+    # The returned ``linked`` is a 4-way union whose every branch re-derives
+    # from ``mentions``, and downstream consumers (build_triples) scan
+    # ``linked`` up to 3 times — so a lazily-derived mentions table (the
+    # Arrow-UDF extraction) would be recomputed ~12x per materialization
+    # (measured: the linked noop costs ~8s at 192k turns vs 0.75s for one
+    # extraction pass). localCheckpoint it ONCE here — but only when the
+    # input is not already materialized: a parquet-backed mentions stage
+    # (run.py / incremental.py / forget.py read their stage tables back
+    # from disk) re-scans cheaply and checkpointing it would only burn
+    # memory, and a streaming DataFrame cannot be checkpointed at all.
+    try:
+        _materialized = bool(mentions.inputFiles())
+    except Exception:
+        _materialized = True  # unknown plan shape: do not add a barrier
+    if not mentions.isStreaming and not _materialized:
+        mentions = mentions.localCheckpoint()
 
     terms = mentions.filter(F.col("kind") == "term").withColumn(
         "norm", _norm(F.col("mention"))

@@ -423,3 +423,18 @@ def test_hits_rejects_zero_iterations(spark):
     df = spark.createDataFrame([("a", "b")], "u string, v string")
     with _pt.raises(ValueError, match="iterations"):
         hits(df, iterations=0)
+
+
+def test_cc_duplicate_and_bidirectional_edges(spark):
+    """Round-6 CC slimming dropped the per-step dedups (the star steps'
+    min-aggregates are duplicate-insensitive): a multigraph with repeated
+    and both-direction edges must label identically to its simple graph."""
+    dup = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("b", "a"), ("c", "b"), ("c", "b"), ("x", "y")],
+        E_SCHEMA,
+    )
+    simple = spark.createDataFrame([("b", "a"), ("c", "b"), ("x", "y")], E_SCHEMA)
+    got = {(r.node, r.component) for r in connected_components(dup).collect()}
+    want = {(r.node, r.component) for r in connected_components(simple).collect()}
+    assert got == want
+    assert dict(got)["c"] == "a"

@@ -176,9 +176,11 @@ def test_kmeans_bounded_plan_and_ivf_recall(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     cents = kmeans_centroids(emb, k=4, iterations=5)
     plan = cents._jdf.queryExecution().executedPlan().toString()
-    # each iteration is checkpointed: the returned plan reads a
-    # materialized RDD instead of replaying 5 rounds of joins
-    assert "ExistingRDD" in plan and "Join" not in plan
+    # Lloyd rounds collapse to a driver-side k×dim table: the returned
+    # plan is a lineage-free local relation — nothing replays 5 rounds of
+    # assignments (round 6: the per-round broadcast-join + window argmin
+    # became a map-side literal argmin; see ann.centroid_argmin)
+    assert ("LocalTableScan" in plan or "ExistingRDD" in plan) and "Join" not in plan
     assert cents.count() == 4
 
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -1286,3 +1288,45 @@ def test_robust_outlier_stats_median_mad(spark):
     assert got["g1"].median == 10.5 and got["g1"].n == 6
     assert got["g1"].n_outliers == 1
     assert got["g2"].mad == 0.0 and got["g2"].n_outliers == 1
+
+
+def test_minhash_signatures_match_explode_groupby_reference(spark):
+    """Round 6 turned the signatures into a zero-shuffle array projection;
+    pin value-equality against the explode+groupBy definition on the edge
+    cases (short text, empty text, null text, unicode)."""
+    from pyspark.sql import functions as F
+
+    from tera_spark.operators.dedup import minhash_signatures, word_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five six"),
+            (3, "tiny"),
+            (4, ""),
+            (5, None),
+            (6, "naïve café naïve café naïve café encore"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(8))
+        for r in minhash_signatures(docs, num_hashes=8).collect()
+    }
+    sh = docs.select(
+        F.col("doc_id"), F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    ref_df = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(8)
+        ]
+    )
+    ref = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(8)) for r in ref_df.collect()
+    }
+    assert got == ref
+    assert got[1] == got[2]  # identical docs → identical signatures
+    # the projection is shuffle-free
+    plan = minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -877,3 +877,39 @@ def test_conversation_entropy_signatures(spark):
     assert m.transition_entropy == 0.0
     s = got["s"]
     assert s.role_entropy == 0.0 and s.transition_entropy is None
+
+
+def test_link_mentions_checkpoint_gate(spark, transcripts, lexicon, tmp_path):
+    """Round 6: link_mentions localCheckpoints UDF-lineage mentions once
+    (the linked union re-derives its input per branch), but must NOT add a
+    barrier for parquet-backed mentions (run.py/incremental/forget re-read
+    their stage tables cheaply). The gate is `inputFiles()`; outputs are
+    identical either way."""
+    from tera_spark.pipeline.extract import extract_mentions
+    from tera_spark.pipeline.link import link_mentions
+
+    mentions = extract_mentions(transcripts)
+    sc = spark.sparkContext
+
+    def n_persistent():
+        n, it = 0, sc._jsc.getPersistentRDDs().keySet().iterator()
+        while it.hasNext():
+            n, _ = n + 1, it.next()
+        return n
+
+    before = n_persistent()
+    linked_mem, _ = link_mentions(mentions, lexicon)
+    with_derived = n_persistent() - before
+
+    path = str(tmp_path / "mentions.parquet")
+    mentions.write.parquet(path)
+    m_parq = spark.read.parquet(path)
+    before = n_persistent()
+    linked_parq, _ = link_mentions(m_parq, lexicon)
+    with_parquet = n_persistent() - before
+
+    # derived lineage gets exactly one extra checkpointed RDD vs parquet
+    assert with_derived == with_parquet + 1
+    a = {tuple(r) for r in linked_mem.collect()}
+    b = {tuple(r) for r in linked_parq.collect()}
+    assert a == b

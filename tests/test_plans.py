@@ -198,9 +198,10 @@ def test_dsir_distribution_broadcasts_onto_features(spark):
     assert uses_broadcast_join(w)
 
 
-def test_semantic_dedup_centroids_broadcast_no_cartesian(spark):
-    # centroid assignment must be a broadcast join of the (tiny) centroid
-    # table; the only shuffle-join is the within-cluster self-join
+def test_semantic_dedup_assignment_mapside_no_cartesian(spark):
+    # round 6: centroid assignment is a map-side literal argmin
+    # (ann.centroid_argmin) — no corpus×k join, no per-id Window; the only
+    # join left is the within-cluster self-join over one shared exchange
     import math
 
     from tera_spark.operators.dedup import semantic_dedup_pairs
@@ -211,7 +212,8 @@ def test_semantic_dedup_centroids_broadcast_no_cartesian(spark):
     )
     plan = explain_str(semantic_dedup_pairs(vecs, threshold=0.9, n_clusters=4, dim=8))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # the old row_number argmin is gone
+    assert "array_min" in plan  # ...replaced by the literal argmin
 
 
 def test_dsir_gumbel_topk_is_take_ordered(spark):
