@@ -43,7 +43,10 @@ def cosine_topk(
     q_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector. Deterministic
-    tie-break on corpus id."""
+    tie-break on corpus id. (A norm-per-row precompute was A/B'd here in
+    round 6 and reverted: with a handful of probe queries the saving is
+    negligible and the extra projection measured slightly slower; the
+    per-row trick lives in the PAIR generators, where it pays.)"""
     c = corpus.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(q_id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     scored = c.join(F.broadcast(q)).withColumn(
@@ -69,12 +72,21 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return out
 
 
+def _dbl_array_expr(values: list[float]) -> Column:
+    """A literal array<double> built as ONE SQL expr string parsed
+    JVM-side — per-element F.lit() trees cost ~0.5ms of py4j round-trip
+    each, which at planes×dim (or k×dim) literals dominates expression
+    construction (measured round 6). repr(float) round-trips IEEE doubles
+    exactly."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in values) + ")")
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Bit-string bucket id: sign of <v, plane_i> per plane."""
     bits = [
         F.when(
             F.aggregate(
-                F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
+                F.zip_with(vec, _dbl_array_expr(p), lambda a, b: a * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
@@ -102,28 +114,46 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def centroid_argmin(vec: Column, cent_rows: list) -> Column:
-    """Nearest-centroid id as a pure map-side expression: the (tiny,
-    bounded — k rows of k×dim doubles) centroid table is inlined as a
-    literal array<struct<cid,c>>, distances computed per row with the same
-    zip_with/aggregate expression Lloyd's loop uses, and the argmin taken
-    with array_min over (d, cid) structs — lexicographic struct ordering
-    IS the (distance asc, centroid_id asc) tie-break. This replaces the
-    k-way row-multiplying broadcast join + per-id window (a full shuffle
-    + sort of corpus×k rows) that previously implemented assignment."""
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["centroid_id"])).cast("int").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["c"]]).alias("c"),
-            )
+def centroid_dist_pairs(vec: Column, cent_rows: list) -> Column:
+    """array<struct<d,cid>> of (squared distance, centroid id) for every
+    centroid, as a pure map-side expression: the (tiny, bounded — k rows
+    of k×dim doubles) centroid table is inlined as a literal, distances
+    computed per row with the same zip_with/aggregate expression Lloyd's
+    loop uses. Lexicographic struct ordering on (d, cid) IS the
+    (distance asc, centroid_id asc) tie-break, so array_min /
+    array_sort+slice over this replaces the k-way row-multiplying
+    broadcast join + per-id window (a full shuffle + sort of corpus×k
+    rows) that previously implemented assignment."""
+    # The literals are built as ONE SQL expr string parsed JVM-side, not
+    # k×dim F.lit() calls: the element-wise Column tree (and F.lit(list),
+    # which recurses into per-element lits) cost 0.5-0.7s of pure driver/
+    # py4j time PER CALL at k=16, dim=64 (measured round 6) — more than
+    # the assignment job itself. repr(float) round-trips IEEE doubles
+    # exactly through the SQL parser. The 2-arg transform lambda receives
+    # (element, index); element_at is 1-based.
+    cids = F.expr(
+        "array(" + ",".join(str(int(r["centroid_id"])) for r in cent_rows) + ")"
+    ).cast("array<int>")
+    carr = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in r["c"]) + ")"
             for r in cent_rows
-        ]
+        )
+        + ")"
     )
-    pairs = F.transform(
-        arr, lambda s: F.struct(_sq_dist(vec, s["c"]).alias("d"), s["cid"].alias("cid"))
+    return F.transform(
+        cids,
+        lambda cid, i: F.struct(
+            _sq_dist(vec, F.element_at(carr, i + F.lit(1))).alias("d"),
+            cid.alias("cid"),
+        ),
     )
-    return F.array_min(pairs)["cid"]
+
+
+def centroid_argmin(vec: Column, cent_rows: list) -> Column:
+    """Nearest-centroid id (see centroid_dist_pairs)."""
+    return F.array_min(centroid_dist_pairs(vec, cent_rows))["cid"]
 
 
 def kmeans_centroids(
@@ -165,6 +195,12 @@ def kmeans_centroids(
         .collect()
     )
     rows = [{"centroid_id": i + 1, "c": list(r["v"])} for i, r in enumerate(seed)]
+    # one expr string, not dim separate F.avg(F.col()[i]) py4j calls (the
+    # same driver-overhead trap as the centroid literal — see
+    # centroid_argmin)
+    avg_arr = F.expr(
+        "array(" + ",".join(f"avg(v[{i}])" for i in range(dim)) + ")"
+    ).alias("c")
     for _ in range(iterations):
         if not rows:  # empty corpus with dim given: no centroids
             break
@@ -172,7 +208,7 @@ def kmeans_centroids(
         new = (
             v.select("v", cid.alias("centroid_id"))
             .groupBy("centroid_id")
-            .agg(F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c"))
+            .agg(avg_arr)
             .collect()
         )
         # deterministic literal order (and empty clusters drop, as before)
@@ -213,26 +249,30 @@ def ivf_topk(
     broadcast everywhere. Pass ``dim`` when known to skip the probing
     first() job; ``portable`` switches the k-means seed hash to the
     DuckDB-replayable md5 form."""
-    # kmeans_centroids returns a localCheckpointed table (materialized,
-    # lineage-free) — reused by both assignment joins below without cache()
+    # kmeans_centroids returns a lineage-free local relation; assignment is
+    # the map-side literal top-n of centroid_dist_pairs — array_sort over
+    # (d, cid) structs is exactly the old window's (d asc, cid asc) order,
+    # slice(1, n) its rn<=n cut — so neither side shuffles corpus×k rows.
     cents = kmeans_centroids(
         corpus, k=n_centroids, id_col=id_col, vec_col=vec_col, dim=dim,
         portable=portable,
     )
-    dist = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
-    )
+    cent_rows = [
+        {"centroid_id": r["centroid_id"], "c": r["centroid"]} for r in cents.collect()
+    ]
 
     def assign(df, idc, vc, out, n):
-        w = Window.partitionBy(out).orderBy(F.col("d").asc(), F.col("centroid_id").asc())
-        return (
-            df.select(F.col(idc).alias(out), F.col(vc).alias(f"_{out}_v"))
-            .join(F.broadcast(cents))
-            .withColumn("d", dist(F.col(f"_{out}_v"), F.col("centroid")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= n)
-            .select(out, f"_{out}_v", "centroid_id")
+        src = df.select(F.col(idc).alias(out), F.col(vc).alias(f"_{out}_v"))
+        if not cent_rows:  # empty corpus (dim given): no lists, no rows
+            return src.withColumn(
+                "centroid_id", F.lit(None).cast("int")
+            ).filter(F.col("centroid_id").isNotNull())
+        topn = F.slice(
+            F.array_sort(centroid_dist_pairs(F.col(f"_{out}_v"), cent_rows)), 1, n
         )
+        return src.select(
+            out, f"_{out}_v", F.explode(topn).alias("_p")
+        ).select(out, f"_{out}_v", F.col("_p.cid").alias("centroid_id"))
 
     lists = assign(corpus, id_col, vec_col, "nn_id", 1)
     probes = assign(queries, q_id_col, vec_col, "query_id", n_probe)

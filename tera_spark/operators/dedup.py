@@ -268,14 +268,21 @@ def embedding_neardup_pairs(
     small-fixture correctness baseline ONLY (all-pairs join). The scale
     path is ``embedding_neardup_lsh_pairs`` below. Self-join pruned to
     a<b; dot products via zip_with/aggregate, JVM-side."""
-    from tera_spark.operators.ann import cosine
+    from tera_spark.operators.ann import dot, norm
 
-    v = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    # norms precomputed per ROW, not per pair (dot/(na*nb) is the exact
+    # expression tree cosine() builds — bit-identical values, 3x fewer
+    # per-pair flops)
+    v = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
+    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
@@ -304,7 +311,7 @@ def embedding_neardup_lsh_pairs(
     together; the driver-contract entry pins the defaults against the
     brute-force DuckDB oracle at the same threshold.
     """
-    from tera_spark.operators.ann import _hyperplane, cosine, lsh_bucket
+    from tera_spark.operators.ann import _hyperplane, dot, lsh_bucket, norm
 
     tables = [
         [_hyperplane(1000 + t * n_planes + p, dim) for p in range(n_planes)]
@@ -316,18 +323,21 @@ def embedding_neardup_lsh_pairs(
             for t in range(n_tables)
         ]
     )
+    # norm per ROW (before the bucket explode), not per candidate pair —
+    # same dot/(na*nb) expression cosine() builds, bit-identical values
     v = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
         F.explode(buckets).alias("bucket"),
     )
-    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
-    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nv").alias("na"), "bucket")
+    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nv").alias("nb"), "bucket")
     return (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
@@ -386,17 +396,33 @@ def semantic_dedup_pairs(
     # leaving the join to the planner lets AQE broadcast the (small) build
     # side and keep the stream side's full scan parallelism — A/B'd both
     # ways in round 6 (repartition("centroid_id") was 1.39x SLOWER).
+    # Precompute each vector's norm ONCE per row (n×dim work) instead of
+    # twice per PAIR inside the cosine (pairs×2×dim — the dominant flops of
+    # the whole operator at C(cluster,2) pairs). dot/(na*nb) is the exact
+    # same expression tree cosine() builds, so values are bit-identical.
+    from tera_spark.operators.ann import dot as _dot
+    from tera_spark.operators.ann import norm as _norm
+
     assigned = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_nv"),
         cid.alias("centroid_id"),
     ).filter(F.col("centroid_id").isNotNull())
-    a = assigned.select(F.col("id").alias("a"), F.col("_v").alias("va"), "centroid_id")
-    b = assigned.select(F.col("id").alias("b"), F.col("_v").alias("vb"), "centroid_id")
+    a = assigned.select(
+        F.col("id").alias("a"), F.col("_v").alias("va"),
+        F.col("_nv").alias("_na"), "centroid_id",
+    )
+    b = assigned.select(
+        F.col("id").alias("b"), F.col("_v").alias("vb"),
+        F.col("_nv").alias("_nb"), "centroid_id",
+    )
     return (
         a.join(b, "centroid_id")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos", _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
+        )
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
