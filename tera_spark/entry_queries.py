@@ -2866,17 +2866,28 @@ def _queries() -> dict:
 
     # --- window / agg / set ops ----------------------------------------------
     def w2(spark, sf):
+        # top-1 per group as a partial-aggregating min(struct) instead of a
+        # row_number window: struct ordering on (-price, linenumber) IS the
+        # window's (price desc, linenumber asc) — same single row per order
+        # (linenumber is unique within an order), but the exchange carries
+        # map-side-combined 1-row-per-group structs and the sort disappears
+        # (round 6; double negation is exact, so ordering is identical).
         li = _t(spark, sf, "lineitem")
-        w = Window.partitionBy("l_orderkey").orderBy(
-            F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
-        )
+        m = F.min(
+            F.struct(
+                (-F.col("l_extendedprice")).alias("np"),
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_partkey").alias("pk"),
+                F.col("l_extendedprice").alias("pr"),
+            )
+        ).alias("m")
         return (
-            li.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            li.groupBy("l_orderkey")
+            .agg(m)
             .select(
                 F.col("l_orderkey").alias("orderkey"),
-                F.col("l_partkey").alias("partkey"),
-                F.col("l_extendedprice").alias("price"),
+                F.col("m.pk").alias("partkey"),
+                F.col("m.pr").alias("price"),
             )
         )
 
