@@ -888,6 +888,11 @@ def test_link_mentions_checkpoint_gate(spark, transcripts, lexicon, tmp_path):
     from tera_spark.pipeline.extract import extract_mentions
     from tera_spark.pipeline.link import link_mentions
 
+    # materialize BOTH cached fixtures outside the measured windows (cold,
+    # they register extra persistent RDDs during the first link call and
+    # skew the counts below)
+    transcripts.count()
+    lexicon.count()
     mentions = extract_mentions(transcripts)
     sc = spark.sparkContext
 
