@@ -2058,8 +2058,11 @@ def _queries() -> dict:
     q["t9_tests_triples"] = lambda spark, sf: tests_triples(
         clean_tests(orders_as_tests(spark, sf))
     )
+    # respread=True: the driver-table adapter corpus is small in bytes, so
+    # without it AQE coalesces the post-groupBy stage and the x6-triple
+    # emission serializes (see results_triples docstring)
     q["t10_results_triples"] = lambda spark, sf: results_triples(
-        clean_results(lineitem_as_results(spark, sf))
+        clean_results(lineitem_as_results(spark, sf)), respread=True
     )
 
     # --- T1-T14 extractor family under the driver gate ---------------------

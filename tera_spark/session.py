@@ -96,20 +96,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalesces post-shuffle partitions by BYTE size (floor =
-        # minPartitionSize, default 1m) — but several write-path stages are
-        # compute-dense per byte (T10: a ~15 MB post-groupBy stage explodes
-        # into 3.6M triple rows with two md5 bnodes each), so the 1m floor
-        # starved them to a handful of tasks. 128k keeps those stages wide
-        # while leaving genuinely tiny (<128k) aggregates on one task;
-        # measured t10_results_triples 4.5s -> 3.4s warm at sf0.1, no
-        # headline regression (A/B'd, OPTIMIZATION_r06.md). At cluster
-        # scale partitions exceed any floor, so this only affects
-        # small-shuffle parallelism; override via env for other hosts.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("TERA_SPARK_MIN_PARTITION_SIZE", "128k"),
-        )
+        # NB (round 6): a global
+        # spark.sql.adaptive.coalescePartitions.minPartitionSize=128k was
+        # A/B'd both ways and REJECTED. It widened compute-dense
+        # small-shuffle stages (t10_results_triples 0.86) — but it also
+        # triples the task/output-file count of every 4-32 MB stage
+        # shuffle, which cost the STAGED pipeline (pipeline/run.py, the
+        # scaling-criterion shape) ~11% at 2M turns (41.6s vs 46.2s warm,
+        # knob-isolated interleaved A/B). Compute-dense stages that need
+        # width get an explicit, caller-scoped respread instead
+        # (operators/extract/effects.py:results_triples(respread=...)).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
